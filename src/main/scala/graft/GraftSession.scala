@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Every entry point (Verify, Bench, tests) goes through [[tune]] so the
+  * whole library runs under one configuration posture:
+  *
+  *  - AQE on (runtime partition coalescing + skew-join splitting) — at
+  *    100 TB the static shuffle-partition guess is always wrong somewhere.
+  *  - UTC session timezone — oracle (DuckDB) parity for date/time exprs.
+  *  - `nanosAsLong` — the `events` fixture carries TIMESTAMP(NANOS) which
+  *    Spark does not map to a timestamp type; we read raw epoch-nanos
+  *    longs and convert explicitly (mirrors the reference's epoch-ms
+  *    ingestion, /root/reference/spark/streaming-longtime.py:60-61).
+  *  - 64 MiB broadcast threshold — every dimension table in the star
+  *    schema (part/customer/nation/region/supplier) broadcasts; only
+  *    fact–fact joins shuffle.
+  */
+object GraftSession {
+
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. Shuffle partitions = cores:
+    * on a real cluster this would instead be sized to keep post-shuffle
+    * partitions in the 64–256 MiB range (AQE coalesces the remainder).
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,474 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+/** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
+  * and — when ANSI-SQL-expressible — the DuckDB oracle that must
+  * hash-match it on the same parquet fixtures.
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+/** Driver contract (SURVEY.md §7): `entry` flagship smoke query,
+  * `queries` one per implemented operator, `oracleSql` the DuckDB
+  * equivalents.
+  *
+  * Determinism rules shared by every query/oracle pair (SURVEY.md §7.4):
+  *  - no raw timestamp columns in outputs — event time is exported as
+  *    epoch-ms BIGINT (`ts div 1000000` ≡ DuckDB `epoch_ns(ts)//1000000`;
+  *    DuckDB truncates ns→µs so the floor semantics agree) or DATE;
+  *  - Double SUMs go through DECIMAL(38,6) accumulation and are cast
+  *    back to DOUBLE — bit-identical regardless of partition/merge order;
+  *  - int-ish outputs are cast to BIGINT on both sides (DuckDB count/
+  *    year/row_number are BIGINT, Spark's are int);
+  *  - every ranking/argmin has a total-order tiebreak on a unique key;
+  *  - ratios of integers and raw-double arithmetic are IEEE-exact and
+  *    compared unrounded; derived similarity scores are round(·, 6) on
+  *    both sides (both engines round half-away-from-zero).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val Dec = DecimalType(38, 6)
+  /** Order-independent exact sum of a double column: decimal-accumulate,
+    * export as double. */
+  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Total event order shared with the oracle: ms-truncated time then
+    * unique event_id (ns-precision ordering would be invisible to the
+    * µs-truncating oracle). */
+  private val EventOrd: Seq[Column] = Seq(col("ts_ms"), col("event_id"))
+  /** Same total order packed into one BIGINT for arg_min/arg_max. */
+  private val EventOrdKey: Column = col("ts_ms") * 1000000L + col("event_id")
+  private val EventOrdKeySql = "(epoch_ns(ts)//1000000)*1000000 + event_id"
+
+  // ------------------------------------------------------------------ //
+
+  val catalog: Seq[QueryDef] = Seq(
+
+    // ---- reference parity: projections / scalar functions (§2.3) ---- //
+
+    QueryDef("pipe_kline_enrich",
+      // The reference's whole per-record transform (cast → from_json →
+      // flatten → epoch→time parts) in one narrow projection: runs at
+      // scan speed, no shuffle, JSON parsed once per row.
+      Some("""SELECT event_id,
+             |       epoch_ns(ts)//1000000 AS ts_ms,
+             |       CAST(year(ts) AS BIGINT) AS yr,
+             |       CAST(month(ts) AS BIGINT) AS mo,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       event_type
+             |FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir).select(
+        col("event_id"),
+        col("ts_ms"),
+        year(col("event_ts")).cast("long").as("yr"),
+        month(col("event_ts")).cast("long").as("mo"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))),
+
+    // ---- filters / predicates (§2.4) ---- //
+
+    QueryDef("filt_conj_equality",
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type = 'purchase' AND user_id % 10 = 3""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") % 10 === 3)
+        .select("event_id", "user_id", "value")),
+
+    QueryDef("filt_ts_range",
+      // the incremental-ETL watermark scan (src_jdbc_pushdown semantics,
+      // /root/reference/spark/streaming-longtime-raw.py:132-137): range
+      // predicate reaches the parquet scan as PushedFilters.
+      Some("""SELECT event_id, epoch_ns(ts)//1000000 AS ts_ms, event_type, value
+             |FROM events
+             |WHERE epoch_ns(ts)//1000000 >= 1705276800000 AND value > 100.0""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir)
+        .filter(col("ts") >= lit(1705276800000L * 1000000L) && col("value") > 100.0)
+        .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
+          col("event_type"), col("value"))),
+
+    // ---- aggregations (§2.5) ---- //
+
+    QueryDef("agg_distinct_pairs",
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      (s, dir) => Tables.eventsRaw(s, dir).select("user_id", "event_type").distinct()),
+
+    QueryDef("agg_global_max",
+      // high-watermark computation (streaming-longtime-raw.py:157) — a
+      // single partial-aggregated pass, not the reference's triple rescan.
+      Some("""SELECT max(epoch_ns(ts)//1000000) AS max_ts_ms,
+             |       max(value) AS max_value,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir).agg(
+        max(col("ts_ms")).as("max_ts_ms"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))),
+
+    QueryDef("agg_count_by_type",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
+
+    QueryDef("agg_ohlc_resample",
+      // per-(type, day) OHLC rollup — the README's stated-but-never-
+      // implemented "volume in the last hour" capability (SURVEY §2.5).
+      Some(s"""SELECT event_type, epoch_ns(ts)//86400000000000 AS day_bkt,
+              |       arg_min(value, $EventOrdKeySql) AS open,
+              |       max(value) AS high, min(value) AS low,
+              |       arg_max(value, $EventOrdKeySql) AS close,
+              |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+              |       CAST(count(*) AS BIGINT) AS n_trades
+              |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day_bkt"))
+        .agg(
+          min_by(col("value"), EventOrdKey).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), EventOrdKey).as("close"),
+          dsum(col("value")).as("volume"),
+          count(lit(1)).as("n_trades"))),
+
+    QueryDef("strm_dedup_keys",
+      // keyed dedup, batch form of KlineIngest.dedupStream (§2.8).
+      Some("""SELECT DISTINCT event_type, user_id,
+             |       epoch_ns(ts)//86400000000000 AS day_bkt
+             |FROM events""".stripMargin),
+      (s, dir) => Dedup.exact(
+        Tables.eventsRaw(s, dir).select(col("event_type"), col("user_id"),
+          expr("ts div 86400000000000").as("day_bkt")),
+        Seq("event_type", "user_id", "day_bkt"))),
+
+    // ---- relational core: star-schema analytics (§2.5–§2.7) ---- //
+
+    QueryDef("q1_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base,
+             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.time.LocalDateTime.of(1998, 9, 2, 0, 0)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    QueryDef("join_broadcast_dim",
+      // fact × small dim: `part` broadcasts (≪ the 64 MiB threshold) —
+      // zero shuffle of the fact side.
+      Some("""SELECT p_brand,
+             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    QueryDef("join_shuffle_agg",
+      // fact × fact: both sides hash-partitioned on the join key; the
+      // distinct-agg shares that partitioning (no extra shuffle).
+      Some("""SELECT o_orderpriority,
+             |       CAST(count(*) AS BIGINT) AS n_items,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_extendedprice")).as("sum_price"))),
+
+    QueryDef("join_semi_exists",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))),
+
+    QueryDef("join_anti",
+      // customers with no large order — anti join against a filtered
+      // build side (the filter is pushed below the join).
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    QueryDef("join_multiway_star",
+      // star join: every dim broadcasts, the only shuffle is the final
+      // group-by on r_name (5 groups → map-side partials do the work).
+      Some("""SELECT r_name,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n_orders
+             |FROM region
+             |JOIN nation   ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |JOIN orders   ON o_custkey = c_custkey
+             |GROUP BY r_name""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))),
+
+    // ---- window functions / sorts / limits / set ops (§2.7) ---- //
+
+    QueryDef("win_topn_per_group",
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(row_number() OVER (PARTITION BY o_custkey
+             |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")),
+
+    QueryDef("win_running_sum",
+      Some("""SELECT event_id,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_ns(ts)//1000000, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+             |FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("run_sum", sum(col("value").cast(Dec)).over(
+          Window.partitionBy(col("user_id")).orderBy(EventOrd: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .select("event_id", "run_sum")),
+
+    QueryDef("win_lag_delta",
+      Some("""SELECT event_id,
+             |       value - lag(value) OVER (PARTITION BY user_id
+             |         ORDER BY epoch_ns(ts)//1000000, event_id) AS delta
+             |FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(EventOrd: _*)))
+        .select("event_id", "delta")),
+
+    QueryDef("sort_limit_topk",
+      // global top-k = per-partition top-k + driver merge
+      // (TakeOrderedAndProject) — never a full sort of the table.
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)),
+
+    QueryDef("set_ops",
+      // (user, day) pairs with a purchase but no error that day.
+      Some("""SELECT user_id, epoch_ns(ts)//86400000000000 AS day_bkt
+             |FROM events WHERE event_type = 'purchase'
+             |EXCEPT
+             |SELECT user_id, epoch_ns(ts)//86400000000000
+             |FROM events WHERE event_type = 'error'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.eventsRaw(s, dir)
+        def days(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day_bkt"))
+        days("purchase").except(days("error"))
+      }),
+
+    // ---- north-star: dedup (§2.11) ---- //
+
+    QueryDef("ext_dedup_exact",
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS n_dups, text
+             |FROM documents GROUP BY text""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups", "text")),
+
+    QueryDef("ext_dedup_ngram",
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars // 20 AS len_bkt,
+             |         list_distinct(string_split(text, ' ')) AS toks
+             |  FROM documents)
+             |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+             |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+             |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jaccard
+             |FROM base l JOIN base r
+             |  ON l.lang = r.lang AND l.len_bkt = r.len_bkt AND l.doc_id < r.doc_id
+             |WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+             |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.9""".stripMargin),
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        lenBucket = 20, threshold = 0.9)),
+
+    QueryDef("ext_dedup_minhash", None, // sketch uses engine hash → rows-only check
+      (s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir),
+        k = 64, bands = 16, shingleSize = 3, threshold = 0.5)),
+
+    QueryDef("ext_dedup_simhash", None, // sketch uses engine hash → rows-only check
+      (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 16)),
+
+    QueryDef("ext_dedup_embedding",
+      Some("""WITH m AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, emb,
+             |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+             |                          (a,b) -> a+b)) AS nrm
+             |  FROM m)
+             |SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+             |       round(list_reduce(list_prepend(0.0,
+             |               list_transform(list_zip(l.emb, r.emb), p -> p[1]*p[2])),
+             |             (a,b) -> a+b) / (l.nrm * r.nrm), 6) AS cosine
+             |FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
+             |WHERE list_reduce(list_prepend(0.0,
+             |        list_transform(list_zip(l.emb, r.emb), p -> p[1]*p[2])),
+             |      (a,b) -> a+b) / (l.nrm * r.nrm) >= 0.35""".stripMargin),
+      (s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.35)),
+
+    // ---- north-star: similarity search (§2.11) ---- //
+
+    QueryDef("ext_sim_topk",
+      Some("""WITH m AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, emb,
+             |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+             |                          (a,b) -> a+b)) AS nrm
+             |  FROM m),
+             |s AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |         round(list_reduce(list_prepend(0.0,
+             |                 list_transform(list_zip(q.emb, c.emb), p -> p[1]*p[2])),
+             |               (a,b) -> a+b) / (q.nrm * c.nrm), 6) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+             |SELECT * FROM (
+             |  SELECT q_id, c_id, cosine,
+             |         CAST(row_number() OVER (PARTITION BY q_id
+             |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+             |  FROM s) WHERE rnk <= 10""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+          .withColumn("rnk", col("rnk").cast("long"))
+      }),
+
+    QueryDef("ext_sim_lsh", None, // approximate → rows-only check
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+          .withColumn("rnk", col("rnk").cast("long"))
+      }),
+
+    // ---- north-star: text analysis (§2.11) ---- //
+
+    QueryDef("ext_text_stats",
+      Some("""SELECT doc_id,
+             |       CAST(length(text) AS BIGINT) AS len_chars,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+             |         (a,b) -> a+b) AS token_chars
+             |FROM documents""".stripMargin),
+      (s, dir) => TextStats.tokenStats(Tables.documents(s, dir))),
+
+    QueryDef("ext_text_quality",
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |SELECT doc_id,
+             |  round(CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+             |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+             |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+             |        / len(toks), 6) AS mean_tok_len,
+             |  len(toks) >= 20 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3 AS passes_quality
+             |FROM s""".stripMargin),
+      (s, dir) => TextStats.qualityScore(Tables.documents(s, dir))),
+
+    QueryDef("ext_text_fingerprint",
+      Some("""SELECT doc_id,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(string_split(text, ' '),
+             |           t -> CAST(length(t)*256 + ascii(t) AS BIGINT))),
+             |         (a,b) -> (a*31 + b) % 1000000007) AS fp
+             |FROM documents""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
+
+    QueryDef("ext_langid",
+      // argmax over per-language marker-token scores; oracle emulates
+      // Spark's struct max with zero-padded score strings (same order:
+      // score numeric asc, then language code asc).
+      Some {
+        val branches = TextStats.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val arr = ms.map(m => s"'$m'").mkString("[", ",", "]")
+          s"printf('%06d', len(list_filter(toks, t -> list_contains($arr, t)))) || '$lang'"
+        }.mkString(",\n    ")
+        s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           |SELECT doc_id, substring(greatest(
+           |    $branches
+           |  ), 7) AS pred_lang
+           |FROM s""".stripMargin
+      },
+      (s, dir) => TextStats.langId(Tables.documents(s, dir))),
+
+    // ---- north-star: multimodal columns (§2.11) ---- //
+
+    QueryDef("ext_multimodal_meta",
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       sha256(text) AS media_sha
+             |FROM documents""".stripMargin),
+      (s, dir) => Multimodal.mediaStats(Tables.documents(s, dir))),
+
+    QueryDef("ext_multimodal_frames", None, // binary slicing → rows-only check
+      (s, dir) => Multimodal.frameSample(Tables.documents(s, dir))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))),
+
+    QueryDef("ext_multimodal_features", None, // stubbed decode → rows-only check
+      (s, dir) => Multimodal.fakeFeatures(Tables.documents(s, dir)))
+  )
+
+  /** Flagship: the README's "coin volume over the last hour" intent
+    * (reference README.md:2) as a tumbling-window rollup over the event
+    * stream stand-in. Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("volume"),
+        max(col("value")).as("peak"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

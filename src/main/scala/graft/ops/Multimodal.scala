@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star surface, SURVEY.md §2.11):
+  * image/audio/video payloads are opaque `binary` columns with a typed
+  * metadata struct alongside. The Spark-side mechanics — schema,
+  * partition-friendly layout, per-row transforms, content hashing for
+  * dedup — are real; the codec step is a clearly-marked deterministic
+  * stand-in because no media libraries ship in this container.
+  *
+  * At scale the payload column dominates bytes: keep it out of every
+  * shuffle (operate on `media_sha` / metadata, join payloads back by
+  * key only at the edges) and rely on parquet column pruning so
+  * metadata-only queries never read the blob pages.
+  */
+object Multimodal {
+
+  /** Attach a synthetic media payload + typed metadata to each doc.
+    * Production equivalent: `spark.read.format("binaryFile")` per
+    * object, or a manifest table of (uri, offset, len) pointers.
+    */
+  def withMedia(docs: DataFrame): DataFrame = docs
+    .withColumn("media", encode(col("text"), "UTF-8")) // stand-in payload bytes
+    .withColumn("media_meta", struct(
+      octet_length(col("media")).as("n_bytes"),
+      lit("application/octet-stream").as("mime"),
+      lit(16000).as("sample_rate")))
+
+  /** Content-addressed metadata per payload: byte length + SHA-256 —
+    * the exact-dedup / cache key for binary columns.
+    */
+  def mediaStats(docs: DataFrame): DataFrame =
+    withMedia(docs).select(
+      col("doc_id"),
+      col("media_meta.n_bytes").cast("long").as("n_bytes"),
+      sha2(col("media"), 256).as("media_sha"))
+
+  /** STUB feature extraction (`decode → features`): a real pipeline
+    * would decode the payload (libjpeg/ffmpeg etc. — not available
+    * here) and emit a float vector; this deterministic fake derives
+    * `dim` codepoint-based features so the schema, batching, and
+    * downstream similarity plumbing are fully exercisable.
+    */
+  def fakeFeatures(docs: DataFrame, dim: Int = 8): DataFrame =
+    withMedia(docs).select(
+      col("doc_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => coalesce(ascii(substring(col("text"), 1, 1024).substr(i, lit(1))), lit(0))
+          .cast("float"))
+        .as("features"))
+
+  /** Frame/segment sampling over the binary payload: every `stride`-th
+    * `frameBytes`-sized slice, as (doc_id, frame_idx, frame) rows —
+    * the explode shape a video/audio pipeline fans out to.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame =
+    withMedia(docs)
+      .select(col("doc_id"), col("media"),
+        octet_length(col("media")).as("n_bytes"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(expr(s"(n_bytes - $frameBytes) div ${frameBytes * stride}")
+              .cast("int"), lit(0))),
+          i => substring(col("media"), i * (frameBytes * stride) + 1, lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `array<float>` embedding column
+  * (north-star surface, SURVEY.md §2.11).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. Query set broadcast against the corpus, norms
+  *    precomputed, per-pair work is one fused dot product inside
+  *    whole-stage codegen.
+  *  - [[lshTopK]]: random-hyperplane LSH (sign sketch) — the scale
+  *    path. Corpus is bucketed by signature once (an O(n) pass +
+  *    one shuffle); each query probes only its own bucket and its
+  *    1-bit-flip neighbors, so per-query cost is O(bucket), not O(n).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row. `queries` is expected
+    * to be small (it is broadcast); ranking ties are broken on vec_id
+    * so results are fully deterministic.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      normD(col("embedding")).as("q_nrm"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      normD(col("embedding")).as("c_nrm"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Fixed-seed random hyperplanes; deterministic across runs. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-sketch signature of the embedding column as an int bucket id. */
+  private def signature(emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]) =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = dotD(emb, array(p.map(lit): _*))
+      when(proj >= 0, lit(1 << i)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's LSH bucket
+    * (multi-probed with all 1-bit flips to cut misses), then exact
+    * cosine rerank within candidates.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nBits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm"))
+      .withColumn("bucket", signature(col("c_emb"), planes))
+    // probe set: own bucket + every 1-bit flip
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normD(col("embedding")).as("q_nrm"))
+      .withColumn("sig", signature(col("q_emb"), planes))
+      .withColumn("bucket", explode(array(
+        col("sig") +: (0 until nBits).map(b => col("sig").bitwiseXOR(1 << b)): _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored
+      .select(col("q_id"), col("c_id"), col("cosine")).distinct() // multi-probe may hit a pair twice
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over the `documents`
+  * table (north-star surface, SURVEY.md §2.11): token statistics,
+  * quality scoring, language ID, content fingerprinting.
+  *
+  * Everything is built from codegen'd string/array built-ins — per-row,
+  * shuffle-free, embarrassingly parallel: at 100 TB these run at scan
+  * speed with full column pruning (only `doc_id`+`text` are read).
+  */
+object TextStats {
+
+  /** Whitespace tokenization (the fixture corpus is single-space
+    * separated; a BPE-ish regex variant is [[tokensRegex]]).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex "BPE-ish" tokenization: words, numbers, or single
+    * non-space symbols — closer to what a real tokenizer counts.
+    */
+  def tokensRegex(text: Column): Column =
+    // regexp_extract_all returns every match of the class below
+    expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+
+  /** Stopword list — intersects the fixture vocabulary; used for the
+    * stopword-ratio quality signal.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document token statistics: counts, distinct counts, summed
+    * token length, mean token length.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .as("token_chars")
+    )
+  }
+
+  /** Quality scoring: stopword ratio, type–token ratio, mean word
+    * length — the length/stopword heuristics used to filter web text.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks   = tokens(col("text"))
+    val nTok   = size(toks).cast("double")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop  = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nDist  = size(array_distinct(toks)).cast("double")
+    val tokChars = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    docs.select(
+      col("doc_id"),
+      round(nStop / nTok, 6).as("stop_ratio"),
+      round(nDist / nTok, 6).as("ttr"),
+      round(tokChars.cast("double") / nTok, 6).as("mean_tok_len"),
+      (nTok >= 20 && nDist / nTok > 0.3).as("passes_quality")
+    )
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash over
+    * per-token codes (length·256 + first-char codepoint), mod 1e9+7.
+    * Oracle-reproducible (plain integer arithmetic, no engine-specific
+    * hash), collision-tolerant enough for exact-dup candidate keying.
+    */
+  def fingerprint(text: Column): Column = {
+    val tokCodes = transform(tokens(text), t => (length(t).cast("long") * 256 + ascii(t)))
+    aggregate(tokCodes, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+  }
+
+  /** Language ID by stopword-profile scoring: count marker-token hits
+    * per language, argmax with deterministic tiebreak on language code.
+    * (An n-gram heuristic classifier; the fixture's `lang` column is a
+    * synthetic label, so accuracy vs. that label is not the contract —
+    * determinism is.)
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "de", "et"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, ties → max lang code
+    docs.select(
+      col("doc_id"),
+      array_max(array(scored: _*)).getField("lang").as("pred_lang")
+    )
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink-side routing (reference §2.2).
+  *
+  * The reference fans a micro-batch out to per-(coin, interval)
+  * destinations with `distinct().collect()` + a driver loop that
+  * re-filters the batch once per group — O(groups) Spark jobs per
+  * batch (/root/reference/spark/streaming-longtime.py:119-142,
+  * SURVEY.md §4.2). Here the same routing is ONE dynamic-partition
+  * write: every executor writes its own partition files for all keys
+  * it holds, one job regardless of group count.
+  */
+object Routing {
+
+  /** Dynamic-partition append: `path/coin=X/interval=Y/part-*.parquet`.
+    * Equivalent of the reference's per-(db, table) JDBC routing, with
+    * partition pruning for free on read-back.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       keys: Seq[String] = Seq("coin", "interval")): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(keys: _*).parquet(path)
+
+  /** Streaming form: checkpointed foreachBatch that routes each
+    * micro-batch with one partitioned write (sink_foreach_batch +
+    * sink_jdbc_append semantics, minus the per-group job storm).
+    * Caller starts it: `routedParquet(ds, path, cp).start()`.
+    */
+  def routedParquet(enriched: DataFrame, path: String, checkpointDir: String,
+                    keys: Seq[String] = Seq("coin", "interval"))
+      : DataStreamWriter[Row] =
+    enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) writePartitioned(batch, path, keys)
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** The reference's DDL-ensure + JDBC append
+    * (streaming-longtime.py:69-106,134-142): plain `java.sql` on the
+    * driver for DDL (no Spark primitive exists), executor-parallel
+    * JDBC append for data. Kept API-compatible; exercised only where
+    * a database is reachable.
+    */
+  def ensureTableAndAppend(df: DataFrame, jdbcUrl: String, table: String,
+                           ddl: String, props: java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+    try {
+      conn.createStatement().execute(
+        s"CREATE TABLE IF NOT EXISTS $table ($ddl)")
+    } finally conn.close()
+    df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
+  }
+}
