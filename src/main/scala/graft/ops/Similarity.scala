@@ -54,21 +54,28 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Approximate top-k: candidates share the query's LSH bucket
-    * (multi-probed with all 1-bit flips to cut misses), then exact
-    * cosine rerank within candidates.
+    * (multi-probed with every signature within `probeDist` bit flips
+    * to cut misses), then exact cosine rerank within candidates.
+    *
+    * Defaults (8 bits, probe radius 2) scan ~14 % of a uniform corpus
+    * per query — tune nBits up / probeDist down as real data gets more
+    * clustered (near-dups concentrate in one bucket).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nBits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+              nBits: Int = 8, probeDist: Int = 2, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"))
       .withColumn("bucket", signature(col("c_emb"), planes))
-    // probe set: own bucket + every 1-bit flip
+    // probe set: every bit-mask with popcount <= probeDist
+    val masks = (0 until (1 << nBits))
+      .filter(m => Integer.bitCount(m) <= probeDist)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"))
       .withColumn("sig", signature(col("q_emb"), planes))
       .withColumn("bucket", explode(array(
-        col("sig") +: (0 until nBits).map(b => col("sig").bitwiseXOR(1 << b)): _*)))
+        masks.map(m => col("sig").bitwiseXOR(m)): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus + one planted duplicate of vec 0
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), (i % 10).toInt)
+    } :+ (200L, null, 0)
+    val planted = rows.updated(100, (100L, rows.head._2.clone(), 0))
+      .filterNot(_._2 == null)
+    planted.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k: planted duplicate ranks first with cosine 1") {
+    val res = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0), corpus, k = 5).collect()
+    assert(res.length == 5)
+    val top = res.find(_.getAs[Int]("rnk") == 1).get
+    assert(top.getAs[Long]("c_id") == 100L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("LSH top-k finds the planted duplicate (same bucket by construction)") {
+    val res = Similarity.lshTopK(
+      corpus.filter(col("vec_id") === 0), corpus, k = 5)
+    val top = res.filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L, "identical vector must share its bucket")
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("LSH recall vs brute force is substantial on random data") {
+    val q = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall collapsed — LSH bucketing broken")
+  }
+}

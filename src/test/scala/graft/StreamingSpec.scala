@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.etl.IncrementalEtl
+import graft.ingest.KlineIngest
+import graft.sinks.Routing
+
+/** Streaming semantics the oracle can't express (SURVEY.md §5.4):
+  * micro-batch dedup across batches, checkpointed exactly-once
+  * incremental ETL, partitioned routing sink.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def klineJson(coin: String, interval: String, ts: Long): String =
+    s"""{"coin":"$coin","timestamp":$ts,"open":1.0,"high":2.0,"low":0.5,
+       |"close":1.5,"volume":10.0,"close_time":${ts + 59999},
+       |"quote_asset_volume":15.0,"number_of_trades":7,
+       |"taker_buy_base_asset_volume":4.0,"taker_buy_quote_asset_volume":6.0,
+       |"ignore":"0","interval":"$interval"}""".stripMargin.replaceAll("\n", "")
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("watermarked dedup drops duplicates within and across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val deduped = KlineIngest.dedupStream(
+      KlineIngest.enrich(KlineIngest.parse(
+        ms.toDF().select(col("value").cast("binary").as("value")))))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-dedup")).start()
+    try {
+      val t0 = 1704067200000L
+      // batch 1: two distinct klines + an in-batch duplicate
+      ms.addData(klineJson("BTC", "1m", t0), klineJson("BTC", "1m", t0),
+        klineJson("ETH", "1m", t0))
+      q.processAllAvailable()
+      // batch 2: re-delivery of batch 1 (Binance overlapping fetch) + one new
+      ms.addData(klineJson("BTC", "1m", t0), klineJson("ETH", "1m", t0),
+        klineJson("BTC", "1m", t0 + 60000))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("coin", "interval", "timestamp").collect()
+      assert(rows.length == 3, s"expected 3 unique klines, got ${rows.length}")
+    } finally q.stop()
+  }
+
+  test("incremental ETL is exactly-once across runs (checkpoint replaces timestamps.json)") {
+    val src = tmp("etl-src"); val dst = tmp("etl-dst"); val cp = tmp("etl-cp")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType)))
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+      .write.mode("append").parquet(src)
+    IncrementalEtl.runAvailableNow(spark, src, schema, dst, cp, Seq("part"))
+    assert(spark.read.parquet(dst).count() == 2)
+
+    Seq((3L, "a")).toDF("id", "part").write.mode("append").parquet(src)
+    IncrementalEtl.runAvailableNow(spark, src, schema, dst, cp, Seq("part"))
+    val after = spark.read.parquet(dst)
+    assert(after.count() == 3, "second pass must pick up ONLY the new file")
+    assert(after.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // idempotent re-run with nothing new
+    IncrementalEtl.runAvailableNow(spark, src, schema, dst, cp, Seq("part"))
+    assert(spark.read.parquet(dst).count() == 3)
+  }
+
+  test("routing sink: one partitioned write, partition dirs per (coin, interval)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val enriched = KlineIngest.enrich(KlineIngest.parse(
+      ms.toDF().select(col("value").cast("binary").as("value"))))
+    val out = tmp("route-out")
+    val t0 = 1704067200000L
+    ms.addData(klineJson("BTC", "1m", t0), klineJson("BTC", "5m", t0),
+      klineJson("ETH", "1m", t0))
+    val q = Routing.routedParquet(enriched, out, tmp("route-cp")).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    // dynamic partition layout — the per-(db, table) routing equivalent
+    assert(new java.io.File(s"$out/coin=BTC/interval=1m").isDirectory)
+    assert(new java.io.File(s"$out/coin=ETH/interval=1m").isDirectory)
+    // read-back with partition pruning
+    assert(back.filter(col("coin") === "BTC" && col("interval") === "5m").count() == 1)
+  }
+}

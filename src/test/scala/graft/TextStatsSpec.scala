@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextStats
+
+class TextStatsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def doc(t: String) = Seq((1L, t)).toDF("doc_id", "text")
+
+  test("tokenStats exact values") {
+    val r = TextStats.tokenStats(doc("the cat sat on the mat")).head()
+    assert(r.getAs[Long]("len_chars") == 22)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_distinct") == 5)
+    assert(r.getAs[Long]("token_chars") == 17)
+  }
+
+  test("fingerprint matches the formula, deterministic") {
+    val toks = "the cat sat".split(" ")
+    val expected = toks.foldLeft(0L)((a, t) =>
+      (a * 31 + (t.length.toLong * 256 + t.head.toInt)) % 1000000007L)
+    val got = doc("the cat sat")
+      .select(TextStats.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("quality: stopword ratio and ttr") {
+    val r = TextStats.qualityScore(doc("the the the cat")).head()
+    assert(r.getAs[Double]("stop_ratio") == 0.75)
+    assert(r.getAs[Double]("ttr") == 0.5)
+    assert(!r.getAs[Boolean]("passes_quality")) // < 20 tokens
+  }
+
+  test("langId picks the language with most marker hits; ties go to max code") {
+    val rows = TextStats.langId(Seq(
+      (1L, "el la de y la el"),       // es markers
+      (2L, "der die und das die"),    // de markers
+      (3L, "zzz qqq www")             // no markers anywhere → tie of zeros
+    ).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(rows(1L) == "es")
+    assert(rows(2L) == "de")
+    assert(rows(3L) == "zh") // all scores 0 → lexicographically max code
+  }
+}
