@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** The custom codegen DotProductExpr must be bit-identical to the
+  * built-in higher-order formulation (that identity is what keeps the
+  * DuckDB-oracle parity intact after the swap).
+  */
+class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("codegen dot == HOF dot, bit-exact, on the embeddings fixture") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val joined = emb.alias("l").join(emb.alias("r"),
+      col("l.vec_id") + 1 === col("r.vec_id"))
+    val diff = joined.select(
+      dotD(col("l.embedding"), col("r.embedding")).as("a"),
+      dotHof(col("l.embedding"), col("r.embedding")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+
+  test("dot handles known values, null array, length mismatch") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f)))
+    ).toDF("a", "b")
+    val got = df.select(dotD(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got(0) == 32.0)
+    assert(got(1) == null)
+    assert(got(2) == 3.0) // shorter-prefix semantics
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Array(0.1f, -0.2f, 0.7f), Array(0.1f, -0.2f, 0.7f)))
+      .toDF("a", "b")
+    assert(df.select(round(cosineD(col("a"), col("b")), 9)).head().getDouble(0) == 1.0)
+  }
+}
