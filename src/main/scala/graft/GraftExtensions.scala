@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProductExpr
+
+/** SparkSessionExtensions hook exposing graft's custom expressions to
+  * SQL users (`spark.sql("SELECT graft_dot(a, b) ...")`). Activated by
+  * `spark.sql.extensions=graft.GraftExtensions` (GraftSession.tune
+  * sets it) or `withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b) takes two array args")
+        DotProductExpr(exprs(0), exprs(1))
+      }))
+  }
+}

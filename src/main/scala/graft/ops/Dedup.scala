@@ -79,10 +79,20 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minhashSignatures(docs, k, shingleSize, seed)
+    // ONE explode + ONE aggregation produces both the k-min signature
+    // and the exact shingle set used by the verify join — the shingle
+    // stream is shuffled once, not twice.
+    val ex = shingles(docs, shingleSize)
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
+    val aggs = hashCoeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"h$i")
+    } :+ collect_set(col("shingle")).as("sh")
+    val sigs = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandKeys = (0 until bands).map { b =>
       xxhash64((b * r until (b + 1) * r).map(j => col(s"h$j")): _*)
     }
+    // band rows stay narrow (no shingle sets) so the self-join only
+    // shuffles (doc_id, band, key)
     val bandRows = sigs.select(
       col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key"))
@@ -94,8 +104,7 @@ object Dedup {
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .distinct()
     // verify candidates with exact Jaccard over distinct shingle sets
-    val sets = shingles(docs, shingleSize)
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    val sets = sigs.select(col("doc_id"), col("sh"))
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")

@@ -50,8 +50,14 @@ object Routing {
                            ddl: String, props: java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
     try {
-      conn.createStatement().execute(
-        s"CREATE TABLE IF NOT EXISTS $table ($ddl)")
+      // dialect-neutral IF NOT EXISTS: probe the catalog first
+      // (Derby has no IF NOT EXISTS; PostgreSQL/MySQL do)
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var exists = false
+      while (rs.next() && !exists)
+        exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      if (!exists)
+        conn.createStatement().execute(s"CREATE TABLE $table ($ddl)")
     } finally conn.close()
     df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
   }

@@ -35,6 +35,12 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2) == 3.0) // shorter-prefix semantics
   }
 
+  test("graft_dot is registered for SQL via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((Array(0.1f, -0.2f, 0.7f), Array(0.1f, -0.2f, 0.7f)))
       .toDF("a", "b")
