@@ -147,6 +147,36 @@ object SparkEntry {
           expr("ts div 86400000000000").as("day_bkt")),
         Seq("event_type", "user_id", "day_bkt"))),
 
+    QueryDef("strm_window_tumbling",
+      // epoch-aligned tumbling hour windows via the real window()
+      // operator (README's "volume over the last hour", SURVEY §2.8).
+      Some("""SELECT (epoch_ns(ts)//1000000) // 3600000 * 3600000 AS win_start_ms,
+             |       event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("n"), col("volume"))),
+
+    QueryDef("strm_window_sliding",
+      // 1h windows sliding by 15min: each event lands in w/s = 4
+      // windows; the oracle reproduces Spark's epoch-aligned window
+      // assignment with integer arithmetic.
+      Some("""WITH e AS (SELECT epoch_ns(ts)//1000000 AS ts_ms, event_type, value
+             |           FROM events)
+             |SELECT (ts_ms // 900000 - k) * 900000 AS win_start_ms, event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+             |FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("event_ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("n"), col("volume"))),
+
     // ---- relational core: star-schema analytics (§2.5–§2.7) ---- //
 
     QueryDef("q1_pricing_summary",

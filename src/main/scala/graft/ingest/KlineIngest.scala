@@ -57,6 +57,23 @@ object KlineIngest {
       .option("failOnDataLoss", "false")
       .load()
 
+  /** Kafka-producer frame (reference §2.2 `sink_kafka_produce`): rows
+    * → (key, value) binary columns, value = JSON of all fields — the
+    * inverse of [[parse]]. Feed to `.write.format("kafka")` where the
+    * connector is present.
+    */
+  def toKafkaFrame(df: DataFrame): DataFrame =
+    df.select(
+      col("coin").cast("binary").as("key"),
+      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+
+  /** The reference's per-batch schema guard
+    * (streaming-longtime.py:115-117): driver-side metadata check, no
+    * job triggered.
+    */
+  def hasRequiredColumns(df: DataFrame, required: Seq[String] = Seq("coin", "interval")): Boolean =
+    required.forall(df.columns.contains)
+
   /** Exactly-once-friendly dedup the reference lacks (SURVEY.md §2.8
     * strm_late_data): Binance re-fetches overlapping windows each poll
     * cycle so duplicates are inherent. Keyed dedup + event-time
