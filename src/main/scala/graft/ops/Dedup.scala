@@ -27,84 +27,47 @@ object Dedup {
   // MinHash + LSH                                                    //
   // ---------------------------------------------------------------- //
 
-  private val MersennePrime = 2147483647L // 2^31-1; keeps a*x+b < 2^62 (no overflow under ANSI)
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+  import graft.functions.{MinHashBandsExpr, MinHashSigExpr, ShingleCodesExpr, SimHashExpr}
 
-  /** k universal-hash coefficient pairs from a fixed seed —
-    * deterministic across runs/clusters.
-    */
-  private def hashCoeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((1L + math.abs(rnd.nextLong()) % (MersennePrime - 1),
-                 math.abs(rnd.nextLong()) % MersennePrime))
-  }
-
-  /** (doc_id, distinct word-shingle) pairs — the exploded set both the
-    * signature pass and the verify pass reuse.
-    */
-  private def shingles(docs: DataFrame, shingleSize: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh =
-      if (shingleSize <= 1) array_distinct(toks)
-      else array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(shingleSize)))
-        ))
-    docs.select(col("doc_id"), explode(sh).as("shingle"))
-  }
-
-  /** MinHash signatures: one row per doc, columns h0..h(k-1).
-    * Single explode + single hash-aggregate: the shuffle carries only
-    * (doc_id, k longs), never the shingle sets.
+  /** MinHash signatures: one row per doc with a `sig` array column —
+    * ONE codegen pass over the text per row (functions.MinHashSigExpr),
+    * no explode, no shuffle.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 64, shingleSize: Int = 3,
-                        seed: Long = 42L): DataFrame = {
-    val ex = shingles(docs, shingleSize)
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
-    val aggs = hashCoeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"h$i")
-    }
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+                        seed: Long = 42L): DataFrame =
+    docs.select(col("doc_id"),
+      toCol(MinHashSigExpr(toExpr(col("text")), k, shingleSize, seed)).as("sig"))
 
   /** Near-duplicate pairs via banded LSH over MinHash signatures,
-    * verified with true shingle-set Jaccard.
+    * verified with true shingle-code-set Jaccard.
     *
     * bands × rowsPerBand = k. A pair collides in ≥1 band with
     * probability 1-(1-j^r)^b (the S-curve) — candidates ≪ n², then the
-    * exact Jaccard join filters false positives.
+    * exact Jaccard join filters false positives. Every per-doc value
+    * (signature, band keys, code set) is computed scan-side per row;
+    * the only shuffles are the narrow band self-join and the verify
+    * join on candidate ids.
     */
   def minhashNearDups(docs: DataFrame, k: Int = 64, bands: Int = 16,
                       shingleSize: Int = 3, threshold: Double = 0.5,
                       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    // ONE explode + ONE aggregation produces both the k-min signature
-    // and the exact shingle set used by the verify join — the shingle
-    // stream is shuffled once, not twice.
-    val ex = shingles(docs, shingleSize)
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
-    val aggs = hashCoeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"h$i")
-    } :+ collect_set(col("shingle")).as("sh")
-    val sigs = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandKeys = (0 until bands).map { b =>
-      xxhash64((b * r until (b + 1) * r).map(j => col(s"h$j")): _*)
-    }
-    // band rows stay narrow (no shingle sets) so the self-join only
-    // shuffles (doc_id, band, key)
-    val bandRows = sigs.select(
+    // band keys computed scan-side in one codegen pass per row
+    val bandRows = docs.select(
       col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key"))
-    )
+      posexplode(toCol(MinHashBandsExpr(
+        toExpr(col("text")), k, bands, shingleSize, seed)))
+        .as(Seq("band", "key")))
     val cand = bandRows.alias("l")
       .join(bandRows.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .distinct()
-    // verify candidates with exact Jaccard over distinct shingle sets
-    val sets = sigs.select(col("doc_id"), col("sh"))
+    // verify candidates with exact Jaccard over distinct code sets
+    val sets = docs.select(col("doc_id"),
+      toCol(ShingleCodesExpr(toExpr(col("text")), shingleSize, distinct = true)).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
@@ -119,22 +82,12 @@ object Dedup {
   // SimHash                                                          //
   // ---------------------------------------------------------------- //
 
-  /** 64-bit SimHash per document: sign-sum of token-hash bits. One
-    * explode + one aggregate, like MinHash.
+  /** 64-bit SimHash per document: sign-sum of token-hash bits, one
+    * codegen loop per row (functions.SimHashExpr) — no explode, no
+    * 64-column aggregate.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
-    }
-    val summed = ex.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)  // disjoint bits: sum == bitwise OR, no overflow
-    summed.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toCol(SimHashExpr(toExpr(col("text")))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
     * the 4×16-bit chunk trick: any pair within distance 3 shares at
