@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProductExpr
+import graft.functions.{DotProductExpr, SimHashExpr}
 
 /** SparkSessionExtensions hook exposing graft's custom expressions to
   * SQL users (`spark.sql("SELECT graft_dot(a, b) ...")`). Activated by
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "graft_dot(a, b) takes two array args")
         DotProductExpr(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_simhash(text) takes one string arg")
+        SimHashExpr(exprs.head)
       }))
   }
 }

@@ -267,6 +267,18 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))),
 
+    QueryDef("agg_rollup",
+      // hierarchical totals — grouping-set aggregation (§2.5 "not
+      // present" row; added as capability). Spark and DuckDB both
+      // emit NULL for rolled-up levels.
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
     // ---- window functions / sorts / limits / set ops (§2.7) ---- //
 
     QueryDef("win_topn_per_group",

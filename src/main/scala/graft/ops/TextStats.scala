@@ -68,6 +68,8 @@ object TextStats {
     * per-token codes (length·256 + first-char codepoint), mod 1e9+7.
     * Oracle-reproducible (plain integer arithmetic, no engine-specific
     * hash), collision-tolerant enough for exact-dup candidate keying.
+    * For a stronger content key use `ops.Dedup.simhash` / the sha256
+    * in `ops.Multimodal.mediaStats`.
     */
   def fingerprint(text: Column): Column = {
     val tokCodes = transform(tokens(text), t => (length(t).cast("long") * 256 + ascii(t)))

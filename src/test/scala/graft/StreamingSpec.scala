@@ -72,6 +72,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(dst).count() == 3)
   }
 
+  test("tumbling event-time window aggregation over a stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val enriched = KlineIngest.enrich(KlineIngest.parse(
+      ms.toDF().select(col("value").cast("binary").as("value"))))
+    val agg = enriched
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(window(col("timestamp"), "1 hour"), col("coin"))
+      .agg(sum(col("volume")).as("volume"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("cp-win")).start()
+    try {
+      val t0 = 1704067200000L // top of an hour
+      ms.addData(klineJson("BTC", "1m", t0), klineJson("BTC", "1m", t0 + 60000),
+        klineJson("BTC", "1m", t0 + 3600000), klineJson("ETH", "1m", t0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => (r.getAs[org.apache.spark.sql.Row]("window").getAs[java.sql.Timestamp](0).getTime,
+          r.getAs[String]("coin"), r.getAs[Double]("volume"), r.getAs[Long]("n")))
+      assert(rows.toSet == Set(
+        (t0, "BTC", 20.0, 2L), (t0 + 3600000, "BTC", 10.0, 1L), (t0, "ETH", 10.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-static join: stream enriched against a dimension table") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ethereum")).toDF("coin", "name")
+    val ms = MemoryStream[String]
+    val enriched = KlineIngest.enrich(KlineIngest.parse(
+      ms.toDF().select(col("value").cast("binary").as("value"))))
+      .join(broadcast(dim), Seq("coin"), "left")
+    val q = enriched.select("coin", "name", "volume")
+      .writeStream.format("memory").queryName("dim_out").outputMode("append")
+      .option("checkpointLocation", tmp("cp-dim")).start()
+    try {
+      ms.addData(klineJson("BTC", "1m", 1704067200000L),
+        klineJson("XRP", "1m", 1704067200000L))
+      q.processAllAvailable()
+      val rows = spark.table("dim_out").collect()
+        .map(r => (r.getAs[String]("coin"), r.getAs[String]("name"))).toSet
+      assert(rows == Set(("BTC", "Bitcoin"), ("XRP", null)))
+    } finally q.stop()
+  }
+
   test("routing sink: one partitioned write, partition dirs per (coin, interval)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
