@@ -51,6 +51,21 @@ object Multimodal {
           .cast("float"))
         .as("features"))
 
+  /** Resize/downsample analog over the binary payload: keep every
+    * `factor`-th byte (a real image resize would decode → scale →
+    * re-encode; the byte-level stand-in keeps the schema + per-row
+    * transform shape honest while codecs are unavailable).
+    */
+  def downsample(docs: DataFrame, factor: Int = 4): DataFrame =
+    withMedia(docs).select(
+      col("doc_id"),
+      expr(s"""
+        aggregate(
+          sequence(1, greatest(octet_length(media) div $factor, 1)),
+          CAST('' AS BINARY),
+          (acc, i) -> concat(acc, substring(media, (i - 1) * $factor + 1, 1)))
+      """).as("media_small"))
+
   /** Frame/segment sampling over the binary payload: every `stride`-th
     * `frameBytes`-sized slice, as (doc_id, frame_idx, frame) rows —
     * the explode shape a video/audio pipeline fans out to.
