@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.Parameters
+import graft.ops.{Dedup, TextStats}
+
+/** Property-based invariants (SURVEY.md §5.3). Case counts are kept
+  * small — each evaluation runs Spark jobs.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
+    "lazy", "dog", "data", "spark", "stream", "batch", "merge", "sort")
+
+  private val genDoc: Gen[String] =
+    Gen.chooseNum(4, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+
+  private val genDocs: Gen[List[String]] =
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, genDoc))
+
+  property("exact dedup is idempotent") = forAll(genDocs) { texts =>
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = Dedup.exact(df, Seq("text"))
+    Dedup.exact(once, Seq("text")).count() == once.count()
+  }
+
+  property("dedup count = distinct key count") = forAll(genDocs) { texts =>
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Dedup.exact(df, Seq("text")).count() == texts.distinct.size
+  }
+
+  property("token stats invariants") = forAll(genDoc) { text =>
+    val r = TextStats.tokenStats(Seq((1L, text)).toDF("doc_id", "text")).head()
+    val nTok = r.getAs[Long]("n_tokens")
+    val nDist = r.getAs[Long]("n_distinct")
+    val tokChars = r.getAs[Long]("token_chars")
+    val lenChars = r.getAs[Long]("len_chars")
+    nDist <= nTok && nDist >= 1 &&
+      tokChars + (nTok - 1) == lenChars // single-space separated corpus
+  }
+
+  property("identical docs always minhash-collide; signature deterministic") =
+    forAll(genDoc) { text =>
+      val df = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+      sigs(0L) == sigs(1L)
+    }
+
+  property("simhash of identical docs is equal; hamming(a,a)=0") =
+    forAll(genDoc) { text =>
+      val sig = Dedup.simhash(Seq((0L, text), (1L, text)).toDF("doc_id", "text"))
+        .collect().map(_.getAs[Long]("simhash"))
+      sig(0) == sig(1)
+    }
+
+  property("fingerprint is stable and in [0, 1e9+7)") = forAll(genDoc) { text =>
+    val fp = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextStats.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .head().getLong(0)
+    fp >= 0 && fp < 1000000007L
+  }
+}
