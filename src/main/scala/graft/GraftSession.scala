@@ -42,6 +42,8 @@ object GraftSession {
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (100 TB posture). AQE's skew-join split handles
+  * sort-merge skew at runtime; explicit salting remains the tool when
+  * a handful of keys dominate a shuffle join so badly that even split
+  * partitions bottleneck, or when the engine must pre-commit a layout.
+  */
+object Skew {
+
+  /** Salted equi-join of a skewed `large` side against `small`:
+    * the large side gets a per-row salt in [0, salts), the small side
+    * is replicated once per salt, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `salts` partitions
+    * instead of one. Semantics identical to
+    * `large.join(small, keys)` for 1:N joins (small's key unique).
+    *
+    * Cost model: small side × salts must still broadcast/fit — use
+    * for dim-joins with hot fact keys, not fact–fact.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int = 16): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
+  /** Two-phase salted aggregation: partial-aggregate on (key, salt),
+    * then final-aggregate on key. Spark's map-side partial aggregation
+    * already gives this for algebraic aggs; the explicit form matters
+    * for high-cardinality combiners (collect-like, sketches) where one
+    * hot key would funnel into a single reducer.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                salts: Int = 16): DataFrame = {
+    val keyCols: Seq[Column] = keys.map(col)
+    df.withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      .groupBy((keyCols :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+  }
+}

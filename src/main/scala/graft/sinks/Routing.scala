@@ -40,6 +40,20 @@ object Routing {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Bucketed table write: co-locates rows by hash(key) % buckets so
+    * joins/aggregations between tables bucketed the same way need NO
+    * shuffle (plan shows zero Exchange). At 100 TB this is the
+    * pre-partitioning discipline for recurring fact–fact joins: pay
+    * one shuffle at load time, reuse the layout across every query.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 8, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** The reference's DDL-ensure + JDBC append
     * (streaming-longtime.py:69-106,134-142): plain `java.sql` on the
     * driver for DDL (no Spark primitive exists), executor-parallel

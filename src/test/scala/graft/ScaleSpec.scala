@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.sinks.Routing
+
+/** Scale-technique verification: salting preserves semantics, bucketed
+  * joins eliminate the shuffle, approx-distinct tracks exact counts.
+  */
+class ScaleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("salted join == plain join on skewed data") {
+    // 90% of fact rows share one hot key
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i))
+      .toDF("k", "v")
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("name").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      plain.groupBy("name").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("salted two-phase sum == direct sum") {
+    val df = (1 to 5000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val salted = Skew.saltedSum(df, Seq("k"), "v", salts = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
+  }
+
+  test("bucketed-by-key join plans with no shuffle exchange") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    Routing.writeBucketed(li.select("l_orderkey", "l_extendedprice"),
+      "li_bkt", "l_orderkey", buckets = 4, sortCol = Some("l_orderkey"))
+    Routing.writeBucketed(o.select("o_orderkey", "o_totalprice"),
+      "o_bkt", "o_orderkey", buckets = 4, sortCol = Some("o_orderkey"))
+    val joined = spark.table("li_bkt")
+      .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == li.count()) // every lineitem has its order
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem keys") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val Row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).head()
+    val (exact, approx) = (Row.getLong(0), Row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}
