@@ -16,9 +16,26 @@ import org.apache.spark.sql.Row
   */
 object Routing {
 
+  /** The reference's destination-name mangling
+    * (streaming-longtime.py:124-125): `source_{coin}_db` /
+    * `table_{interval}`, lower-cased. A Python None coin would have
+    * produced the literal db name `source_none_db` there; here null
+    * keys are handled by the partition layer instead (see
+    * [[writePartitioned]]).
+    */
+  def destName(coin: String, interval: String): (String, String) =
+    (s"source_${String.valueOf(coin).toLowerCase}_db",
+     s"table_${String.valueOf(interval).toLowerCase}")
+
   /** Dynamic-partition append: `path/coin=X/interval=Y/part-*.parquet`.
     * Equivalent of the reference's per-(db, table) JDBC routing, with
     * partition pruning for free on read-back.
+    *
+    * Null routing keys (possible: the wire schema is fully nullable,
+    * SURVEY §1.2/§7.4) land in the hive default partition
+    * (`coin=__HIVE_DEFAULT_PARTITION__`) and read back as null —
+    * pinned in `StreamingSpec` — rather than minting a fake
+    * `source_none_db` destination like the reference would.
     */
   def writePartitioned(df: DataFrame, path: String,
                        keys: Seq[String] = Seq("coin", "interval")): Unit =

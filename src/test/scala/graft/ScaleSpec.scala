@@ -34,6 +34,20 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("bucketed-by-key join plans with no shuffle exchange") {
+    // in-memory catalog + persistent warehouse dir: clear leftovers
+    // from previous JVMs before re-creating the managed tables
+    for (t <- Seq("li_bkt", "o_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     Routing.writeBucketed(li.select("l_orderkey", "l_extendedprice"),

@@ -117,6 +117,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("null routing key lands in the default partition and reads back null") {
+    val out = tmp("route-null")
+    val df = Seq((Some("BTC"), "1m", 1.0), (None, "1m", 2.0))
+      .toDF("coin", "interval", "v")
+    Routing.writePartitioned(df, out)
+    assert(new java.io.File(s"$out/coin=__HIVE_DEFAULT_PARTITION__").isDirectory)
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("coin").isNull).count() == 1)
+    assert(back.count() == 2)
+  }
+
+  test("reference destination naming preserved for JDBC routing") {
+    assert(Routing.destName("BTCUSDC", "1m") == ("source_btcusdc_db", "table_1m"))
+    assert(Routing.destName(null, "1h") == ("source_null_db", "table_1h"))
+  }
+
   test("routing sink: one partitioned write, partition dirs per (coin, interval)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
