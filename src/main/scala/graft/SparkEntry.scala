@@ -427,6 +427,14 @@ object SparkEntry {
           .withColumn("rnk", col("rnk").cast("long"))
       }),
 
+    QueryDef("ext_sim_ivf", None, // approximate (kmeans cells) → rows-only check
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+          k = 10, nlist = 16, nprobe = 3)
+          .withColumn("rnk", col("rnk").cast("long"))
+      }),
+
     // ---- north-star: text analysis (§2.11) ---- //
 
     QueryDef("ext_text_stats",

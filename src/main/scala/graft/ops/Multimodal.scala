@@ -66,6 +66,49 @@ object Multimodal {
           (acc, i) -> concat(acc, substring(media, (i - 1) * $factor + 1, 1)))
       """).as("media_small"))
 
+  /** Pluggable per-payload codec: the seam where a real decoder
+    * (libjpeg / ffmpeg / tokenizer) plugs in. Implementations must be
+    * serializable — they ship to executors.
+    */
+  trait MediaCodec extends Serializable {
+    /** bytes → fixed-width feature vector (or None for undecodable). */
+    def decode(payload: Array[Byte]): Option[Array[Float]]
+    def dim: Int
+  }
+
+  /** Deterministic stand-in codec (no media libs in this container):
+    * "decodes" a payload into byte-histogram-bucket features.
+    */
+  final class FakeCodec(val dim: Int = 8) extends MediaCodec {
+    override def decode(payload: Array[Byte]): Option[Array[Float]] =
+      if (payload.isEmpty) None
+      else {
+        val f = new Array[Float](dim)
+        payload.foreach(b => f((b & 0xff) % dim) += 1f)
+        Some(f.map(_ / payload.length))
+      }
+  }
+
+  /** Batched decode over executor partitions — the Scala analog of the
+    * `mapInPandas` batch-decode shape: one codec instance per
+    * partition, rows streamed through it, undecodable payloads dropped
+    * (with the same iterator-in/iterator-out contract a vectorized
+    * Python UDF would have).
+    */
+  def decodeBatches(docs: DataFrame, codec: MediaCodec): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withMedia(docs)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).map(f => (id, f))
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
   /** Frame/segment sampling over the binary payload: every `stride`-th
     * `frameBytes`-sized slice, as (doc_id, frame_idx, frame) rows —
     * the explode shape a video/audio pipeline fans out to.

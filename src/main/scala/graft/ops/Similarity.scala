@@ -40,6 +40,48 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (MLlib KMeans,
+    * fixed seed) partitions the corpus into `nlist` cells; each query
+    * probes its `nprobe` nearest centroids and reranks exactly within
+    * those cells. The 100 TB shape: centroids broadcast (tiny), the
+    * corpus is written partitioned by cell once, and a query touches
+    * nprobe/nlist of the data.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2);
+    // sort ascending on (−score, cell) → nearest cells first, deterministic
+    def rankedCells(emb: org.apache.spark.sql.Column) =
+      array_sort(array(centroids.zipWithIndex.map { case (cArr, i) =>
+        val dot = dotD(emb, array(cArr.map(lit): _*))
+        val norm2 = cArr.map(x => x * x).sum
+        struct((lit(norm2 / 2) - dot).as("negscore"), lit(i).as("cell"))
+      }: _*))
+
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm"),
+        rankedCells(col("embedding")).getItem(0).getField("cell").as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normD(col("embedding")).as("q_nrm"),
+        explode(transform(slice(rankedCells(col("embedding")), 1, nprobe),
+          p => p.getField("cell"))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.select(col("q_id"), col("c_id"), col("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Fixed-seed random hyperplanes; deterministic across runs. */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -27,6 +27,14 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(small, "UTF-8") == "aeim")
   }
 
+  test("batched codec decode: one codec per partition, undecodable dropped") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeBatches(df, new Multimodal.FakeCodec(8)).collect()
+    assert(feats.length == 1) // empty payload undecodable
+    val f = feats.head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length == 8 && math.abs(f.sum - 1.0f) < 1e-5)
+  }
+
   test("stubbed feature extraction emits fixed-width float vectors") {
     val f = Multimodal.fakeFeatures(docs, dim = 8).head()
       .getAs[scala.collection.Seq[Float]]("features")

@@ -35,6 +35,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Double]("cosine") == 1.0)
   }
 
+  test("IVF top-k finds the planted duplicate; recall is substantial") {
+    val res = Similarity.ivfTopK(
+      corpus.filter(col("vec_id") === 0), corpus, k = 5, nlist = 8, nprobe = 3)
+    val top = res.filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L, "identical vector shares its cell")
+    assert(top.getAs[Double]("cosine") == 1.0)
+
+    val q = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(q, corpus, k = 5, nlist = 8, nprobe = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed")
+  }
+
   test("LSH recall vs brute force is substantial on random data") {
     val q = corpus.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(q, corpus, k = 5)

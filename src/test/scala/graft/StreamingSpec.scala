@@ -117,6 +117,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("composed reference pipeline (longtime): stream to routed parquet") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val out = tmp("pipe-out")
+    val t0 = 1704067200000L
+    ms.addData(klineJson("BTC", "1m", t0), klineJson("BTC", "1m", t0), // dup
+      klineJson("ETH", "5m", t0))
+    val q = graft.pipelines.KlinePipeline.longtime(
+      ms.toDF().select(col("value").cast("binary").as("value")),
+      out, tmp("pipe-cp")).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2, "duplicate kline must be dropped by the pipeline")
+    assert(new java.io.File(s"$out/coin=ETH/interval=5m").isDirectory)
+  }
+
   test("null routing key lands in the default partition and reads back null") {
     val out = tmp("route-null")
     val df = Seq((Some("BTC"), "1m", 1.0), (None, "1m", 2.0))
