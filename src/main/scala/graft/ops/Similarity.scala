@@ -51,8 +51,10 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
+    // coarse quantizer quality needs only a sample; cap the fit input
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .fit(corpus.select(array_to_vector(col("embedding")).as("features"))
+        .limit(10000))
     val centroids = model.clusterCenters.map(_.toArray)
 
     // centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2);

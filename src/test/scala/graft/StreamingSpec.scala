@@ -117,6 +117,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful OHLC via flatMapGroupsWithState accumulates across batches") {
+    import graft.streaming.StatefulOhlc
+    import graft.streaming.StatefulOhlc.Tick
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Tick]
+    val q = StatefulOhlc.updates(ms.toDS())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("cp-ohlc")).start()
+    try {
+      ms.addData(Tick("BTC", "1m", 1000L, 10.0, 1.0),
+        Tick("BTC", "1m", 2000L, 15.0, 2.0))
+      q.processAllAvailable()
+      // second batch extends the same key's state
+      ms.addData(Tick("BTC", "1m", 3000L, 5.0, 1.0),
+        Tick("ETH", "1m", 1000L, 7.0, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("ohlc_out")
+        .filter(col("coin") === "BTC").orderBy(col("n").desc).head()
+      assert(last.getAs[Double]("open") == 10.0)   // first tick survives
+      assert(last.getAs[Double]("high") == 15.0)
+      assert(last.getAs[Double]("low") == 5.0)
+      assert(last.getAs[Double]("close") == 5.0)   // latest ts wins
+      assert(last.getAs[Double]("volume") == 4.0)
+      assert(last.getAs[Long]("n") == 3L)
+      assert(spark.table("ohlc_out").filter(col("coin") === "ETH").count() == 1)
+    } finally q.stop()
+  }
+
   test("composed reference pipeline (longtime): stream to routed parquet") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
