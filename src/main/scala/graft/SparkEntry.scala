@@ -267,6 +267,32 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))),
 
+    QueryDef("strm_window_session",
+      // per-user sessionization (1h inactivity gap) via the native
+      // session_window operator; oracle reproduces the merge rule
+      // (new session ⇔ gap >= 1h, exact integer ms both sides) with
+      // lag + running sum (gaps-and-islands).
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ts_ms, value
+             |           FROM events),
+             |s AS (SELECT user_id, ts_ms, value,
+             |        CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+             |                  >= 3600000 THEN 1 ELSE 0 END AS new_sess
+             |      FROM e),
+             |g AS (SELECT user_id, ts_ms, value,
+             |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |      FROM s)
+             |SELECT user_id, CAST(min(ts_ms) AS BIGINT) AS sess_start_ms,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+             |FROM g GROUP BY user_id, sess""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("event_ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("sess_start_ms"),
+          col("n"), col("volume"))),
+
     QueryDef("agg_rollup",
       // hierarchical totals — grouping-set aggregation (§2.5 "not
       // present" row; added as capability). Spark and DuckDB both
