@@ -196,6 +196,26 @@ object SparkEntry {
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))),
 
+    QueryDef("sql_q6_selective",
+      // the pure-SQL surface: same text runs via spark.sql and DuckDB
+      // (TPC-H Q6 shape — highly selective scan, every predicate
+      // pushed to parquet).
+      Some("""SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                |       CAST(count(*) AS BIGINT) AS n
+                |FROM lineitem
+                |WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                |  AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+                |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+      }),
+
     QueryDef("join_broadcast_dim",
       // fact × small dim: `part` broadcasts (≪ the 64 MiB threshold) —
       // zero shuffle of the fact side.

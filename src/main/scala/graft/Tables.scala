@@ -24,6 +24,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture as a temp view so users can work through
+    * `spark.sql(...)` — the reference's users write SQL-ish PySpark;
+    * this is the drop-in SQL surface (plus graft_* functions from
+    * GraftExtensions).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    All.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
   /** Raw events: `ts` is epoch-nanos LongType (see GraftSession's
     * `nanosAsLong`). This is the kline-stream stand-in (FIXTURES.md §1).
     */

@@ -136,6 +136,20 @@ object Sketches {
     keys
   }
 
+  /** Jaccard of two sorted distinct long arrays by merge walk. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** 64-bit SimHash: sign of per-bit ±1 sums over token hashes. */
   def simhash(text: UTF8String): Long = {
     val th = tokenHashes(text)
@@ -232,6 +246,40 @@ case class MinHashBandsExpr(child: Expression, k: Int, bands: Int,
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED distinct long arrays (as produced
+  * by [[ShingleCodesExpr]] with distinct=true): one merge walk,
+  * O(|a|+|b|), no per-call hash-set allocation like the built-in
+  * array_intersect/array_union pair.
+  */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "graft_jaccard"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint>, got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    java.lang.Double.valueOf(Sketches.jaccardSorted(x, y))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sketches.jaccardSorted($a.toLongArray(), $b.toLongArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** text → 64-bit SimHash. */

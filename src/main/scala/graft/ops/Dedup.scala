@@ -72,8 +72,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        toCol(graft.functions.JaccardSortedExpr(
+          toExpr(col("sha")), toExpr(col("shb")))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -122,17 +122,21 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, lenBucket: Int = 20,
                         threshold: Double = 0.5): DataFrame = {
+    // token sets carried as SORTED distinct FNV hashes: the pair loop
+    // is a codegen merge walk (JaccardSortedExpr) instead of per-pair
+    // hash-set building. Equal to string-set Jaccard absent 64-bit
+    // collisions between a pair's tokens (P ≈ |toks|²/2⁶⁵ per pair).
     val base = docs.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lenBucket).cast("long").as("len_bkt"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      toCol(ShingleCodesExpr(toExpr(col("text")), 1, distinct = true)).as("toks"))
     base.alias("l")
       .join(base.alias("r"),
         col("l.lang") === col("r.lang") && col("l.len_bkt") === col("r.len_bkt") &&
           col("l.doc_id") < col("r.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("l.toks"), col("r.toks"))).cast("double") /
-          size(array_union(col("l.toks"), col("r.toks"))).cast("double"))
+        toCol(graft.functions.JaccardSortedExpr(
+          toExpr(col("l.toks")), toExpr(col("r.toks")))))
       .filter(col("jaccard") >= threshold)
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
         round(col("jaccard"), 6).as("jaccard"))

@@ -62,6 +62,32 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == li.count()) // every lineitem has its order
   }
 
+  test("date-partitioned layout prunes partitions on read-back") {
+    // the reference derives year/month but never partitions by them
+    // (SURVEY §1.3) — here the layout actually prunes
+    val out = java.nio.file.Files.createTempDirectory("events-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("year", year(col("event_ts")))
+      .withColumn("month", month(col("event_ts")))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("month") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("month"),
+      s"month filter should prune partitions:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
+  test("sql surface: registered views + graft functions work via spark.sql") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+    val sim = spark.sql(
+      "SELECT graft_simhash(text) FROM documents LIMIT 1").head().getLong(0)
+    assert(sim != 0L)
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem keys") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val Row = li.agg(
