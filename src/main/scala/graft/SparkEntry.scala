@@ -533,6 +533,45 @@ object SparkEntry {
       },
       (s, dir) => TextStats.langId(Tables.documents(s, dir))),
 
+    QueryDef("ext_text_clean",
+      // scrub pipeline (lowercase, digit-fold, whitespace-collapse,
+      // trim) — the normalization pass before dedup/tokenization.
+      Some("""SELECT doc_id,
+             |       trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', 'N', 'g'),
+             |            ' +', ' ', 'g')) AS clean
+             |FROM documents""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "N"),
+          " +", " ")).as("clean"))),
+
+    QueryDef("ext_data_split",
+      // deterministic train/eval split by multiplicative key hash —
+      // stable across runs/engines, no sampling state to carry.
+      Some("""SELECT doc_id,
+             |       CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+             |            ELSE 'eval' END AS split
+             |FROM documents""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        when((col("doc_id") * 2654435761L) % 100 < 90, "train")
+          .otherwise("eval").as("split"))),
+
+    QueryDef("ext_corpus_stats",
+      // per-language corpus profile with exact interpolated quantiles
+      // (Spark percentile ≡ DuckDB quantile_cont: rank p·(n−1), linear
+      // interpolation, double arithmetic).
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS med_chars,
+             |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
+             |       CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 6).as("med_chars"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.9)"), 6).as("p90_chars"),
+        dsum(col("n_chars")).as("total_chars"))),
+
     // ---- north-star: multimodal columns (§2.11) ---- //
 
     QueryDef("ext_multimodal_meta",

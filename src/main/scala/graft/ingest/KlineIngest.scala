@@ -57,6 +57,33 @@ object KlineIngest {
       .option("failOnDataLoss", "false")
       .load()
 
+  /** In-engine replacement for the reference's REST pollers
+    * (§2.1 `src_rest_poll`): the built-in rate source dressed as the
+    * kline feed — same schema and Kafka value framing the producers
+    * emit, so the whole pipeline can be driven without any external
+    * system (demos, soak tests, backpressure experiments).
+    */
+  def simulatedStream(spark: SparkSession, rowsPerSecond: Int = 1000): DataFrame = {
+    val coins = array(lit("BTCUSDC"), lit("ETHUSDC"), lit("XRPUSDC"), lit("SOLUSDC"))
+    val intervals = array(lit("1m"), lit("5m"), lit("15m"), lit("1h"), lit("1d"))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(to_json(struct(
+        element_at(coins, (col("value") % 4 + 1).cast("int")).as("coin"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        (rand() * 100).as("open"), (rand() * 100).as("high"),
+        (rand() * 100).as("low"), (rand() * 100).as("close"),
+        (rand() * 10).as("volume"),
+        (unix_millis(col("timestamp")) + 59999L).as("close_time"),
+        (rand() * 1000).as("quote_asset_volume"),
+        (col("value") % 100).cast("int").as("number_of_trades"),
+        (rand() * 5).as("taker_buy_base_asset_volume"),
+        (rand() * 500).as("taker_buy_quote_asset_volume"),
+        lit("0").as("ignore"),
+        element_at(intervals, (col("value") % 5 + 1).cast("int")).as("interval")
+      )).cast("binary").as("value"))
+  }
+
   /** Kafka-producer frame (reference §2.2 `sink_kafka_produce`): rows
     * → (key, value) binary columns, value = JSON of all fields — the
     * inverse of [[parse]]. Feed to `.write.format("kafka")` where the

@@ -117,6 +117,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("simulated rate-source kline feed parses through the full pipeline") {
+    val q = KlineIngest.enrich(KlineIngest.parse(
+        KlineIngest.simulatedStream(spark, rowsPerSecond = 500)))
+      .writeStream.format("memory").queryName("sim_out").outputMode("append")
+      .option("checkpointLocation", tmp("cp-sim")).start()
+    try {
+      Thread.sleep(2500)
+      q.processAllAvailable()
+      val rows = spark.table("sim_out")
+      assert(rows.count() > 0)
+      val r = rows.head()
+      assert(r.getAs[String]("coin").endsWith("USDC"))
+      assert(r.getAs[java.sql.Timestamp]("timestamp") != null)
+      assert(r.getAs[Int]("year") >= 2026)
+    } finally q.stop()
+  }
+
   test("stateful OHLC via flatMapGroupsWithState accumulates across batches") {
     import graft.streaming.StatefulOhlc
     import graft.streaming.StatefulOhlc.Tick
