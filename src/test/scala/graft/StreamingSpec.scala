@@ -117,6 +117,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("routed sink recovers from checkpoint: stop, restart, no duplicates") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val out = tmp("recover-out"); val cp = tmp("recover-cp")
+    val t0 = 1704067200000L
+    def writer = Routing.routedParquet(
+      KlineIngest.enrich(KlineIngest.parse(
+        ms.toDF().select(col("value").cast("binary").as("value")))),
+      out, cp)
+
+    ms.addData(klineJson("BTC", "1m", t0))
+    val q1 = writer.start()
+    try q1.awaitTermination(60000) finally q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // new query instance, same checkpoint: must pick up ONLY new data
+    ms.addData(klineJson("ETH", "1m", t0))
+    val q2 = writer.start()
+    try q2.awaitTermination(60000) finally q2.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2, "restart must not re-emit batch 1")
+    assert(back.select("coin").distinct().count() == 2)
+  }
+
   test("simulated rate-source kline feed parses through the full pipeline") {
     val q = KlineIngest.enrich(KlineIngest.parse(
         KlineIngest.simulatedStream(spark, rowsPerSecond = 500)))
