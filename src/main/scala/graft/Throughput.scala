@@ -57,6 +57,24 @@ object Throughput {
       (System.nanoTime() - t0) / 1e9
     }.min
     println(f"""{"metric":"ingest_throughput","records":$n,"sec":$sec%.2f,"records_per_sec":${(n / sec).toLong}}""")
+
+    // streaming mode: the same pipeline under micro-batch execution,
+    // rate-source driven, counting rows that reach the sink
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = KlineIngest.enrich(KlineIngest.parse(
+        KlineIngest.simulatedStream(spark, rowsPerSecond = 3000000)))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tp-cp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        processed.addAndGet(b.count()): Unit
+      }
+      .start()
+    val soakSec = 15
+    Thread.sleep(soakSec * 1000L)
+    q.stop()
+    println(f"""{"metric":"streaming_throughput","sec":$soakSec,"records_per_sec":${processed.get() / soakSec}}""")
     spark.stop()
   }
 }
