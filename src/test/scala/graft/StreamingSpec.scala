@@ -50,6 +50,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped, not deduped-and-emitted") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val deduped = KlineIngest.dedupStream(
+      KlineIngest.enrich(KlineIngest.parse(
+        ms.toDF().select(col("value").cast("binary").as("value")))),
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("late_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-late")).start()
+    try {
+      val t0 = 1704067200000L
+      ms.addData(klineJson("BTC", "1m", t0))
+      q.processAllAvailable()
+      // advance event-time watermark to t0 + 5h - 1h = t0 + 4h
+      ms.addData(klineJson("BTC", "1m", t0 + 5 * 3600000L))
+      q.processAllAvailable()
+      // a record 2h BEFORE the watermark: must be dropped silently
+      ms.addData(klineJson("ETH", "1m", t0 + 2 * 3600000L))
+      q.processAllAvailable()
+      val rows = spark.table("late_out").select("coin").collect().map(_.getString(0))
+      assert(rows.sorted.toSeq == Seq("BTC", "BTC"), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("incremental ETL is exactly-once across runs (checkpoint replaces timestamps.json)") {
     val src = tmp("etl-src"); val dst = tmp("etl-dst"); val cp = tmp("etl-cp")
     val schema = org.apache.spark.sql.types.StructType(Seq(
