@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one surviving row per distinct key tuple.
-    * `dropDuplicates` = hash-aggregate on the key columns with
-    * map-side partial aggregation — one shuffle of the distinct keys,
-    * not the full data.
+    * `dropDuplicates` = hash-aggregate keyed on the dedup columns
+    * (surviving row picked arbitrarily); map-side partial aggregation
+    * collapses duplicates before the shuffle.
     */
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** Deterministic exact dedup: the survivor is the row minimizing
+    * `tiebreaker` within each key group — reproducible across runs
+    * and engines (unlike dropDuplicates' arbitrary pick).
+    */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], tiebreaker: String): DataFrame =
+    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(tiebreaker))))
+      .filter(col("_rn") === 1).drop("_rn")
 
   // ---------------------------------------------------------------- //
   // MinHash + LSH                                                    //

@@ -25,6 +25,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.exact(docs, Seq("text")).count() == 3)
   }
 
+  test("deterministic exact dedup keeps the min-tiebreaker survivor") {
+    val kept = Dedup.exactKeepFirst(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L)) // doc 3 (dup of 0) dropped, 0 kept
+  }
+
   test("minhash LSH finds near-dup and exact-dup pairs, not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, k = 64, bands = 16,
       shingleSize = 3, threshold = 0.5)
