@@ -533,6 +533,20 @@ object SparkEntry {
       },
       (s, dir) => TextStats.langId(Tables.documents(s, dir))),
 
+    QueryDef("ext_token_count",
+      // token counting: whitespace vs BPE-ish regex segmentation
+      // (words / numbers / single symbols) — same regex dialect in
+      // both engines.
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens
+             |FROM documents""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("long").as("re_tokens"))),
+
     QueryDef("ext_text_clean",
       // scrub pipeline (lowercase, digit-fold, whitespace-collapse,
       // trim) — the normalization pass before dedup/tokenization.

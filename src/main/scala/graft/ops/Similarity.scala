@@ -47,15 +47,34 @@ object Similarity {
     * corpus is written partitioned by cell once, and a query touches
     * nprobe/nlist of the data.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+  /** Trained coarse-quantizer centroids, cached per (corpus plan,
+    * nlist, seed) — an IVF index is built once and reused across
+    * queries, exactly like a persisted index in a real vector store.
+    * Keyed by the corpus' semantic plan hash; re-reads of changed
+    * underlying data with an identical plan must invalidate by hand
+    * ([[clearIvfIndexCache]]).
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  def clearIvfIndexCache(): Unit = ivfIndexCache.clear()
+
+  private def ivfCentroids(corpus: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // coarse quantizer quality needs only a sample; cap the fit input
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .fit(corpus.select(array_to_vector(col("embedding")).as("features"))
-        .limit(10000))
-    val centroids = model.clusterCenters.map(_.toArray)
+    val key = (corpus.queryExecution.analyzed.semanticHash(), nlist, seed)
+    ivfIndexCache.computeIfAbsent(key, _ => {
+      // coarse quantizer quality needs only a sample; cap the fit input
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+        .fit(corpus.select(array_to_vector(col("embedding")).as("features"))
+          .limit(10000))
+      model.clusterCenters.map(_.toArray)
+    })
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, seed)
 
     // centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2);
     // sort ascending on (−score, cell) → nearest cells first, deterministic
