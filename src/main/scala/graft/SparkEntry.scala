@@ -325,6 +325,60 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
 
+    QueryDef("join_topk_q3",
+      // TPC-H Q3 shape: selective 3-table join → grouped revenue →
+      // global top-k (TakeOrderedAndProject after partial sort).
+      Some("""SELECT l_orderkey,
+             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit(java.time.LocalDateTime.of(1998, 1, 1, 0, 0)))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit(java.time.LocalDateTime.of(1998, 1, 1, 0, 0))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    QueryDef("agg_conditional_share",
+      // TPC-H Q14 shape: conditional aggregation — promo revenue share,
+      // both sums decimal-accumulated before one double division.
+      Some("""SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+             |                     THEN l_extendedprice*(1-l_discount) ELSE 0 END
+             |                AS DECIMAL(38,6))) AS DOUBLE) /
+             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             |         * 100.0 AS promo_share,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'""".stripMargin),
+      (s, dir) => {
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+            col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 7, 1, 0, 0)))
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (dsum(when(col("p_type") === "PROMO", rev).otherwise(0)) /
+              dsum(rev) * 100.0).as("promo_share"),
+            count(lit(1)).as("n"))
+      }),
+
     // ---- window functions / sorts / limits / set ops (§2.7) ---- //
 
     QueryDef("win_topn_per_group",
