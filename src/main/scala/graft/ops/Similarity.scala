@@ -40,13 +40,6 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
-  /** IVF-style approximate top-k: a coarse quantizer (MLlib KMeans,
-    * fixed seed) partitions the corpus into `nlist` cells; each query
-    * probes its `nprobe` nearest centroids and reranks exactly within
-    * those cells. The 100 TB shape: centroids broadcast (tiny), the
-    * corpus is written partitioned by cell once, and a query touches
-    * nprobe/nlist of the data.
-    */
   /** Trained coarse-quantizer centroids, cached per (corpus plan,
     * nlist, seed) — an IVF index is built once and reused across
     * queries, exactly like a persisted index in a real vector store.
@@ -72,6 +65,13 @@ object Similarity {
     })
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (MLlib KMeans,
+    * fixed seed) partitions the corpus into `nlist` cells; each query
+    * probes its `nprobe` nearest centroids and reranks exactly within
+    * those cells. The 100 TB shape: centroids broadcast (tiny), the
+    * corpus is written partitioned by cell once, and a query touches
+    * nprobe/nlist of the data.
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
     val centroids = ivfCentroids(corpus, nlist, seed)
