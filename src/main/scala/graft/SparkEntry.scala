@@ -649,13 +649,37 @@ object SparkEntry {
              |FROM documents""".stripMargin),
       (s, dir) => Multimodal.mediaStats(Tables.documents(s, dir))),
 
-    QueryDef("ext_multimodal_frames", None, // binary slicing → rows-only check
+    QueryDef("ext_multimodal_frames",
+      // frame sampling exports (doc_id, frame_idx, frame_bytes); the
+      // payload is UTF-8 text bytes (ASCII fixtures), so the oracle
+      // reproduces the slicing arithmetic exactly: 16-byte frames
+      // every 64 bytes, clamped at the tail.
+      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes
+             |           FROM documents),
+             |u AS (SELECT doc_id, n_bytes,
+             |             unnest(generate_series(0, greatest((n_bytes - 16) // 64, 0))) AS i
+             |      FROM d)
+             |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             |       CAST(least(16, n_bytes - i * 64) AS BIGINT) AS frame_bytes
+             |FROM u""".stripMargin),
       (s, dir) => Multimodal.frameSample(Tables.documents(s, dir))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           octet_length(col("frame")).cast("long").as("frame_bytes"))),
 
-    QueryDef("ext_multimodal_features", None, // stubbed decode → rows-only check
-      (s, dir) => Multimodal.fakeFeatures(Tables.documents(s, dir)))
+    QueryDef("ext_multimodal_features",
+      // stubbed decode → feature rows. Exploded to scalars (one row
+      // per (doc, feature index)) so the result is oracle-hashable;
+      // the fake codec derives feature i from the i-th codepoint.
+      Some("""WITH u AS (SELECT doc_id, text, unnest(generate_series(1, 8)) AS i
+             |           FROM documents)
+             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS feat_idx,
+             |       CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS DOUBLE) AS feature
+             |FROM u""".stripMargin),
+      (s, dir) => Multimodal.fakeFeatures(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("feat_idx", "feature")))
+        .select(col("doc_id"), col("feat_idx").cast("long").as("feat_idx"),
+          col("feature").cast("double").as("feature")))
   )
 
   /** Flagship: the README's "coin volume over the last hour" intent
