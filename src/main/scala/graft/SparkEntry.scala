@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextStats}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
   * and — when ANSI-SQL-expressible — the DuckDB oracle that must
@@ -286,6 +286,61 @@ object SparkEntry {
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))),
+
+    QueryDef("join_asof",
+      // point-in-time enrichment: each purchase gets the latest click
+      // state of the same user at-or-before its event time (ops.AsOfJoin
+      // — union-window form, ONE shuffle, no pair explosion). DuckDB's
+      // native ASOF JOIN is the oracle; the right side is first reduced
+      // to one row per (user, time) with the same max-event_id tiebreak.
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms
+             |           FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, value, event_id
+             |       FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, t, arg_max(value, event_id) AS click_value
+             |      FROM r0 GROUP BY user_id, t)
+             |SELECT l.event_id, l.user_id, l.ts_ms,
+             |       r.t AS asof_time, r.click_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_ms >= r.t""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        AsOfJoin.backward(
+          left = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_ms"),
+          right = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id"),
+              col("value").as("click_value")),
+          keys = Seq("user_id"),
+          leftTime = "ts_ms", rightTime = "ts_ms",
+          payload = Seq("click_value"), tiebreak = "event_id")
+      }),
+
+    QueryDef("join_range_window",
+      // trailing-window range join: clicks per user in the hour before
+      // each purchase (ops.RangeJoin — banded equi-join, fan-out 2,
+      // never |l|·|r|). The oracle states the range predicate directly.
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms
+             |           FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, epoch_ns(ts)//1000000 AS t
+             |      FROM events WHERE event_type = 'click')
+             |SELECT l.event_id, l.user_id, l.ts_ms,
+             |       CAST(count(r.t) AS BIGINT) AS n_in_window
+             |FROM l LEFT JOIN r
+             |  ON l.user_id = r.user_id
+             | AND r.t > l.ts_ms - 3600000 AND r.t <= l.ts_ms
+             |GROUP BY l.event_id, l.user_id, l.ts_ms""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        RangeJoin.countInWindow(
+          left = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_ms"),
+          right = ev.filter(col("event_type") === "click")
+            .select("user_id", "ts_ms"),
+          keys = Seq("user_id"),
+          leftTime = "ts_ms", rightTime = "ts_ms",
+          windowMs = 3600000L)
+      }),
 
     QueryDef("strm_window_session",
       // per-user sessionization (1h inactivity gap) via the native

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the single
+  * right row with the greatest `rightTime <= leftTime` for the same
+  * key — the lookup a market-data pipeline does to enrich an event
+  * with the latest-known quote (the reference joins each kline batch
+  * to per-(coin,interval) destinations by looping;
+  * /root/reference/spark/streaming-longtime.py:119-142 — an as-of
+  * enrichment is the natural analytical extension of that keyed
+  * routing model).
+  *
+  * Spark has no native ASOF JOIN. The naive formulations do not
+  * scale: a range join (`l.key = r.key AND r.t <= l.t`) produces
+  * O(|l|·|r|) candidate pairs per key before pruning, and a per-key
+  * `collect` is driver-bound. This implementation is the union-window
+  * form:
+  *
+  *   1. tag both inputs and UNION them — no join node at all;
+  *   2. ONE hash-partition by key + sort by (time, side) — the same
+  *      single shuffle any keyed window costs;
+  *   3. a running `last(…, ignoreNulls)` carries the latest right
+  *      payload forward into each left row.
+  *
+  * At 100 TB that is one exchange of |left|+|right| rows, no pair
+  * explosion, and skewed keys are handled by AQE like any other
+  * window. Right rows are deduplicated to one per (key, time) with a
+  * max-`tiebreak` rule so the carried payload is deterministic.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join (the common "latest state at event time").
+    *
+    * @param left       probe side; all its columns are preserved
+    * @param right      reference side
+    * @param keys       equi-join key columns (present on both sides)
+    * @param leftTime   left event-time column (integral, e.g. epoch ms)
+    * @param rightTime  right event-time column (same unit)
+    * @param payload    right columns to carry (null when no match);
+    *                   names must not collide with left columns
+    * @param tiebreak   right column ordering duplicates at the same
+    *                   (key, time): the row with the max value wins
+    * @param tolerance  max allowed leftTime - rightTime; matches older
+    *                   than this yield null payload (None = unbounded)
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String], tiebreak: String,
+               tolerance: Option[Long] = None): DataFrame = {
+    val matchedTime = "_asof_t"
+    // one survivor per (key, rightTime): deterministic payload carry
+    val rightUnique = right.groupBy((keys :+ rightTime).map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(tiebreak)).as("_p"))
+      .select(keys.map(col) :+ col(rightTime).as(matchedTime) :+ col("_p"): _*)
+
+    val tagged = left.withColumn("_side", lit(1))
+      .unionByName(rightUnique.withColumn("_side", lit(0)),
+        allowMissingColumns = true)
+
+    // right (side 0) sorts before left (side 1) at equal time ⇒ a
+    // right row AT the left row's time matches (<= semantics).
+    val order = when(col("_side") === 0, col(matchedTime)).otherwise(col(leftTime))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = tagged
+      .withColumn("_m", last(
+        when(col("_side") === 0, struct(col(matchedTime) +: payload.map(c => col("_p")(c).as(c)): _*)),
+        ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val inRange = tolerance match {
+      case Some(tol) => col("_m").isNotNull &&
+        col("_m")(matchedTime) >= col(leftTime) - tol
+      case None => col("_m").isNotNull
+    }
+    val out = carried.withColumn("_m", when(inRange, col("_m")))
+    out.select(left.columns.map(col) ++
+      (matchedTime +: payload).map(c => col("_m")(c).as(c)): _*)
+      .withColumnRenamed(matchedTime, "asof_time")
+  }
+}

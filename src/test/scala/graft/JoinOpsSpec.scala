@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AsOfJoin, RangeJoin}
+
+/** Semantics pins for the temporal join operators (ops.AsOfJoin,
+  * ops.RangeJoin): `<=` match boundary, tie-breaking, tolerance
+  * cutoff, window edge inclusivity, zero-match rows.
+  */
+class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def left(rows: (Long, Long, Long)*) =
+    rows.toDF("event_id", "user_id", "ts_ms")
+  private def right(rows: (Long, Long, Long, Double)*) =
+    rows.toDF("user_id", "ts_ms", "event_id", "click_value")
+
+  private def asof(l: org.apache.spark.sql.DataFrame,
+                   r: org.apache.spark.sql.DataFrame,
+                   tol: Option[Long] = None) =
+    AsOfJoin.backward(l, r, Seq("user_id"), "ts_ms", "ts_ms",
+      Seq("click_value"), "event_id", tol)
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+
+  test("asof: latest right row at-or-before left time; equal time matches") {
+    val l = left((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 99L))
+    val r = right((7L, 100L, 10L, 1.0), (7L, 200L, 11L, 2.0))
+    val out = asof(l, r)
+    assert(out(0) == ((1L, 7L, 100L, Some(100L), Some(1.0)))) // t=100 matches <=
+    assert(out(1) == ((2L, 7L, 250L, Some(200L), Some(2.0)))) // latest wins
+    assert(out(2) == ((3L, 7L, 99L, None, None)))             // nothing earlier
+  }
+
+  test("asof: keys never cross; max-tiebreak picks one row per (key, time)") {
+    val l = left((1L, 7L, 500L), (2L, 8L, 500L))
+    val r = right((7L, 400L, 10L, 1.0), (7L, 400L, 12L, 3.0), (9L, 450L, 20L, 9.0))
+    val out = asof(l, r)
+    assert(out(0) == ((1L, 7L, 500L, Some(400L), Some(3.0)))) // event_id 12 > 10
+    assert(out(1) == ((2L, 8L, 500L, None, None)))            // user 9's row invisible
+  }
+
+  test("asof: tolerance nulls out stale matches") {
+    val l = left((1L, 7L, 1000L), (2L, 7L, 2000L))
+    val r = right((7L, 900L, 10L, 1.0))
+    val out = asof(l, r, tol = Some(150L))
+    assert(out(0)._4.contains(900L))  // 100ms old: within tolerance
+    assert(out(1)._4.isEmpty)         // 1100ms old: too stale
+  }
+
+  test("range join: (t-window, t] inclusivity and zero counts") {
+    val l = left((1L, 7L, 1000L), (2L, 7L, 5000L), (3L, 8L, 1000L))
+    val r = Seq((7L, 0L), (7L, 1L), (7L, 1000L), (7L, 1001L))
+      .toDF("user_id", "ts_ms") // window=1000: (0, 1000] for left t=1000
+    val out = RangeJoin.countInWindow(l, r, Seq("user_id"), "ts_ms", "ts_ms", 1000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 7L, 1000L, 2L))) // t=1,1000 in; t=0 (=t-w) and 1001 out
+    assert(out(1) == ((2L, 7L, 5000L, 0L))) // empty window still emits the row
+    assert(out(2) == ((3L, 8L, 1000L, 0L))) // other user's clicks invisible
+  }
+
+  test("range join: counts match a direct theta-join on random data") {
+    val n = 400
+    val rnd = new scala.util.Random(7)
+    val l = left((1 to n).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(10000).toLong)): _*)
+    val r = (1 to 2000).map(i => ((i % 5).toLong, rnd.nextInt(10000).toLong))
+      .toDF("user_id", "ts_ms")
+    val banded = RangeJoin.countInWindow(l, r, Seq("user_id"), "ts_ms", "ts_ms", 500L)
+      .as[(Long, Long, Long, Long)].collect().map(t => (t._1, t._4)).toMap
+    val naive = l.as("l").join(r.as("r"),
+        $"l.user_id" === $"r.user_id" &&
+          $"r.ts_ms" > $"l.ts_ms" - 500L && $"r.ts_ms" <= $"l.ts_ms", "left_outer")
+      .groupBy($"l.event_id").agg(org.apache.spark.sql.functions.count($"r.ts_ms"))
+      .as[(Long, Long)].collect().toMap
+    assert(banded == naive)
+  }
+}
