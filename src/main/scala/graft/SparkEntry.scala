@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextStats}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
@@ -23,8 +22,14 @@ final case class QueryDef(
   *  - no raw timestamp columns in outputs — event time is exported as
   *    epoch-ms BIGINT (`ts div 1000000` ≡ DuckDB `epoch_ns(ts)//1000000`;
   *    DuckDB truncates ns→µs so the floor semantics agree) or DATE;
-  *  - Double SUMs go through DECIMAL(38,6) accumulation and are cast
-  *    back to DOUBLE — bit-identical regardless of partition/merge order;
+  *  - Double SUMs accumulate exact micro-units: floor(x·10⁶) summed as
+  *    BIGINT, divided back once — bit-identical regardless of
+  *    partition/merge order (each step is one IEEE op or exact integer
+  *    math on both engines), and ~3× faster than DECIMAL(38,6)
+  *    accumulation, which falls off Spark's compact-long fast path.
+  *    Capacity: ±2⁶³ µunits ≈ ±9.2e12 value-units per group; a cluster
+  *    deployment summing past that swaps dsum for decimal accumulation
+  *    (same call sites) or a two-long 128-bit Aggregator;
   *  - int-ish outputs are cast to BIGINT on both sides (DuckDB count/
   *    year/row_number are BIGINT, Spark's are int);
   *  - every ranking/argmin has a total-order tiebreak on a unique key;
@@ -34,10 +39,13 @@ final case class QueryDef(
   */
 object SparkEntry {
 
-  private val Dec = DecimalType(38, 6)
-  /** Order-independent exact sum of a double column: decimal-accumulate,
-    * export as double. */
-  private def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  /** Order-independent exact sum of a double column: accumulate
+    * floor(x·10⁶) micro-units in BIGINT (exact, partial-agg friendly,
+    * stays on codegen's primitive-long path), export as double. SQL
+    * twin: `CAST(sum(CAST(floor((x) * 1000000.0) AS BIGINT)) AS DOUBLE)
+    * / 1000000.0`. */
+  private def dsum(c: Column): Column =
+    sum(floor(c * 1000000.0)).cast("double") / 1000000.0
 
   /** Total event order shared with the oracle: ms-truncated time then
     * unique event_id (ns-precision ordering would be invisible to the
@@ -113,7 +121,7 @@ object SparkEntry {
 
     QueryDef("agg_count_by_type",
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |       CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
              |FROM events GROUP BY event_type""".stripMargin),
       (s, dir) => Tables.eventsRaw(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
@@ -125,7 +133,7 @@ object SparkEntry {
               |       arg_min(value, $EventOrdKeySql) AS open,
               |       max(value) AS high, min(value) AS low,
               |       arg_max(value, $EventOrdKeySql) AS close,
-              |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+              |       CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS volume,
               |       CAST(count(*) AS BIGINT) AS n_trades
               |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => Tables.events(s, dir)
@@ -152,7 +160,7 @@ object SparkEntry {
       // operator (README's "volume over the last hour", SURVEY §2.8).
       Some("""SELECT (epoch_ns(ts)//1000000) // 3600000 * 3600000 AS win_start_ms,
              |       event_type, CAST(count(*) AS BIGINT) AS n,
-             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+             |       CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS volume
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, dir) => Tables.events(s, dir)
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -168,7 +176,7 @@ object SparkEntry {
              |           FROM events)
              |SELECT (ts_ms // 900000 - k) * 900000 AS win_start_ms, event_type,
              |       CAST(count(*) AS BIGINT) AS n,
-             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+             |       CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS volume
              |FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
              |GROUP BY 1, 2""".stripMargin),
       (s, dir) => Tables.events(s, dir)
@@ -181,9 +189,9 @@ object SparkEntry {
 
     QueryDef("q1_pricing_summary",
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base,
-             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+             |       CAST(sum(CAST(floor((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base,
+             |       CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin),
@@ -200,7 +208,7 @@ object SparkEntry {
       // the pure-SQL surface: same text runs via spark.sql and DuckDB
       // (TPC-H Q6 shape — highly selective scan, every predicate
       // pushed to parquet).
-      Some("""SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      Some("""SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -208,7 +216,7 @@ object SparkEntry {
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        s.sql("""SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
                 |       CAST(count(*) AS BIGINT) AS n
                 |FROM lineitem
                 |WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
@@ -220,7 +228,7 @@ object SparkEntry {
       // fact × small dim: `part` broadcasts (≪ the 64 MiB threshold) —
       // zero shuffle of the fact side.
       Some("""SELECT p_brand,
-             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand""".stripMargin),
@@ -231,20 +239,27 @@ object SparkEntry {
           count(lit(1)).as("n"))),
 
     QueryDef("join_shuffle_agg",
-      // fact × fact: both sides hash-partitioned on the join key; the
-      // distinct-agg shares that partitioning (no extra shuffle).
+      // fact × fact with a distinct-agg. The distinct key IS the join
+      // key, so lineitem is pre-aggregated per order BEFORE the join:
+      // the shuffle moves one row per order instead of one per item,
+      // and count(DISTINCT) degenerates to count(*) — no expand step.
+      // The oracle states the naive form; results are identical
+      // (micro-unit partial sums re-sum exactly).
       Some("""SELECT o_orderpriority,
              |       CAST(count(*) AS BIGINT) AS n_items,
              |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+             |       CAST(sum(CAST(floor((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority""".stripMargin),
       (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("_cnt"),
+          sum(floor(col("l_extendedprice") * 1000000.0)).as("_micro"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          dsum(col("l_extendedprice")).as("sum_price"))),
+        .agg(sum(col("_cnt")).as("n_items"),
+          count(lit(1)).as("n_orders"),
+          (sum(col("_micro")).cast("double") / 1000000.0).as("sum_price"))),
 
     QueryDef("join_semi_exists",
       Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
@@ -273,7 +288,7 @@ object SparkEntry {
       // star join: every dim broadcasts, the only shuffle is the final
       // group-by on r_name (5 groups → map-side partials do the work).
       Some("""SELECT r_name,
-             |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(sum(CAST(floor((o_totalprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
              |       CAST(count(*) AS BIGINT) AS n_orders
              |FROM region
              |JOIN nation   ON n_regionkey = r_regionkey
@@ -359,7 +374,7 @@ object SparkEntry {
              |      FROM s)
              |SELECT user_id, CAST(min(ts_ms) AS BIGINT) AS sess_start_ms,
              |       CAST(count(*) AS BIGINT) AS n,
-             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+             |       CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS volume
              |FROM g GROUP BY user_id, sess""".stripMargin),
       (s, dir) => Tables.events(s, dir)
         .groupBy(session_window(col("event_ts"), "1 hour"), col("user_id"))
@@ -373,7 +388,7 @@ object SparkEntry {
       // present" row; added as capability). Spark and DuckDB both
       // emit NULL for rolled-up levels.
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
       (s, dir) => Tables.lineitem(s, dir)
@@ -384,7 +399,7 @@ object SparkEntry {
       // TPC-H Q3 shape: selective 3-table join → grouped revenue →
       // global top-k (TakeOrderedAndProject after partial sort).
       Some("""SELECT l_orderkey,
-             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |       CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
              |       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
              |FROM customer
              |JOIN orders   ON c_custkey = o_custkey
@@ -412,11 +427,11 @@ object SparkEntry {
 
     QueryDef("agg_conditional_share",
       // TPC-H Q14 shape: conditional aggregation — promo revenue share,
-      // both sums decimal-accumulated before one double division.
-      Some("""SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-             |                     THEN l_extendedprice*(1-l_discount) ELSE 0 END
-             |                AS DECIMAL(38,6))) AS DOUBLE) /
-             |       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      // both sums micro-unit-accumulated before one double division.
+      Some("""SELECT (CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO'
+             |                     THEN l_extendedprice*(1-l_discount) ELSE 0 END) * 1000000.0)
+             |                AS BIGINT)) AS DOUBLE) / 1000000.0) /
+             |       (CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
              |         * 100.0 AS promo_share,
              |       CAST(count(*) AS BIGINT) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -451,14 +466,15 @@ object SparkEntry {
 
     QueryDef("win_running_sum",
       Some("""SELECT event_id,
-             |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+             |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (
              |         PARTITION BY user_id ORDER BY epoch_ns(ts)//1000000, event_id
-             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS run_sum
              |FROM events""".stripMargin),
       (s, dir) => Tables.events(s, dir)
-        .withColumn("run_sum", sum(col("value").cast(Dec)).over(
+        .withColumn("run_sum", (sum(floor(col("value") * 1000000.0)).over(
           Window.partitionBy(col("user_id")).orderBy(EventOrd: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / 1000000.0))
         .select("event_id", "run_sum")),
 
     QueryDef("win_lag_delta",
@@ -520,12 +536,106 @@ object SparkEntry {
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
         lenBucket = 20, threshold = 0.9)),
 
-    QueryDef("ext_dedup_minhash", None, // sketch uses engine hash → rows-only check
+    QueryDef("ext_dedup_minhash",
+      // Full pipeline replicated in the oracle: the sketch hashing is
+      // engine-neutral arithmetic (FNV-1a 64 + rotate-xor shingles +
+      // (a·x+b) mod 2³¹−1 minhash + 31-fold band keys), so DuckDB
+      // reproduces candidates AND verified Jaccard exactly. The k=64
+      // hash coefficients are embedded as literals from the same
+      // seeded generator the Catalyst expression uses. 64-bit wrap
+      // arithmetic runs in HUGEINT, re-signed via ((v+2⁶³) mod 2⁶⁴)−2⁶³.
+      Some {
+        val (as, bs) = graft.functions.Sketches.coeffs(64, 42L)
+        val aLit = as.mkString("[", ",", "]")
+        val bLit = bs.mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |h AS (
+           |  SELECT doc_id, len(toks) AS n,
+           |         list_transform(toks, tok ->
+           |           list_reduce(list_prepend(14695981039346656037::HUGEINT,
+           |               list_transform(range(1, length(tok)+1),
+           |                 i -> ascii(substring(tok,i,1))::HUGEINT)),
+           |             (acc,c) -> (xor(acc,c) * 1099511628211::HUGEINT)
+           |                         % 18446744073709551616::HUGEINT)) AS th
+           |  FROM t),
+           |sc AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(range(0, greatest(n-2,1)), i ->
+           |           CAST((list_reduce(list_prepend(0::HUGEINT, th[i+1 : least(i+3,n)]),
+           |                   (acc,x) -> xor((acc*32) % 18446744073709551616::HUGEINT
+           |                                  + (acc >> 59), x))
+           |                 + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+           |                - 9223372036854775808::HUGEINT AS BIGINT))) AS codes
+           |  FROM h),
+           |xs AS (SELECT doc_id,
+           |              ((unnest(codes) % 2147483647) + 2147483647) % 2147483647 AS x
+           |       FROM sc),
+           |coef AS (SELECT unnest(generate_series(1,64)) AS j),
+           |mins AS (
+           |  SELECT xs.doc_id, coef.j,
+           |         min((($aLit[j]) * xs.x + ($bLit[j])) % 2147483647) AS m
+           |  FROM xs CROSS JOIN coef GROUP BY 1,2),
+           |bk AS (
+           |  SELECT doc_id, (j-1)//4 AS b,
+           |         CAST(((1125899906842597::HUGEINT * 923521
+           |                + sum((m::HUGEINT) * (CASE (j-1)%4 WHEN 0 THEN 29791
+           |                       WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END)))
+           |               % 18446744073709551616::HUGEINT
+           |               + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+           |              - 9223372036854775808::HUGEINT AS BIGINT) AS k
+           |  FROM mins GROUP BY 1,2),
+           |cand AS (
+           |  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+           |  FROM bk l JOIN bk r ON l.b = r.b AND l.k = r.k AND l.doc_id < r.doc_id
+           |  GROUP BY 1,2),
+           |ds AS (SELECT doc_id, codes AS s FROM sc)
+           |SELECT c.a_id, c.b_id,
+           |       round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE) /
+           |             (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))), 6) AS jaccard
+           |FROM cand c JOIN ds l ON c.a_id = l.doc_id JOIN ds r ON c.b_id = r.doc_id
+           |WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE) /
+           |      (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) >= 0.5""".stripMargin
+      },
       (s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir),
         k = 64, bands = 16, shingleSize = 3, threshold = 0.5)),
 
-    QueryDef("ext_dedup_simhash", None, // sketch uses engine hash → rows-only check
-      (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 16)),
+    QueryDef("ext_dedup_simhash",
+      // Oracle replicates both the signature (FNV-1a token hashes →
+      // per-bit majority vote) and the 16-bit-chunk candidate rule, so
+      // the approximate operator is still exactly checkable: output =
+      // pairs sharing ≥1 aligned chunk AND hamming ≤ 16.
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |h AS (
+             |  SELECT doc_id, len(toks) AS n,
+             |         list_transform(toks, tok ->
+             |           list_reduce(list_prepend(14695981039346656037::HUGEINT,
+             |               list_transform(range(1, length(tok)+1),
+             |                 i -> ascii(substring(tok,i,1))::HUGEINT)),
+             |             (acc,c) -> (xor(acc,c) * 1099511628211::HUGEINT)
+             |                         % 18446744073709551616::HUGEINT)) AS th
+             |  FROM t),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST((list_reduce(list_prepend(0::HUGEINT,
+             |                 list_transform(range(0, 64), b ->
+             |                   CASE WHEN 2 * len(list_filter(th,
+             |                          x -> (x >> b) & 1::HUGEINT = 1::HUGEINT)) > n
+             |                        THEN 1::HUGEINT << b ELSE 0::HUGEINT END)),
+             |               (a, b) -> a + b)
+             |               + 9223372036854775808::HUGEINT)
+             |              % 18446744073709551616::HUGEINT
+             |              - 9223372036854775808::HUGEINT AS BIGINT) AS s
+             |  FROM h)
+             |SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+             |       CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+             |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.s, r.s)) <= 16
+             |  AND ((l.s >> 0)  & 65535 = (r.s >> 0)  & 65535 OR
+             |       (l.s >> 16) & 65535 = (r.s >> 16) & 65535 OR
+             |       (l.s >> 32) & 65535 = (r.s >> 32) & 65535 OR
+             |       (l.s >> 48) & 65535 = (r.s >> 48) & 65535)""".stripMargin),
+      (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 16)
+        .withColumn("hamming", col("hamming").cast("long"))),
 
     QueryDef("ext_dedup_embedding",
       Some("""WITH m AS (
@@ -575,7 +685,46 @@ object SparkEntry {
           .withColumn("rnk", col("rnk").cast("long"))
       }),
 
-    QueryDef("ext_sim_lsh", None, // approximate → rows-only check
+    QueryDef("ext_sim_lsh",
+      // The sign-sketch pipeline is deterministic given the seed, so
+      // the oracle replicates it exactly: the 8 hyperplanes are
+      // embedded as double literals (shortest-roundtrip repr → same
+      // bits after parse), signatures use the same left-to-right
+      // double dot product, and the multiprobe rule "candidate shares
+      // bucket sig⊕m for some popcount(m)≤2" reduces to
+      // hamming(q.sig, c.sig) ≤ 2.
+      Some {
+        val planes = Similarity.hyperplanes(nBits = 8, dim = 64, seed = 42L)
+        def dotSql(p: Array[Double]) =
+          s"""list_reduce(list_prepend(0.0, list_transform(
+             |           list_zip(emb, [${p.mkString(",")}]::DOUBLE[]),
+             |           p -> p[1]*p[2])), (a,b) -> a+b)""".stripMargin
+        val sigSql = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("\n         + ")
+        s"""WITH m AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, emb,
+           |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+           |                          (a,b) -> a+b)) AS nrm,
+           |         $sigSql AS sig
+           |  FROM m),
+           |s AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |         round(list_reduce(list_prepend(0.0,
+           |                 list_transform(list_zip(q.emb, c.emb), p -> p[1]*p[2])),
+           |               (a,b) -> a+b) / (q.nrm * c.nrm), 6) AS cosine
+           |  FROM n q JOIN n c
+           |    ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+           |   AND bit_count(xor(q.sig, c.sig)) <= 2)
+           |SELECT * FROM (
+           |  SELECT q_id, c_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY q_id
+           |              ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+           |  FROM s) WHERE rnk <= 10""".stripMargin
+      },
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
@@ -687,7 +836,7 @@ object SparkEntry {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS med_chars,
              |       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
-             |       CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+             |       CAST(sum(CAST(floor((n_chars) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_chars
              |FROM documents GROUP BY lang""".stripMargin),
       (s, dir) => Tables.documents(s, dir).groupBy("lang").agg(
         count(lit(1)).as("n_docs"),

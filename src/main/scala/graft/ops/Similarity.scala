@@ -103,8 +103,10 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** Fixed-seed random hyperplanes; deterministic across runs. */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  /** Fixed-seed random hyperplanes; deterministic across runs (also
+    * embedded as literals in the DuckDB oracle SQL, so visibility is
+    * package-wide). */
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
