@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *   3. a running `last(…, ignoreNulls)` carries the latest right
   *      payload forward into each left row.
   *
-  * At 100 TB that is one exchange of |left|+|right| rows, no pair
-  * explosion, and skewed keys are handled by AQE like any other
-  * window. Right rows are deduplicated to one per (key, time) with a
-  * max-`tiebreak` rule so the carried payload is deterministic.
+  * At 100 TB that is ONE exchange of |left|+|right| rows total (plan-
+  * audited: a single hashpartitioning(keys) node), no pair explosion,
+  * and skewed keys are handled by AQE like any other window.
+  * Duplicate right rows at one (key, time) resolve to the max-
+  * `tiebreak` row deterministically — the dedup is folded into the
+  * window sort order rather than a separate aggregation shuffle.
   */
 object AsOfJoin {
 
@@ -51,20 +53,23 @@ object AsOfJoin {
                payload: Seq[String], tiebreak: String,
                tolerance: Option[Long] = None): DataFrame = {
     val matchedTime = "_asof_t"
-    // one survivor per (key, rightTime): deterministic payload carry
-    val rightUnique = right.groupBy((keys :+ rightTime).map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(tiebreak)).as("_p"))
-      .select(keys.map(col) :+ col(rightTime).as(matchedTime) :+ col("_p"): _*)
+    val rightTagged = right.select(
+      keys.map(col) :+ col(rightTime).as(matchedTime) :+
+        struct(payload.map(col): _*).as("_p") :+ col(tiebreak).as("_tb"): _*)
+      .withColumn("_side", lit(0))
 
     val tagged = left.withColumn("_side", lit(1))
-      .unionByName(rightUnique.withColumn("_side", lit(0)),
-        allowMissingColumns = true)
+      .unionByName(rightTagged, allowMissingColumns = true)
 
-    // right (side 0) sorts before left (side 1) at equal time ⇒ a
-    // right row AT the left row's time matches (<= semantics).
+    // Sort (time, side, tiebreak): right (side 0) sorts before left
+    // (side 1) at equal time ⇒ a right row AT the left row's time
+    // matches (<= semantics). Duplicate right rows at one (key, time)
+    // sort tiebreak-ascending, so the running last() lands on the
+    // max-tiebreak survivor — dedup rides the window's own sort
+    // instead of costing a separate groupBy exchange.
     val order = when(col("_side") === 0, col(matchedTime)).otherwise(col(leftTime))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order.asc, col("_side").asc)
+      .orderBy(order.asc, col("_side").asc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = tagged
