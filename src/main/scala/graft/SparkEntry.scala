@@ -817,6 +817,48 @@ object SparkEntry {
         trim(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "N"),
           " +", " ")).as("clean"))),
 
+    QueryDef("ext_pii_scrub",
+      // payload scrubbing before corpus admission: fold emails then
+      // digit runs, with an audit count (TextStats.piiScrub). Runs
+      // over the event JSON payloads — the realistic "scrub logs
+      // before training" shape; same regex dialect both engines.
+      Some(s"""WITH s AS (
+              |  SELECT event_id, props,
+              |         regexp_replace(props, '${TextStats.EmailRe}', '<EMAIL>', 'g') AS t1
+              |  FROM events)
+              |SELECT event_id,
+              |       regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+              |       CAST(len(regexp_extract_all(props, '${TextStats.EmailRe}'))
+              |            + len(regexp_extract_all(t1, '[0-9]+')) AS BIGINT) AS n_redactions
+              |FROM s""".stripMargin),
+      (s, dir) => TextStats.piiScrub(Tables.eventsRaw(s, dir), "event_id", "props")),
+
+    QueryDef("ext_repetition",
+      // Gopher-style repetition gates: top-token share + duplicate-
+      // token ratio via two-level (doc, token) aggregation.
+      Some("""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |c AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY 1, 2)
+             |SELECT doc_id,
+             |       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share,
+             |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_ratio
+             |FROM c GROUP BY doc_id""".stripMargin),
+      (s, dir) => TextStats.repetitionStats(Tables.documents(s, dir))),
+
+    QueryDef("ext_pack_chunks",
+      // corpus → fixed-size context windows: cumulative token offsets
+      // per source shard, cut every 512 tokens (TextStats.packChunks).
+      Some("""SELECT doc_id, source,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+             |         PARTITION BY source ORDER BY doc_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+             |       CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+             |         PARTITION BY source ORDER BY doc_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS chunk_id
+             |FROM documents""".stripMargin),
+      (s, dir) => TextStats.packChunks(Tables.documents(s, dir), budget = 512)),
+
     QueryDef("ext_data_split",
       // deterministic train/eval split by multiplicative key hash —
       // stable across runs/engines, no sampling state to carry.

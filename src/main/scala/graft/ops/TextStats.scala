@@ -102,4 +102,66 @@ object TextStats {
       array_max(array(scored: _*)).getField("lang").as("pred_lang")
     )
   }
+
+  /** PII-style scrub patterns, shared by the Spark op and the DuckDB
+    * oracle (Java regex ∩ RE2 dialect — no backrefs/lookaround). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberRe: String = "[0-9]+"
+
+  /** Redact email addresses and digit runs from a text column —
+    * the scrub pass a pipeline runs over raw payloads before they
+    * may enter a training corpus. Emails are folded first so their
+    * digits are not double-counted; `n_redactions` is the audit
+    * count per row. Per-row regex work inside codegen, scan speed,
+    * no shuffle.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailScrubbed = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    df.select(
+      col(idCol),
+      regexp_replace(emailScrubbed, NumberRe, "<NUM>").as("scrubbed"),
+      (regexp_count(col(textCol), lit(EmailRe)) +
+        regexp_count(emailScrubbed, lit(NumberRe))).cast("long").as("n_redactions"))
+  }
+
+  /** Within-document repetition signals (the Gopher-style quality
+    * gates): share of the most frequent token and the duplicate-token
+    * ratio. Relational two-level aggregation — explode inflates rows
+    * but map-side partial aggregation collapses (doc, token) counts
+    * before the shuffle, so the exchanged volume is the distinct
+    * (doc, token) set, not the token stream.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    perTok.groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(
+        col("doc_id"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_share"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** Deterministic sequence packing: documents are laid out in
+    * doc_id order within each `source` shard and cut into training
+    * chunks of `budget` tokens by cumulative offset — the step that
+    * turns a cleaned corpus into fixed-size context windows. One
+    * window prefix-sum per shard (a single hash-partition exchange);
+    * chunk boundaries are pure integer arithmetic, reproducible on
+    * any cluster layout.
+    */
+  def packChunks(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
+        expr(s"offset div $budget").as("chunk_id"))
+  }
 }
