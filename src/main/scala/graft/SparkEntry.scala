@@ -215,7 +215,10 @@ object SparkEntry {
              |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        // the SQL surface: only the table the query touches is
+        // registered (registerAll would re-open 10 parquet footers
+        // per call for a single-table query)
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
         s.sql("""SELECT CAST(sum(CAST(floor((l_extendedprice*l_discount) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
                 |       CAST(count(*) AS BIGINT) AS n
                 |FROM lineitem

@@ -142,6 +142,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: trades enriched by quotes within the bound") {
+    // the §2.7 built-in the reference never exercises: two watermarked
+    // streams equi-joined on key with an event-time range condition —
+    // Spark keeps only the watermark-bounded state on each side.
+    implicit val ctx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Double)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    val t = trades.toDF().toDF("coin", "t_ms", "qty")
+      .withColumn("t_time", timestamp_millis(col("t_ms")))
+      .withWatermark("t_time", "1 minute")
+    val qs = quotes.toDF().toDF("q_coin", "q_ms", "px")
+      .withColumn("q_time", timestamp_millis(col("q_ms")))
+      .withWatermark("q_time", "1 minute")
+    val joined = t.join(qs,
+      col("coin") === col("q_coin") &&
+        col("q_time") >= col("t_time") - expr("INTERVAL 10 SECONDS") &&
+        col("q_time") <= col("t_time"))
+      .select("coin", "t_ms", "qty", "q_ms", "px")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-ssj")).start()
+    try {
+      val t0 = 1704067200000L
+      quotes.addData(("BTC", t0 - 5000, 100.0),  // in range for t0
+        ("BTC", t0 - 20000, 99.0),               // too old
+        ("ETH", t0 - 1000, 50.0))                // wrong key for the trade
+      trades.addData(("BTC", t0, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("coin", "q_ms", "px").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("BTC", t0 - 5000, 100.0)))
+    } finally q.stop()
+  }
+
   test("routed sink recovers from checkpoint: stop, restart, no duplicates") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
