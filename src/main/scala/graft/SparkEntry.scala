@@ -386,6 +386,26 @@ object SparkEntry {
           unix_millis(col("session_window.start")).as("sess_start_ms"),
           col("n"), col("volume"))),
 
+    QueryDef("agg_approx_distinct",
+      // sketch-based distinct counting (HLL++): the 100 TB path for
+      // cardinality — one pass, fixed-size mergeable state, no
+      // distinct expansion. Engine sketches differ (Spark HLL++ vs
+      // DuckDB), so the pinned contract is the BOUND, not the
+      // estimate: each group's estimate must sit within the
+      // configured 2% relative error of the exact count, checked as
+      // a boolean both engines agree on. The exact count rides along.
+      Some("""SELECT event_type,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |       true AS within_2pct
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir).groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("_est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")).cast("double") / col("n_exact") <= 0.02)
+            .as("within_2pct"))),
+
     QueryDef("agg_rollup",
       // hierarchical totals — grouping-set aggregation (§2.5 "not
       // present" row; added as capability). Spark and DuckDB both
