@@ -60,6 +60,27 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == ((3L, 8L, 1000L, 0L))) // other user's clicks invisible
   }
 
+  test("asof: matches the naive per-row argmax formulation on random data") {
+    val rnd = new scala.util.Random(13)
+    val l = left((1 to 300).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(5000).toLong)): _*)
+    val r = right((1 to 900).map(i =>
+      ((i % 7).toLong, rnd.nextInt(5000).toLong, i.toLong, rnd.nextInt(100).toDouble)): _*)
+    val fast = asof(l, r).toSeq
+    // naive: for each left row, scan all right rows of the key
+    val rightRows = r.as[(Long, Long, Long, Double)].collect()
+    val naive = l.as[(Long, Long, Long)].collect().sortBy(_._1).map {
+      case (id, k, t) =>
+        val m = rightRows.filter(x => x._1 == k && x._2 <= t)
+        if (m.isEmpty) (id, k, t, None: Option[Long], None: Option[Double])
+        else {
+          val best = m.maxBy(x => (x._2, x._3)) // latest time, then max tiebreak
+          (id, k, t, Some(best._2), Some(best._4))
+        }
+    }.toSeq
+    assert(fast == naive)
+  }
+
   test("range join: counts match a direct theta-join on random data") {
     val n = 400
     val rnd = new scala.util.Random(7)
