@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming: a running OHLC/volume rollup per
   * (coin, interval) maintained with `flatMapGroupsWithState` — the
@@ -75,5 +76,51 @@ object StatefulOhlc {
     ticks
       .groupByKey(t => (t.coin, t.interval))
       .flatMapGroupsWithState(OutputMode.Update(), timeout)(step)
+  }
+
+  /** The same rollup on Spark 4's arbitrary-stateful-processing v2
+    * (`transformWithState` + typed [[ValueState]]): per-key state
+    * lives in the RocksDB state store (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider` — required by this operator), so
+    * state size is bounded by disk, not executor heap, and TTL is a
+    * store-native config instead of hand-rolled timeout plumbing —
+    * the preferred shape for new keyed-state operators.
+    */
+  private class OhlcProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[(String, String), Tick, OhlcUpdate] {
+    @transient private var state: ValueState[OhlcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[OhlcState](
+        "ohlc", Encoders.product[OhlcState], ttl)
+
+    override def handleInputRows(key: (String, String), rows: Iterator[Tick],
+                                 timerValues: TimerValues): Iterator[OhlcUpdate] = {
+      val merged = rows.foldLeft(if (state.exists()) state.get() else null) {
+        (s, t) => if (s == null) StatefulOhlc.init(t) else merge(s, t)
+      }
+      if (merged == null) Iterator.empty
+      else {
+        state.update(merged)
+        Iterator.single(OhlcUpdate(key._1, key._2, merged.open,
+          merged.high, merged.low, merged.close, merged.volume, merged.n))
+      }
+    }
+  }
+
+  /** [[updates]] via `transformWithState`; `stateTtl` expires idle
+    * keys by store-native processing-time TTL. */
+  def updatesTws(ticks: Dataset[Tick],
+                 stateTtl: Option[java.time.Duration] = None): Dataset[OhlcUpdate] = {
+    implicit val outEnc: Encoder[OhlcUpdate] = Encoders.product[OhlcUpdate]
+    implicit val keyEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val ttl = stateTtl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    ticks
+      .groupByKey(t => (t.coin, t.interval))
+      .transformWithState(new OhlcProcessor(ttl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 }

@@ -247,6 +247,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful OHLC via transformWithState matches the fMGWS semantics") {
+    import graft.streaming.StatefulOhlc
+    import graft.streaming.StatefulOhlc.Tick
+    implicit val ctx = spark.sqlContext
+    // state store lives in RocksDB (disk-bounded), not executor heap —
+    // the provider transformWithState requires
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Tick]
+      val q = StatefulOhlc.updatesTws(ms.toDS())
+        .writeStream.format("memory").queryName("ohlc_tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("cp-ohlc-tws")).start()
+      try {
+        ms.addData(Tick("BTC", "1m", 1000L, 10.0, 1.0),
+          Tick("BTC", "1m", 2000L, 15.0, 2.0))
+        q.processAllAvailable()
+        ms.addData(Tick("BTC", "1m", 3000L, 5.0, 1.0),
+          Tick("ETH", "1m", 1000L, 7.0, 4.0))
+        q.processAllAvailable()
+        val last = spark.table("ohlc_tws_out")
+          .filter(col("coin") === "BTC").orderBy(col("n").desc).head()
+        assert(last.getAs[Double]("open") == 10.0)
+        assert(last.getAs[Double]("high") == 15.0)
+        assert(last.getAs[Double]("low") == 5.0)
+        assert(last.getAs[Double]("close") == 5.0)
+        assert(last.getAs[Double]("volume") == 4.0)
+        assert(last.getAs[Long]("n") == 3L)
+        assert(spark.table("ohlc_tws_out").filter(col("coin") === "ETH").count() == 1)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("composed reference pipeline (longtime): stream to routed parquet") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
