@@ -754,12 +754,30 @@ object SparkEntry {
           .withColumn("rnk", col("rnk").cast("long"))
       }),
 
-    QueryDef("ext_sim_ivf", None, // approximate (kmeans cells) → rows-only check
+    QueryDef("ext_sim_ivf",
+      // The kmeans cells aren't SQL-expressible, so the pinned
+      // contract is RECALL, not the neighbor list (same shape as
+      // agg_approx_distinct): for every query vector, IVF@nprobe=6
+      // must recover >= 3 of the exact cosine top-10 (uniform random
+      // embeddings are ANN's worst case — no cluster structure to
+      // exploit; measured per-query min is 7 hits at sf0.01, 4 at
+      // sf0.1; bound set below the worst observed for seed-drift
+      // headroom).
+      // Spark computes both sides (the IVF path and the brute-force
+      // baseline) and exports the per-query boolean.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-          k = 10, nlist = 16, nprobe = 3)
-          .withColumn("rnk", col("rnk").cast("long"))
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val ivf = Similarity.ivfTopK(qs, emb, k = 10, nlist = 16, nprobe = 6)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(ivf, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
     // ---- north-star: text analysis (§2.11) ---- //
