@@ -660,6 +660,38 @@ object SparkEntry {
       (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 16)
         .withColumn("hamming", col("hamming").cast("long"))),
 
+    QueryDef("ext_dedup_groups",
+      // pair → group resolution: connected components over the n-gram
+      // near-dup graph; every member labeled with the component min
+      // (the canonical survivor). Spark runs iterative min-label
+      // propagation (Dedup.connectedComponents); DuckDB closes the
+      // same graph with a recursive CTE — exact match, no tolerance.
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+             |  FROM (SELECT doc_id, lang, n_chars // 20 AS len_bkt,
+             |               list_distinct(string_split(text, ' ')) AS toks
+             |        FROM documents) l
+             |  JOIN (SELECT doc_id, lang, n_chars // 20 AS len_bkt,
+             |               list_distinct(string_split(text, ' ')) AS toks
+             |        FROM documents) r
+             |    ON l.lang = r.lang AND l.len_bkt = r.len_bkt AND l.doc_id < r.doc_id
+             |  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+             |        (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.9),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM base
+             |          UNION SELECT b_id, a_id FROM base),
+             |reach(src, dst) AS (
+             |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS doc_id, min(dst) AS group_id,
+             |       src = min(dst) AS is_canonical
+             |FROM reach GROUP BY src""".stripMargin),
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+            lenBucket = 20, threshold = 0.9).select("a_id", "b_id"))
+        .select(col("doc_id"), col("group_id"),
+          (col("doc_id") === col("group_id")).as("is_canonical"))),
+
     QueryDef("ext_dedup_embedding",
       Some("""WITH m AS (
              |  SELECT vec_id, label,

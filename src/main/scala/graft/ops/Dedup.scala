@@ -153,6 +153,59 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- //
+  // Pair → group resolution (connected components)                   //
+  // ---------------------------------------------------------------- //
+
+  /** Resolve near-dup PAIRS into GROUPS: connected components over
+    * the undirected pair graph, labeling every member with the
+    * component's minimum id — the canonical survivor a dedup pass
+    * keeps. A pipeline that stops at pairs under-deletes: {A~B, B~C}
+    * without closure keeps B twice.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node adopts min(own label, neighbours' labels); converged when a
+    * round changes nothing. Rounds = component diameter; near-dup
+    * components are shallow (dup clusters, not long chains), so this
+    * settles in 2–4 rounds. Each round is one shuffle join on the
+    * cached edge list. At adversarial scale (long chains) swap the
+    * loop body for large-star/small-star contraction (O(log n)
+    * rounds, same fixpoint) — the surrounding contract is unchanged.
+    *
+    * Output: (doc_id, group_id) for every node present in `pairs`,
+    * group_id = min doc id reachable. Deterministic regardless of
+    * iteration or partition order.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // every node has >= 1 neighbour (it came from a pair), so the
+      // inner join keeps the full node set
+      val next = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("group_id"), col("nbr_min")).as("group_id"),
+          (col("nbr_min") < col("group_id")).as("_changed"))
+        .cache()
+      changed = next.filter(col("_changed")).count()
+      labels.unpersist()
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  // ---------------------------------------------------------------- //
   // Embedding cosine near-dup                                        //
   // ---------------------------------------------------------------- //
 

@@ -66,6 +66,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("connected components: chains close transitively, min id wins") {
+    // components: {1,2,3,4} (a chain), {10,11}, singletons absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components agree with naive BFS on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    // naive closure on the driver
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def component(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val expect = adj.keys.map(n => n -> component(n).min).toMap
+    val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("embedding near-dups: duplicate vector pairs at cosine 1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 2.0f), 0),
