@@ -418,6 +418,71 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
 
+    QueryDef("agg_cube",
+      // full grouping-set lattice (both axes + both margins + grand
+      // total) — one pass with an Expand, not 4 scans.
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    QueryDef("agg_pivot",
+      // pivot = key→column rotation: per-day event counts, one column
+      // per event type. Explicit value list keeps it a single
+      // conditional-agg pass (no extra distinct scan to discover
+      // keys); the oracle states the same rotation as FILTER aggs.
+      Some("""SELECT epoch_ns(ts)//86400000000000 AS day_bkt,
+             |       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+             |       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+             |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             |       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+             |       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir)
+        .groupBy(expr("ts div 86400000000000").as("day_bkt"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"))),
+
+    QueryDef("agg_approx_quantile",
+      // sketch-based quantiles (Greenwald-Khanna): like the HLL++
+      // contract, the pinned invariant is the ERROR BOUND against the
+      // exact interpolated median, not the sketch value (the sketches
+      // aren't cross-engine comparable). GK accuracy 10000 → rank
+      // error 1e-4·n; on this value distribution that lands well
+      // inside 2% relative.
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 6) AS med_exact,
+             |       true AS within_2pct
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir).groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("med_exact"),
+          expr("approx_percentile(value, 0.5, 10000)").as("_est"))
+        .select(col("event_type"), col("med_exact"),
+          (abs(col("_est") - col("med_exact")) / col("med_exact") <= 0.02)
+            .as("within_2pct"))),
+
+    QueryDef("join_salted",
+      // skew-proof dim join: the fact side is salted, the dim side
+      // replicated per salt, so one hot key spreads over `salts`
+      // reducers instead of funneling into one (ops.Skew). Results
+      // are identical to the plain join — which is exactly what the
+      // oracle states.
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, dir) => graft.ops.Skew.saltedJoin(
+          Tables.eventsRaw(s, dir).select(col("user_id"), col("value")),
+          Tables.customer(s, dir)
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          keys = Seq("user_id"), salts = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
+
     QueryDef("join_topk_q3",
       // TPC-H Q3 shape: selective 3-table join → grouped revenue →
       // global top-k (TakeOrderedAndProject after partial sort).
@@ -509,6 +574,32 @@ object SparkEntry {
         .withColumn("delta", col("value") - lag(col("value"), 1).over(
           Window.partitionBy(col("user_id")).orderBy(EventOrd: _*)))
         .select("event_id", "delta")),
+
+    QueryDef("win_rank_suite",
+      // the rest of the ranking-function surface in one window pass:
+      // dense_rank / ntile / percent_rank / cume_dist share a single
+      // sort (one Window node). The (price desc, key) order is total,
+      // so rank == row_number and every output is engine-independent;
+      // percent_rank and cume_dist are exact integer ratios in
+      // doubles.
+      Some("""SELECT o_orderkey,
+             |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       percent_rank() OVER w AS prnk,
+             |       cume_dist() OVER w AS cdist
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+      }),
 
     QueryDef("sort_limit_topk",
       // global top-k = per-partition top-k + driver merge
