@@ -783,6 +783,45 @@ object SparkEntry {
         .select(col("doc_id"), col("group_id"),
           (col("doc_id") === col("group_id")).as("is_canonical"))),
 
+    QueryDef("ext_dedup_apply",
+      // the dedup pipeline's last step: group resolution applied to
+      // the corpus — every non-canonical member (doc_id != its
+      // component min) is anti-joined away, canonical members and
+      // untouched docs survive. This is the operator a user actually
+      // runs; pairs and groups are its internals.
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+             |  FROM (SELECT doc_id, lang, n_chars // 20 AS len_bkt,
+             |               list_distinct(string_split(text, ' ')) AS toks
+             |        FROM documents) l
+             |  JOIN (SELECT doc_id, lang, n_chars // 20 AS len_bkt,
+             |               list_distinct(string_split(text, ' ')) AS toks
+             |        FROM documents) r
+             |    ON l.lang = r.lang AND l.len_bkt = r.len_bkt AND l.doc_id < r.doc_id
+             |  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
+             |        (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.9),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM base
+             |          UNION SELECT b_id, a_id FROM base),
+             |reach(src, dst) AS (
+             |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |drop_ids AS (
+             |  SELECT src AS doc_id FROM reach GROUP BY src
+             |  HAVING src <> min(dst))
+             |SELECT doc_id, lang FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val dropIds = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(docs, lenBucket = 20, threshold = 0.9)
+              .select("a_id", "b_id"))
+          .filter(col("doc_id") =!= col("group_id"))
+          .select("doc_id")
+        docs.join(dropIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+      }),
+
     QueryDef("ext_dedup_embedding",
       Some("""WITH m AS (
              |  SELECT vec_id, label,
