@@ -537,6 +537,116 @@ object SparkEntry {
             count(lit(1)).as("n"))
       }),
 
+    QueryDef("join_left_outer",
+      // TPC-H Q13 shape: order-count distribution per customer. The
+      // orders side is pre-aggregated to one row per customer BEFORE
+      // the outer join, so the shuffle moves |customers| rows instead
+      // of |orders|; customers with no qualifying order survive the
+      // left outer join with c_count = 0.
+      Some("""WITH oc AS (SELECT o_custkey, count(*) AS n FROM orders
+             |            WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+             |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c_custkey, CAST(coalesce(n, 0) AS BIGINT) AS c_count
+             |  FROM customer LEFT OUTER JOIN oc ON c_custkey = o_custkey)
+             |GROUP BY c_count""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))),
+
+    QueryDef("join_outer_full",
+      // full outer join over two independently-aggregated daily
+      // series — order placements vs shipments. Ship lag makes the
+      // two key sets differ structurally at every scale factor (tail
+      // days are ship-only, day one is order-only), so both null
+      // sides are exercised; aggregate-then-join keeps the outer
+      // join at one row per day per side.
+      Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_ord
+             |           FROM orders GROUP BY 1),
+             |     l AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ship
+             |           FROM lineitem GROUP BY 1)
+             |SELECT strftime(coalesce(o.d, l.d), '%Y-%m-%d') AS day,
+             |       CAST(coalesce(n_ord, 0) AS BIGINT) AS n_orders,
+             |       CAST(coalesce(n_ship, 0) AS BIGINT) AS n_shipped
+             |FROM o FULL OUTER JOIN l ON o.d = l.d""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("od"))
+          .agg(count(lit(1)).as("n_ord"))
+        val l = Tables.lineitem(s, dir)
+          .groupBy(to_date(col("l_shipdate")).as("ld"))
+          .agg(count(lit(1)).as("n_ship"))
+        o.join(l, col("od") === col("ld"), "full_outer")
+          .select(date_format(coalesce(col("od"), col("ld")), "yyyy-MM-dd").as("day"),
+            coalesce(col("n_ord"), lit(0L)).as("n_orders"),
+            coalesce(col("n_ship"), lit(0L)).as("n_shipped"))
+      }),
+
+    QueryDef("agg_having",
+      // TPC-H Q18 shape: large-volume orders — HAVING over a grouped
+      // sum, then enrichment joins. The HAVING filter runs on the
+      // partially-aggregated per-order rows (a fraction of a percent
+      // survive), so both joins see a tiny probe side; quantities are
+      // integral doubles, so the sums are exact at any merge order.
+      Some("""SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             |       o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+             |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+             |JOIN orders   ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))),
+
+    QueryDef("join_scalar_subquery",
+      // TPC-H Q17 shape: correlated scalar subquery — lineitems under
+      // 20% of their part's average quantity. The correlation is
+      // expressed as a window aggregate over the brand-filtered join
+      // (one shuffle on p_partkey, no self-join of the fact table —
+      // the decorrelated-aggregate plan Catalyst would build, minus
+      // the second lineitem scan). Quantities are integral, so
+      // avg = sum/count is exact and 0.2·avg is one IEEE op on both
+      // engines.
+      Some("""SELECT CAST(sum(CAST(floor((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / 7.0 AS avg_yearly,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#1'
+             |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("qty_cap",
+          avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))) * 0.2)
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))),
+
+    QueryDef("agg_grouping_sets",
+      // explicit GROUPING SETS (finer-grained than cube/rollup):
+      // totals by (returnflag, linestatus), by returnflag, and grand
+      // total in one pass — Expand emits only the three requested
+      // sets, partial aggregation collapses them map-side.
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
     // ---- window functions / sorts / limits / set ops (§2.7) ---- //
 
     QueryDef("win_topn_per_group",
@@ -600,6 +710,24 @@ object SparkEntry {
           percent_rank().over(w).as("prnk"),
           cume_dist().over(w).as("cdist"))
       }),
+
+    QueryDef("win_range_frame",
+      // time-based RANGE frame: each event's trailing-1-hour per-user
+      // total — the README's "volume in the last hour" capability as
+      // a per-row window. Peers at the same millisecond enter the
+      // frame together on both engines, and micro-unit accumulation
+      // keeps the frame sum order-independent.
+      Some("""SELECT event_id,
+             |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_ns(ts)//1000000
+             |         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS trail_1h
+             |FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("trail_1h", sum(floor(col("value") * 1000000.0)).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+            .rangeBetween(-3600000L, Window.currentRow))
+          .cast("double") / 1000000.0)
+        .select("event_id", "trail_1h")),
 
     QueryDef("sort_limit_topk",
       // global top-k = per-partition top-k + driver merge
@@ -1007,6 +1135,21 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
           .cast("long").as("re_tokens"))),
+
+    QueryDef("ext_wordcount",
+      // the canonical corpus profile: explode → count → global top-k
+      // vocabulary. Partial aggregation collapses each partition's
+      // token counts before the shuffle, and the top-k runs as
+      // TakeOrderedAndProject — the full vocabulary is never sorted.
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |WHERE tok <> ''
+             |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(50)),
 
     QueryDef("ext_text_clean",
       // scrub pipeline (lowercase, digit-fold, whitespace-collapse,
