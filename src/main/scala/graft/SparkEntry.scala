@@ -1217,6 +1217,38 @@ object SparkEntry {
         when((col("doc_id") * 2654435761L) % 100 < 90, "train")
           .otherwise("eval").as("split"))),
 
+    QueryDef("ext_domain_cap",
+      // per-domain document cap (anti-bias step in corpus assembly):
+      // keep at most 15 docs per source, chosen by hashed-id order so
+      // the survivors are a deterministic pseudo-random subset rather
+      // than the first rows in storage order. One window pass; at
+      // scale the heavy-hitter domains are exactly the partitions AQE
+      // skew-handling splits.
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+             |  FROM documents) WHERE rn <= 15""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy((col("doc_id") * 2654435761L) % 1000000007L, col("doc_id"))))
+        .filter(col("rn") <= 15)
+        .select("doc_id", "source")),
+
+    QueryDef("ext_stratified_sample",
+      // language-rebalancing sample: downsample the dominant language
+      // (en → 10%) and keep half of everything else, by the same
+      // stateless multiplicative hash as ext_data_split — reproducible
+      // on any engine, no sampling state, no shuffle (pure filter).
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (doc_id * 2654435761) % 100 <
+             |      CASE lang WHEN 'en' THEN 10 ELSE 50 END""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .filter((col("doc_id") * 2654435761L) % 100 <
+          when(col("lang") === "en", 10).otherwise(50))
+        .select("doc_id", "lang")),
+
     QueryDef("ext_corpus_stats",
       // per-language corpus profile with exact interpolated quantiles
       // (Spark percentile ≡ DuckDB quantile_cont: rank p·(n−1), linear
