@@ -177,6 +177,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows once the watermark closes the bound") {
+    // outer stream-stream semantics: an unmatched left row may only be
+    // emitted (with nulls) after the global watermark proves no future
+    // right row can still fall inside the join bound — state stays
+    // watermark-bounded on both sides.
+    implicit val ctx = spark.sqlContext
+    val trades = MemoryStream[(String, Long, Double)]
+    val quotes = MemoryStream[(String, Long, Double)]
+    val t = trades.toDF().toDF("coin", "t_ms", "qty")
+      .withColumn("t_time", timestamp_millis(col("t_ms")))
+      .withWatermark("t_time", "10 seconds")
+    val qs = quotes.toDF().toDF("q_coin", "q_ms", "px")
+      .withColumn("q_time", timestamp_millis(col("q_ms")))
+      .withWatermark("q_time", "10 seconds")
+    val joined = t.join(qs,
+      col("coin") === col("q_coin") &&
+        col("q_time") >= col("t_time") - expr("INTERVAL 10 SECONDS") &&
+        col("q_time") <= col("t_time"),
+      "left_outer")
+      .select("coin", "t_ms", "px")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-ssj-outer")).start()
+    try {
+      val t0 = 1704067200000L
+      quotes.addData(("BTC", t0 - 5000, 100.0))          // matches the BTC trade
+      trades.addData(("BTC", t0, 2.0), ("ETH", t0, 3.0)) // ETH has no quote at all
+      q.processAllAvailable()
+      // advance BOTH watermarks far past t0's bound, twice: the outer
+      // result is emitted in a batch after the watermark update lands
+      for (adv <- Seq(600000L, 1200000L)) {
+        quotes.addData(("ZZQ", t0 + adv, 0.0))
+        trades.addData(("ZZT", t0 + adv, 0.0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ssj_outer")
+        .filter(col("t_ms") === t0)
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(2)))).toSet
+      assert(rows == Set(("BTC", Some(100.0)), ("ETH", None)))
+    } finally q.stop()
+  }
+
   test("routed sink recovers from checkpoint: stop, restart, no duplicates") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
