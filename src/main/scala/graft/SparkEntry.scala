@@ -1249,6 +1249,39 @@ object SparkEntry {
           when(col("lang") === "en", 10).otherwise(50))
         .select("doc_id", "lang")),
 
+    QueryDef("ext_decontaminate",
+      // benchmark decontamination: drop every corpus doc that shares a
+      // 5-token shingle with the held-out set (source = 'src0' stands
+      // in for the eval benchmark). The benchmark's distinct shingles
+      // broadcast (eval sets are tiny next to the corpus); the corpus
+      // side explodes shingles scan-side into a semi-join, and the
+      // verdict applies as one anti-join — no pairwise comparison
+      // anywhere. Docs under 5 tokens emit no shingles on either
+      // engine.
+      Some("""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT doc_id, source, array_to_string(ts[i:i+4], ' ') AS g
+             |       FROM tok, unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)),
+             |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+             |bad AS (SELECT DISTINCT doc_id FROM sh
+             |        WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+             |SELECT doc_id, source FROM documents
+             |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def shingles(df: DataFrame) = df
+          .withColumn("ts", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            "transform(if(size(ts) >= 5, sequence(1, size(ts) - 4), array()), " +
+              "i -> concat_ws(' ', slice(ts, i, 5)))")).as("g"))
+        val bench = shingles(docs.filter(col("source") === "src0"))
+          .select("g").distinct()
+        val corpus = docs.filter(col("source") =!= "src0")
+        val bad = shingles(corpus)
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        corpus.join(bad, Seq("doc_id"), "left_anti").select("doc_id", "source")
+      }),
+
     QueryDef("ext_corpus_stats",
       // per-language corpus profile with exact interpolated quantiles
       // (Spark percentile ≡ DuckDB quantile_cont: rank p·(n−1), linear
