@@ -88,6 +88,27 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(sim != 0L)
   }
 
+  test("catalog plan audit: broadcasts, top-k, and shuffle counts are as designed") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+    // Q18-shape: both enrichment joins must avoid shuffling the big side
+    // (customer broadcasts; the HAVING-filtered order list is tiny)
+    assert(plan("agg_having").contains("BroadcastHashJoin"))
+    // top-k vocabulary must be TakeOrderedAndProject, never a full sort
+    assert(plan("ext_wordcount").contains("TakeOrderedAndProject"))
+    assert(plan("sort_limit_topk").contains("TakeOrderedAndProject"))
+    // decorrelated Q17: the correlation is ONE window pass — no
+    // second scan of lineitem for the subquery side
+    val q17 = plan("join_scalar_subquery")
+    assert(q17.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 2,
+      s"Q17 should scan lineitem once and part once:\n$q17")
+    // decontamination: benchmark shingles broadcast into a semi-join
+    val deco = plan("ext_decontaminate")
+    assert(deco.contains("BroadcastHashJoin") && deco.contains("LeftSemi"))
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem keys") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val Row = li.agg(
