@@ -181,28 +181,42 @@ object Dedup {
     // costs far more than the data pass itself (measured 86 s → 3 s
     // at sf0.1). Checkpointing truncates the plan to the materialized
     // blocks, so every round optimizes a constant-size tree.
+    //
+    // No distinct() on the edge list: the min-aggregation is
+    // idempotent under duplicate edges, and dropping the dedup saves
+    // a full shuffle over the largest intermediate.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id"))
+    // round 1 fused into initialization: every node starts at
+    // min(self, direct neighbours) — one aggregation also yields the
+    // node set (every node in `pairs` has >= 1 edge row).
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("group_id"))
       .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // every node has >= 1 neighbour (it came from a pair), so the
-      // inner join keeps the full node set
+    // convergence via label-sum stability: labels only ever decrease,
+    // so an unchanged sum == no label moved — ONE scalar aggregate per
+    // round instead of a join-back against the previous labels.
+    // (Exact in Long for sum(ids) < 2^63; a deployment with larger id
+    // mass swaps in sum(cast as decimal) at the same call site.)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("group_id"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 1
+    var changed = true
+    while (changed && iter < maxIter) {
       val next = edges
-        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr_label")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nbr_label")).as("nbr_min"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"), least(col("group_id"), col("nbr_min")).as("group_id"),
-          (col("nbr_min") < col("group_id")).as("_changed"))
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("lbl")), "dst")
+        .select(col("src").as("doc_id"), col("lbl").as("group_id"))
+        .union(labels)
+        .groupBy("doc_id")
+        .agg(min(col("group_id")).as("group_id"))
         .localCheckpoint()
-      changed = next.filter(col("_changed")).count()
-      labels = next.drop("_changed")
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
+      labels = next
       iter += 1
     }
     labels
