@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, SimHashExpr}
+import graft.functions.{DotProductExpr, SimHashExpr, TokenCountExpr}
+import graft.plans.ReplaceTokenCount
 
 /** SparkSessionExtensions hook exposing graft's custom expressions to
   * SQL users (`spark.sql("SELECT graft_dot(a, b) ...")`). Activated by
@@ -26,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_simhash(text) takes one string arg")
         SimHashExpr(exprs.head)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "graft_token_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_token_count(text) takes one string arg")
+        TokenCountExpr(exprs.head)
+      }))
+    e.injectOptimizerRule(_ => ReplaceTokenCount)
   }
 }

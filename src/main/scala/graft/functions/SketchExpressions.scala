@@ -45,6 +45,18 @@ object Sketches {
     h
   }
 
+  /** Token count = spaces + 1: exactly `size(split(text, ' '))`
+    * (single-space regex, limit −1 keeps trailing empties) without
+    * building the token array.
+    */
+  def countTokens(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') n += 1; i += 1 }
+    n
+  }
+
   /** Hash every space-separated token of `text`. */
   def tokenHashes(text: UTF8String): Array[Long] = {
     val bytes = text.getBytes
@@ -178,6 +190,24 @@ abstract class TextSketchExpr extends UnaryExpression {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
   }
+}
+
+/** `size(split(text, ' '))` as one counting pass — no token array.
+  * Installed automatically by [[graft.plans.ReplaceTokenCount]]; also
+  * registered for SQL as `graft_token_count`.
+  */
+case class TokenCountExpr(child: Expression) extends TextSketchExpr {
+  override def prettyName: String = "graft_token_count"
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Integer.valueOf(Sketches.countTokens(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.Sketches.countTokens($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** text → array<long> of distinct (or raw) shingle codes. */
