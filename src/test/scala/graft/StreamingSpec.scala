@@ -122,6 +122,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained windowed aggregations: 1-minute pre-agg re-rolled to 5-minute windows") {
+    // two stateful operators in one streaming query (Spark ≥3.4 in
+    // append mode): the fine window pre-aggregates — at scale that is
+    // the map-side reduction — and window_time() feeds the coarse
+    // roll-up. Both finalize as the watermark passes.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val fine = ms.toDF().toDF("coin", "ts_ms", "vol")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 minute"), col("coin"))
+      .agg(sum(col("vol")).as("vol1m"))
+    val coarse = fine
+      .groupBy(window(window_time(col("window")), "5 minutes"), col("coin"))
+      .agg(sum(col("vol1m")).as("vol5m"), count(lit(1)).as("n_minutes"))
+    val q = coarse.writeStream.format("memory").queryName("chain_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-chain")).start()
+    try {
+      val t0 = 1704067200000L // top of an hour
+      ms.addData(("BTC", t0, 1.0), ("BTC", t0 + 60000, 2.0),
+        ("BTC", t0 + 120000, 4.0), ("ETH", t0, 8.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both window layers
+      ms.addData(("ZZZ", t0 + 900000, 0.0))
+      q.processAllAvailable()
+      ms.addData(("ZZZ", t0 + 1800000, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("chain_out").collect()
+        .map(r => (r.getAs[org.apache.spark.sql.Row]("window").getAs[java.sql.Timestamp](0).getTime,
+          r.getAs[String]("coin"), r.getAs[Double]("vol5m"), r.getAs[Long]("n_minutes"))).toSet
+      assert(rows.contains((t0, "BTC", 7.0, 3L)) && rows.contains((t0, "ETH", 8.0, 1L)),
+        s"unexpected: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join: stream enriched against a dimension table") {
     implicit val ctx = spark.sqlContext
     val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ethereum")).toDF("coin", "name")
