@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextStats}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextStats, TopK}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
   * and — when ANSI-SQL-expressible — the DuckDB oracle that must
@@ -728,6 +728,23 @@ object SparkEntry {
             .rangeBetween(-3600000L, Window.currentRow))
           .cast("double") / 1000000.0)
         .select("event_id", "trail_1h")),
+
+    QueryDef("agg_topk_heap",
+      // per-group top-k WITHOUT the window sort: ops.TopK's typed
+      // Aggregator keeps a k-bounded buffer, so map-side partials
+      // reduce each partition to ≤ k rows per key before the shuffle
+      // — at scale the win over row_number() is not sorting the heavy
+      // groups. The oracle states the window form; the results are
+      // identical because (value DESC, event_id ASC) is a total order.
+      Some("""SELECT event_type, rnk, value, event_id FROM (
+             |  SELECT event_type, value, event_id,
+             |         CAST(row_number() OVER (PARTITION BY event_type
+             |              ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+             |  FROM events) WHERE rnk <= 5""".stripMargin),
+      (s, dir) => TopK.topKPerGroup(
+        Tables.eventsRaw(s, dir).select("event_type", "value", "event_id"),
+        groupCol = "event_type", valueCol = "value", idCol = "event_id", k = 5)
+        .select("event_type", "rnk", "value", "event_id")),
 
     QueryDef("sort_limit_topk",
       // global top-k = per-partition top-k + driver merge

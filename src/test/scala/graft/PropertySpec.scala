@@ -70,4 +70,25 @@ object PropertySpec extends Properties("graft") {
       .head().getLong(0)
     fp >= 0 && fp < 1000000007L
   }
+
+  property("TopK aggregator equals window row_number top-k on random data") =
+    forAll(Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 9)))
+    )) { rows =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // duplicate values across groups + few distinct values force the
+      // tiebreak path; 8 partitions force non-trivial partial merges
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v.toDouble, i.toLong) }
+        .toDF("g", "v", "id").repartition(8)
+      val got = graft.ops.TopK.topKPerGroup(df, "g", "v", "id", k = 3)
+        .select("g", "rnk", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val want = df.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))).cast("long"))
+        .filter(col("rnk") <= 3).select("g", "rnk", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      got == want
+    }
 }
