@@ -770,6 +770,64 @@ object SparkEntry {
         days("purchase").except(days("error"))
       }),
 
+    QueryDef("agg_stats_moments",
+      // variance / stddev / correlation with EXACT cross-engine
+      // determinism: l_quantity and l_linenumber are integral, so all
+      // five moment sums are exact BIGINTs and the final variance /
+      // corr arithmetic is one fixed IEEE sequence on both engines —
+      // no Welford-vs-naive accumulation drift, unlike the built-in
+      // var_samp/corr on doubles.
+      Some("""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / (n - 1) AS var_qty,
+             |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n) / (n - 1)) AS std_qty,
+             |       (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy) /
+             |         (sqrt(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) *
+             |          sqrt(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy)) AS corr_qty_line
+             |FROM (SELECT l_returnflag, count(*) AS n,
+             |             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             |             sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS sxx,
+             |             sum(CAST(l_linenumber AS BIGINT)) AS sy,
+             |             sum(CAST(l_linenumber AS BIGINT)*CAST(l_linenumber AS BIGINT)) AS syy,
+             |             sum(CAST(l_quantity AS BIGINT)*CAST(l_linenumber AS BIGINT)) AS sxy
+             |      FROM lineitem GROUP BY l_returnflag)""".stripMargin),
+      (s, dir) => {
+        val x = col("l_quantity").cast("long")
+        val y = col("l_linenumber").cast("long")
+        Tables.lineitem(s, dir).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"),
+            sum(y).as("sy"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
+              / (col("n") - 1)).as("var_qty"),
+            sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
+              / (col("n") - 1)).as("std_qty"),
+            ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy")) /
+              (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx")) *
+                sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy"))))
+              .as("corr_qty_line"))
+      }),
+
+    QueryDef("set_intersect",
+      // (user, day) pairs active in BOTH purchases and clicks.
+      Some("""SELECT user_id, epoch_ns(ts)//86400000000000 AS day_bkt
+             |FROM events WHERE event_type = 'purchase'
+             |INTERSECT
+             |SELECT user_id, epoch_ns(ts)//86400000000000
+             |FROM events WHERE event_type = 'click'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.eventsRaw(s, dir)
+        def days(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day_bkt"))
+        days("purchase").intersect(days("click"))
+      }),
+
+    QueryDef("join_cross",
+      // explicit cartesian of two tiny dims (the only join shape where
+      // a cross product is the RIGHT plan — both sides broadcastable).
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region""".stripMargin),
+      (s, dir) => Tables.nation(s, dir).select("n_name")
+        .crossJoin(broadcast(Tables.region(s, dir).select("r_name")))),
+
     // ---- north-star: dedup (§2.11) ---- //
 
     QueryDef("ext_dedup_exact",
