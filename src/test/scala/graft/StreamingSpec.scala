@@ -50,6 +50,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dedup state is evicted past the delay") {
+    // the modern dedup API: guarantees within-delay duplicates are
+    // dropped AND state is evicted after it — so a key re-arriving far
+    // beyond the watermark is admitted again (bounded state, the
+    // property plain dropDuplicates only gets implicitly). Pinning
+    // both sides of that contract.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val deduped = ms.toDF().toDF("coin", "ts_ms", "px")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("coin")
+    val q = deduped.writeStream.format("memory").queryName("ddww_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-ddww")).start()
+    try {
+      val t0 = 1704067200000L
+      ms.addData(("BTC", t0, 1.0), ("BTC", t0 + 1000, 2.0)) // dup within delay
+      q.processAllAvailable()
+      ms.addData(("BTC", t0 + 2000, 3.0))                   // still within delay
+      q.processAllAvailable()
+      // advance the watermark far past t0, evicting BTC's entry …
+      ms.addData(("ADV", t0 + 600000, 0.0))
+      q.processAllAvailable()
+      // … so this re-arrival is a NEW row, not a duplicate
+      ms.addData(("BTC", t0 + 601000, 4.0))
+      q.processAllAvailable()
+      val btc = spark.table("ddww_out").filter(col("coin") === "BTC")
+        .select("px").collect().map(_.getDouble(0)).toSet
+      assert(btc == Set(1.0, 4.0), s"got $btc")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped, not deduped-and-emitted") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
