@@ -265,14 +265,21 @@ object SparkEntry {
           (sum(col("_micro")).cast("double") / 1000000.0).as("sum_price"))),
 
     QueryDef("join_semi_exists",
+      // EXISTS with a payload predicate: ∃ item. ship > orderdate ⟺
+      // max(ship) per order > orderdate, so the fact side partial-
+      // aggregates to ONE row per key before the semi join — the
+      // shuffle carries |orders| rows instead of |lineitem|, and the
+      // reduced build side is broadcast-eligible. The oracle states
+      // the naive EXISTS.
       Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
              |FROM orders
              |WHERE EXISTS (SELECT 1 FROM lineitem
              |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
              |GROUP BY o_orderpriority""".stripMargin),
       (s, dir) => Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        .join(Tables.lineitem(s, dir)
+            .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("max_ship")),
+          col("l_orderkey") === col("o_orderkey") && col("max_ship") > col("o_orderdate"),
           "left_semi")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))),
 
