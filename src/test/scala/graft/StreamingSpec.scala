@@ -289,6 +289,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("state store reader: checkpointed aggregation state is queryable as a DataFrame") {
+    // operational introspection at scale: the statestore data source
+    // reads a live checkpoint's state (per key, per partition) without
+    // touching the running query — debugging/repair tooling for
+    // hundred-executor state, driven here against the OHLC-style
+    // keyed count.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val cp = tmp("cp-ssr")
+    val agg = ms.toDF().toDF("coin", "vol")
+      .groupBy("coin").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("ssr_out")
+      .outputMode("update")
+      .option("checkpointLocation", cp).start()
+    try {
+      ms.addData(("BTC", 1.0), ("BTC", 2.0), ("ETH", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").option("path", cp).load()
+    // the state schema carries the physical aggregate name (`count`),
+    // not the query alias
+    val byCoin = state.select(col("key.coin"), col("value.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCoin == Map("BTC" -> 2L, "ETH" -> 1L), s"state was $byCoin")
+  }
+
   test("routed sink recovers from checkpoint: stop, restart, no duplicates") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
