@@ -109,6 +109,29 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(deco.contains("BroadcastHashJoin") && deco.contains("LeftSemi"))
   }
 
+  test("catalog-wide plan sweep: no accidental cartesian or nested-loop joins") {
+    // guards all 70+ queries at once: a dropped join predicate or a
+    // non-equi condition silently degrading to BroadcastNestedLoop /
+    // CartesianProduct is the classic 100 TB plan bug. Whitelisted,
+    // each with a bounded small side by construction:
+    //   join_cross    — intentional cartesian of two tiny dims;
+    //   ext_sim_topk  — brute-force ANN baseline IS all-pairs: the
+    //                   query set broadcasts against the corpus (the
+    //                   scale path is ext_sim_lsh / ext_sim_ivf);
+    //   ext_sim_ivf   — query→nearest-centroid assignment crosses
+    //                   |queries| × |centroids| (both small); corpus
+    //                   probing is the equi-join on cell id.
+    val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf")
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val bad = !allowed(name) &&
+        (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unplanned cross products in: $offenders")
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem keys") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val Row = li.agg(
