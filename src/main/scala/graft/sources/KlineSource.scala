@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 batch source standing in for the reference's REST
+  * kline poller (`/root/reference/kafka/producer-longtime.py:73-114`:
+  * 4 coins × 5 intervals fetched in parallel, ≤500 rows per fetch) —
+  * re-expressed as an ENGINE-NATIVE source so Spark plans the
+  * parallelism instead of a thread pool:
+  *
+  *  - one `InputPartition` per (coin, ≤chunk-rows window) — the unit
+  *    the reference fetches per HTTP call becomes the unit Spark
+  *    schedules, so a 1000-executor cluster fans the "fetches" out
+  *    with locality-free scheduling and speculative retry for free;
+  *  - column pruning (`SupportsPushDownRequiredColumns`) reaches the
+  *    row generator — unprojected fields are never materialized;
+  *  - `open_time` range filters (`SupportsPushDownFilters`) prune
+  *    whole partitions at PLANNING time — the incremental-poll
+  *    "only fetch past the watermark" pattern
+  *    (`streaming-longtime-raw.py:132-137`) without a driver-side
+  *    timestamp file.
+  *
+  * Rows are a deterministic hash-walk per (coin, index): reads are
+  * reproducible anywhere, like every other graft fixture path.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft-klines")
+  *   .option("coins", "BTC,ETH").option("interval", "1m")
+  *   .option("startMs", 1704067200000L).option("rows", 10000)
+  *   .option("chunkRows", 500)
+  *   .load()
+  * }}}
+  */
+class KlineSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-klines"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KlineSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KlineTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KlineSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("coin", StringType, nullable = false),
+    StructField("interval", StringType, nullable = false),
+    StructField("open_time", LongType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false),
+    StructField("close", DoubleType, nullable = false),
+    StructField("volume", DoubleType, nullable = false)))
+
+  private[sources] val IntervalMs: Map[String, Long] = Map(
+    "1s" -> 1000L, "1m" -> 60000L, "5m" -> 300000L,
+    "1h" -> 3600000L, "1d" -> 86400000L)
+
+  /** Deterministic per-(coin, idx) pseudo-random in [0, 1). */
+  private[sources] def unit(coin: String, idx: Long, salt: Long): Double = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < coin.length) { h = (h ^ coin.charAt(i)) * 0x100000001b3L; i += 1 }
+    h = (h ^ idx) * 0x100000001b3L
+    h = (h ^ salt) * 0x100000001b3L
+    // xorshift finalize, top 53 bits → double
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+    (h >>> 11).toDouble / (1L << 53).toDouble
+  }
+}
+
+private class KlineTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_klines"
+  override def schema(): StructType = KlineSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new KlineScanBuilder(options)
+}
+
+private class KlineScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = KlineSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  // planning-time partition pruning bounds on open_time
+  private var minTime: Long = Long.MinValue
+  private var maxTime: Long = Long.MaxValue
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("open_time", _: java.lang.Long) => true
+      case LessThan("open_time", _: java.lang.Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("open_time", v: java.lang.Long) =>
+        minTime = math.max(minTime, v)
+      case LessThan("open_time", v: java.lang.Long) =>
+        maxTime = math.min(maxTime, v)
+      case _ => ()
+    }
+    pushed = accepted
+    // accepted bounds prune partitions but rows at chunk edges still
+    // need the engine-side filter — report everything as residual
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new KlineScan(options, required, minTime, maxTime)
+}
+
+private case class KlineChunk(coin: String, interval: String,
+    startIdx: Long, rows: Int, startMs: Long, stepMs: Long)
+  extends InputPartition
+
+private class KlineScan(options: CaseInsensitiveStringMap,
+    required: StructType, minTime: Long, maxTime: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-klines pruned=[${required.fieldNames.mkString(",")}] " +
+      s"time=[$minTime,$maxTime)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val coins = options.getOrDefault("coins", "BTC,ETH,BNB,SOL")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val interval = options.getOrDefault("interval", "1m")
+    val step = KlineSource.IntervalMs.getOrElse(interval,
+      throw new IllegalArgumentException(s"unknown interval $interval"))
+    val startMs = options.getLong("startMs", 1704067200000L)
+    val rows = options.getLong("rows", 500L)
+    val chunk = options.getInt("chunkRows", 500)
+    val parts = for {
+      coin <- coins.toSeq
+      first <- 0L until rows by chunk.toLong
+      n = math.min(chunk.toLong, rows - first).toInt
+      // planning-time pruning: drop chunks wholly outside the pushed
+      // open_time bounds
+      chunkStart = startMs + first * step
+      chunkEnd = chunkStart + n * step
+      if chunkEnd > minTime && chunkStart < maxTime
+    } yield KlineChunk(coin, interval, first, n, startMs, step)
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KlineReaderFactory(required.fieldNames)
+}
+
+private class KlineReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new KlineReader(p.asInstanceOf[KlineChunk], fields)
+}
+
+/** Generates the chunk's rows; only the pruned-to columns are computed. */
+private class KlineReader(chunk: KlineChunk, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < chunk.rows }
+
+  override def get(): InternalRow = {
+    import KlineSource.unit
+    val idx = chunk.startIdx + i
+    val base = 100.0 * (1.0 + unit(chunk.coin, 0L, 7L))  // per-coin level
+    val drift = unit(chunk.coin, idx, 1L) - 0.5
+    val open = base * (1.0 + 0.1 * drift)
+    val close = base * (1.0 + 0.1 * (unit(chunk.coin, idx, 2L) - 0.5))
+    val values: Array[Any] = fields.map {
+      case "coin" => UTF8String.fromString(chunk.coin)
+      case "interval" => UTF8String.fromString(chunk.interval)
+      case "open_time" => chunk.startMs + idx * chunk.stepMs
+      case "open" => open
+      case "high" => math.max(open, close) * 1.01
+      case "low" => math.min(open, close) * 0.99
+      case "close" => close
+      case "volume" => 1000.0 * unit(chunk.coin, idx, 3L)
+      case other => throw new IllegalStateException(s"unknown column $other")
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

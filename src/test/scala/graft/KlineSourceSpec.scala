@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 kline source: partition planning, pruning, pushdown. */
+class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private val t0 = 1704067200000L
+
+  private def read(rows: Long = 2000, chunk: Int = 500) =
+    spark.read.format("graft-klines")
+      .option("coins", "BTC,ETH").option("interval", "1m")
+      .option("startMs", t0).option("rows", rows).option("chunkRows", chunk)
+      .load()
+
+  test("row count and schema: coins × rows, deterministic across reads") {
+    val df = read()
+    assert(df.count() == 2 * 2000)
+    assert(df.columns.toSeq == Seq("coin", "interval", "open_time",
+      "open", "high", "low", "close", "volume"))
+    val a = df.agg(sum(col("close"))).head().getDouble(0)
+    val b = read().agg(sum(col("close"))).head().getDouble(0)
+    assert(a == b, "generator must be deterministic")
+    // invariants the generator promises
+    val bad = df.filter(col("high") < col("low") ||
+      col("high") < col("open") || col("low") > col("close")).count()
+    assert(bad == 0)
+  }
+
+  test("one input partition per (coin, chunk) — the reference's fetch unit") {
+    assert(read(rows = 2000, chunk = 500).rdd.getNumPartitions == 2 * 4)
+    assert(read(rows = 2001, chunk = 500).rdd.getNumPartitions == 2 * 5)
+  }
+
+  test("open_time range filter prunes whole partitions at planning time") {
+    // chunks: [t0, t0+500m) [t0+500m, t0+1000m) … keep only the 2nd
+    val lo = t0 + 500L * 60000L
+    val hi = t0 + 1000L * 60000L
+    val filtered = read().filter(col("open_time") >= lo && col("open_time") < hi)
+    assert(filtered.rdd.getNumPartitions == 2,
+      s"expected 1 surviving chunk per coin, got ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() == 2 * 500)
+    // residual evaluation still exact at chunk edges
+    val edge = read().filter(col("open_time") >= lo + 60000L && col("open_time") < hi)
+    assert(edge.count() == 2 * 499)
+  }
+
+  test("column pruning reaches the row generator") {
+    val pruned = read().select("coin", "close")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("pruned=[coin,close]"),
+      s"scan description should show pruned columns:\n$plan")
+    assert(pruned.distinct().count() > 0)
+  }
+
+  test("source output flows into the enrichment pipeline shapes") {
+    val daily = read()
+      .groupBy(col("coin"), expr("open_time div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("volume")).as("vol"))
+    assert(daily.count() == 2 * 2) // 2000 minutes spans 2 days per coin
+  }
+}
