@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +86,7 @@ private class KlineTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_klines"
   override def schema(): StructType = KlineSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new KlineScanBuilder(options)
 }
@@ -127,6 +128,16 @@ private class KlineScanBuilder(options: CaseInsensitiveStringMap)
     new KlineScan(options, required, minTime, maxTime)
 }
 
+/** Stream position: klines emitted so far PER COIN (uniform index —
+  * one long is the whole frontier). JSON form lives in the query
+  * checkpoint, which is what makes restarts exactly-once: the
+  * reference's poll loop re-fetches overlapping windows and stores
+  * duplicates; here the committed offset IS the dedup.
+  */
+private case class KlineOffset(idx: Long) extends Offset {
+  override def json(): String = s"""{"idx":$idx}"""
+}
+
 private case class KlineChunk(coin: String, interval: String,
     startIdx: Long, rows: Int, startMs: Long, stepMs: Long)
   extends InputPartition
@@ -137,6 +148,8 @@ private class KlineScan(options: CaseInsensitiveStringMap,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KlineMicroBatchStream(options, required)
   override def description(): String =
     s"graft-klines pruned=[${required.fieldNames.mkString(",")}] " +
       s"time=[$minTime,$maxTime)"
@@ -165,6 +178,58 @@ private class KlineScan(options: CaseInsensitiveStringMap,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KlineReaderFactory(required.fieldNames)
+}
+
+/** The reference's continuous poll loop as a first-class streaming
+  * source: each trigger "fetches" the next `pollRows` klines per coin
+  * (the producer's ≤500-row REST page), planned as one partition per
+  * coin per micro-batch. Offsets checkpoint through the engine, so a
+  * restart resumes exactly after the last committed row — no
+  * overlapping-fetch duplicates to scrub downstream.
+  */
+private class KlineMicroBatchStream(options: CaseInsensitiveStringMap,
+    required: StructType) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val coins = options.getOrDefault("coins", "BTC,ETH,BNB,SOL")
+    .split(",").map(_.trim).filter(_.nonEmpty)
+  private val interval = options.getOrDefault("interval", "1m")
+  private val step = KlineSource.IntervalMs.getOrElse(interval,
+    throw new IllegalArgumentException(s"unknown interval $interval"))
+  private val startMs = options.getLong("startMs", 1704067200000L)
+  private val pollRows = options.getLong("pollRows", 500L)
+  // bounded feeds let tests drain the stream; defaults to unbounded
+  private val maxRows = options.getLong("rows", Long.MaxValue)
+
+  override def initialOffset(): Offset = KlineOffset(0L)
+  override def deserializeOffset(json: String): Offset = {
+    val idx = json.replaceAll("[^0-9]", "")
+    KlineOffset(if (idx.isEmpty) 0L else idx.toLong)
+  }
+  // admission control: each micro-batch admits one REST-page worth
+  // (`pollRows`) per coin — the engine commits exactly the offset we
+  // return, so restart resumes with nothing skipped or repeated
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KlineOffset].idx
+    KlineOffset(math.min(maxRows, s + pollRows))
+  }
+  override def reportLatestOffset(): Offset = KlineOffset(maxRows)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KlineOffset].idx
+    val e = end.asInstanceOf[KlineOffset].idx
+    if (e <= s) Array.empty
+    else coins.map(c =>
+      KlineChunk(c, interval, s, (e - s).toInt, startMs, step): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KlineReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private class KlineReaderFactory(fields: Array[String])
