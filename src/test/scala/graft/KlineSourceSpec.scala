@@ -82,6 +82,29 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("composed: native source drives the reference's hourly-volume pipeline") {
+    // the README's "coin volume over the last hour" workload with the
+    // engine-native source standing in for Kafka+producer: stream →
+    // event-time window → aggregate, all checkpointed
+    val cp = java.nio.file.Files.createTempDirectory("ksrc-cp3").toString
+    val agg = readStreamDf(rows = 180, poll = 90)
+      .withColumn("ts", timestamp_millis(col("open_time")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("coin"))
+      .agg(sum(col("volume")).as("volume"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("ksrc_ohlc")
+      .outputMode("complete")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ksrc_ohlc").collect()
+        .map(r => (r.getAs[String]("coin"), r.getAs[Long]("n")))
+      // 180 one-minute klines per coin = 3 full hours
+      assert(rows.count(_._1 == "BTC") == 3 && rows.count(_._1 == "ETH") == 3)
+      assert(rows.forall(_._2 == 60L))
+    } finally q.stop()
+  }
+
   test("micro-batch stream resumes from the committed offset after restart") {
     // file sink (memory sink cannot recover a checkpoint): stop after
     // the first frontier, restart with a further one — only the delta
