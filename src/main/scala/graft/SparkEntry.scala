@@ -80,6 +80,31 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         col("event_type"))),
 
+    QueryDef("proj_string_suite",
+      // the scalar string-function surface in one narrow projection
+      // (upper/lower/substring/concat/replace/trim/position/reverse)
+      // — pure scan-speed row functions, no shuffle anywhere.
+      Some("""SELECT p_partkey,
+             |       upper(p_name) AS up, lower(p_brand) AS lo,
+             |       substring(p_type, 1, 5) AS ty5,
+             |       concat(p_brand, ':', p_type) AS label,
+             |       CAST(length(p_name) AS BIGINT) AS len,
+             |       replace(p_name, ' ', '_') AS snake,
+             |       trim(concat(' ', p_brand, ' ')) AS trimmed,
+             |       CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+             |       reverse(p_brand) AS rev
+             |FROM part""".stripMargin),
+      (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        substring(col("p_type"), 1, 5).as("ty5"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("label"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        trim(concat(lit(" "), col("p_brand"), lit(" "))).as("trimmed"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        reverse(col("p_brand")).as("rev"))),
+
     // ---- filters / predicates (§2.4) ---- //
 
     QueryDef("filt_conj_equality",
@@ -716,6 +741,31 @@ object SparkEntry {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("prnk"),
           cume_dist().over(w).as("cdist"))
+      }),
+
+    QueryDef("win_first_last",
+      // navigation-function surface: first/last/nth need the FULL
+      // frame (default frame stops at CURRENT ROW, where last_value
+      // degenerates to the row itself); lead shares the ordering pass.
+      Some("""SELECT event_id,
+             |       first_value(value) OVER w2 AS first_v,
+             |       last_value(value) OVER w2 AS last_v,
+             |       nth_value(value, 3) OVER w2 AS third_v,
+             |       lead(value) OVER (PARTITION BY user_id
+             |         ORDER BY epoch_ns(ts)//1000000, event_id) AS next_v
+             |FROM events
+             |WINDOW w2 AS (PARTITION BY user_id
+             |              ORDER BY epoch_ns(ts)//1000000, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(EventOrd: _*)
+        val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          first(col("value")).over(wFull).as("first_v"),
+          last(col("value")).over(wFull).as("last_v"),
+          nth_value(col("value"), 3).over(wFull).as("third_v"),
+          lead(col("value"), 1).over(wOrd).as("next_v"))
       }),
 
     QueryDef("win_range_frame",
