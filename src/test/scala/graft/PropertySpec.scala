@@ -91,4 +91,15 @@ object PropertySpec extends Properties("graft") {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       got == want
     }
+
+  property("token-count rewrite is value-identical to size(split) on arbitrary strings") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "), Gen.const("  "),
+      Gen.const(""), Gen.const("\t")))) { parts =>
+      import org.apache.spark.sql.functions._
+      val s = parts.mkString
+      val df = Seq(Tuple1(s)).toDF("text")
+      // optimized path (rule rewrites) vs literal spaces+1 definition
+      val got = df.select(size(split(col("text"), " "))).head().getInt(0)
+      got == s.count(_ == ' ') + 1
+    }
 }
