@@ -1227,6 +1227,48 @@ object SparkEntry {
              |FROM s""".stripMargin),
       (s, dir) => TextStats.qualityScore(Tables.documents(s, dir))),
 
+    QueryDef("ext_quality_gate",
+      // the composed admission gate a corpus pipeline actually runs:
+      // length + type-token-ratio (scan-side array math) joined with
+      // the relational repetition signal (two-level agg whose map-side
+      // partials absorb the token explode), folded into one keep/drop
+      // verdict with a fixed reason precedence.
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |q AS (SELECT doc_id, len(toks) AS n_tok,
+             |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr FROM s),
+             |r AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tokens
+             |      FROM (SELECT doc_id, tok, count(*) AS cnt
+             |            FROM (SELECT doc_id, unnest(toks) AS tok FROM s)
+             |            GROUP BY doc_id, tok)
+             |      GROUP BY doc_id)
+             |SELECT q.doc_id,
+             |  CASE WHEN q.n_tok < 20 THEN 'too_short'
+             |       WHEN q.ttr <= 0.3 THEN 'low_ttr'
+             |       WHEN CAST(r.top_cnt AS DOUBLE) / r.n_tokens > 0.08 THEN 'repetitive'
+             |       ELSE 'ok' END AS reason,
+             |  (q.n_tok >= 20 AND q.ttr > 0.3 AND
+             |   CAST(r.top_cnt AS DOUBLE) / r.n_tokens <= 0.08) AS keep
+             |FROM q JOIN r ON q.doc_id = r.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = split(col("text"), " ")
+        val q = docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+        val r = docs.select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_tokens"))
+        val topShare = col("top_cnt").cast("double") / col("n_tokens")
+        q.join(r, "doc_id").select(
+          col("doc_id"),
+          when(col("n_tok") < 20, "too_short")
+            .when(col("ttr") <= 0.3, "low_ttr")
+            .when(topShare > 0.08, "repetitive")
+            .otherwise("ok").as("reason"),
+          (col("n_tok") >= 20 && col("ttr") > 0.3 && topShare <= 0.08).as("keep"))
+      }),
+
     QueryDef("ext_text_fingerprint",
       Some("""SELECT doc_id,
              |       list_reduce(list_prepend(CAST(0 AS BIGINT),
