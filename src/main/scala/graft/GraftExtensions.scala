@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, SimHashExpr, TokenCountExpr}
+import graft.functions.{DotProductExpr, JaccardSortedExpr, ShingleCodesExpr, SimHashExpr, TokenCountExpr}
 import graft.plans.ReplaceTokenCount
 
 /** SparkSessionExtensions hook exposing graft's custom expressions to
@@ -33,6 +33,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 1, "graft_token_count(text) takes one string arg")
         TokenCountExpr(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleCodesExpr].getName, "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_shingles(text, n) takes text and a literal n")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be an integer literal, got $other")
+        }
+        ShingleCodesExpr(exprs.head, n, distinct = true)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_jaccard(a, b) takes two sorted array<long> args")
+        JaccardSortedExpr(exprs(0), exprs(1))
       }))
     e.injectOptimizerRule(_ => ReplaceTokenCount)
   }

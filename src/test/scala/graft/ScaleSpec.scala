@@ -86,6 +86,13 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val sim = spark.sql(
       "SELECT graft_simhash(text) FROM documents LIMIT 1").head().getLong(0)
     assert(sim != 0L)
+    // the whole near-dup primitive is SQL-expressible: shingle + jaccard
+    val jac = spark.sql(
+      """SELECT graft_jaccard(graft_shingles('a b c d', 1),
+        |                     graft_shingles('a b c x', 1)) AS j""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(jac - 3.0 / 5.0) < 1e-12, s"jaccard was $jac")
+    assert(spark.sql("SELECT graft_token_count('x y z')").head().getInt(0) == 3)
   }
 
   test("catalog plan audit: broadcasts, top-k, and shuffle counts are as designed") {
