@@ -105,6 +105,36 @@ object SparkEntry {
         instr(col("p_name"), "a").cast("long").as("pos_a"),
         reverse(col("p_brand")).as("rev"))),
 
+    QueryDef("proj_datetime_suite",
+      // the temporal scalar-function surface, normalized to the
+      // engine-neutral conventions (dow 0=Sunday, dates exported as
+      // strings, datediff in whole days against a fixed epoch).
+      Some("""SELECT o_orderkey,
+             |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |       CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+             |       CAST(date_part('doy', o_orderdate) AS BIGINT) AS doy,
+             |       CAST(date_part('week', o_orderdate) AS BIGINT) AS iso_week,
+             |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch
+             |FROM orders""".stripMargin),
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+          .as("days_since_epoch"))),
+
     // ---- filters / predicates (§2.4) ---- //
 
     QueryDef("filt_conj_equality",
