@@ -92,9 +92,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       seen
     }
     val expect = adj.keys.map(n => n -> component(n).min).toMap
-    val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+    // both paths must agree with the closure: the driver union–find
+    // fast path (default) and the distributed min-label loop
+    // (forced by a zero driver threshold)
+    val fast = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
       .as[(Long, Long)].collect().toMap
-    assert(got == expect)
+    val loop = Dedup.connectedComponents(edges.toDF("a_id", "b_id"),
+        driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == expect)
+    assert(loop == expect)
   }
 
   test("embedding near-dups: duplicate vector pairs at cosine 1") {
