@@ -1232,6 +1232,28 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_embed_centroid",
+      // per-label centroid of the embedding column — the vector
+      // aggregation under IVF training / cluster summaries. Exploded
+      // to (label, dim) so partial aggregation carries 64 scalar sums
+      // per label per partition; micro-unit accumulation keeps every
+      // centroid coordinate bit-identical at any partition order
+      // (float→double widening is exact on both engines).
+      Some("""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             |         / 1000000.0 / count(*) AS centroid
+             |FROM (SELECT label, unnest(embedding) AS v,
+             |             generate_subscripts(embedding, 1) AS i
+             |      FROM embeddings)
+             |GROUP BY label, i""".stripMargin),
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("v").cast("double") * 1000000.0)).cast("double")
+            / 1000000.0 / count(lit(1))).as("centroid"))),
+
     // ---- north-star: text analysis (§2.11) ---- //
 
     QueryDef("ext_text_stats",
