@@ -139,6 +139,53 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"unplanned cross products in: $offenders")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-dpp-fact"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("mo", month(col("event_ts")))
+      .write.mode("overwrite").partitionBy("mo").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = spark.range(1, 13).select(col("id").cast("int").as("mo"),
+      (col("id") === 1).as("wanted"))
+    val joined = fact.join(dim, Seq("mo")).filter(col("wanted"))
+      .groupBy("mo").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in:\n$plan")
+    assert(joined.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("runtime bloom filter: selective dim predicate filters the fact scan side") {
+    // the rule's size gates target real clusters (apply side > 10 GiB);
+    // lower them here to show the mechanism on fixture-size data
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set(saved(0)._1, "0")
+      conf.set(saved(1)._1, "100MB")
+      // broadcast-eligible joins skip the rule (the broadcast already
+      // prunes); force the shuffle-join path the rule targets
+      conf.set(saved(2)._1, "-1")
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val o = Tables.orders(spark, "/root/testdata/sf0.01")
+        .filter(col("o_totalprice") > 450000) // selective build side
+      // defeat broadcast so the shuffle-join runtime filter applies
+      val joined = li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+        plan.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem keys") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val Row = li.agg(
