@@ -1532,6 +1532,23 @@ object SparkEntry {
              |FROM documents""".stripMargin),
       (s, dir) => Multimodal.mediaStats(Tables.documents(s, dir))),
 
+    QueryDef("ext_multimodal_resize",
+      // resize/downsample plumbing over the binary payload: keep every
+      // 4th byte (Multimodal.downsample — the decode→scale→re-encode
+      // stand-in). The payload is ASCII text bytes, so the oracle
+      // mirrors the exact position arithmetic: floor(len/4) samples at
+      // stride 4 from byte 1.
+      Some("""SELECT doc_id,
+             |       array_to_string(list_transform(
+             |         generate_series(1, greatest(length(text) // 4, 1)),
+             |         i -> substring(text, (i - 1) * 4 + 1, 1)), '') AS ds,
+             |       CAST(greatest(length(text) // 4, 1) AS BIGINT) AS ds_bytes
+             |FROM documents""".stripMargin),
+      (s, dir) => Multimodal.downsample(Tables.documents(s, dir), factor = 4)
+        .select(col("doc_id"),
+          col("media_small").cast("string").as("ds"),
+          octet_length(col("media_small")).cast("long").as("ds_bytes"))),
+
     QueryDef("ext_multimodal_frames",
       // frame sampling exports (doc_id, frame_idx, frame_bytes); the
       // payload is UTF-8 text bytes (ASCII fixtures), so the oracle

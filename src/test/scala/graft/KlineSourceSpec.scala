@@ -54,6 +54,22 @@ class KlineSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.distinct().count() > 0)
   }
 
+  test("SQL catalog integration: CREATE TABLE ... USING `graft-klines`") {
+    spark.sql("DROP TABLE IF EXISTS klines_sql")
+    spark.sql(s"""CREATE TABLE klines_sql USING `graft-klines`
+                 |OPTIONS (coins 'BTC,ETH', interval '1m',
+                 |         startMs '$t0', rows '100', chunkRows '50')""".stripMargin)
+    try {
+      val n = spark.sql("SELECT count(*) FROM klines_sql").head().getLong(0)
+      assert(n == 2 * 100)
+      val perCoin = spark.sql(
+        """SELECT coin, count(*) AS n FROM klines_sql
+          |GROUP BY coin ORDER BY coin""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(perCoin == Seq(("BTC", 100L), ("ETH", 100L)))
+    } finally spark.sql("DROP TABLE IF EXISTS klines_sql")
+  }
+
   test("source output flows into the enrichment pipeline shapes") {
     val daily = read()
       .groupBy(col("coin"), expr("open_time div 86400000").as("day"))
