@@ -894,6 +894,22 @@ object SparkEntry {
               .as("corr_qty_line"))
       }),
 
+    QueryDef("set_union_all",
+      // UNION ALL keeps duplicates (no dedup shuffle — the reason to
+      // prefer it over UNION when inputs are known disjoint); the
+      // aggregate proves multiplicity is preserved.
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id FROM events WHERE value > 500.0)
+             |GROUP BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.eventsRaw(s, dir)
+        ev.filter(col("event_type") === "purchase").select("user_id")
+          .unionAll(ev.filter(col("value") > 500.0).select("user_id"))
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+      }),
+
     QueryDef("set_intersect",
       // (user, day) pairs active in BOTH purchases and clicks.
       Some("""SELECT user_id, epoch_ns(ts)//86400000000000 AS day_bkt
