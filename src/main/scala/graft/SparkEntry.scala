@@ -857,6 +857,35 @@ object SparkEntry {
         days("purchase").except(days("error"))
       }),
 
+    QueryDef("agg_mode",
+      // per-group mode: two-level aggregation (map-side partials
+      // collapse the (user, type) pairs) + deterministic argmax with
+      // a lexicographic tiebreak packed into one max_by key.
+      Some("""SELECT user_id, arg_max(event_type, printf('%012d', cnt) || event_type) AS top_type,
+             |       max(cnt) AS top_cnt
+             |FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM events GROUP BY user_id, event_type)
+             |GROUP BY user_id""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"),
+            concat(format_string("%012d", col("cnt")), col("event_type"))).as("top_type"),
+          max(col("cnt")).as("top_cnt"))),
+
+    QueryDef("agg_histogram",
+      // fixed-width numeric histogram: bucket = floor(value/100) —
+      // integer arithmetic, so the distribution profile is exact and
+      // engine-independent (the width_bucket shape without its
+      // edge-semantics differences).
+      Some("""SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) => Tables.eventsRaw(s, dir)
+        .groupBy(floor(col("value") / 100.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     QueryDef("agg_stats_moments",
       // variance / stddev / correlation with EXACT cross-engine
       // determinism: l_quantity and l_linenumber are integral, so all
