@@ -58,6 +58,24 @@ object Throughput {
     }.min
     println(f"""{"metric":"ingest_throughput","records":$n,"sec":$sec%.2f,"records_per_sec":${(n / sec).toLong}}""")
 
+    // native DSv2 source: generate-scan-aggregate through the
+    // graft-klines connector (sources.KlineSource) — the engine-owned
+    // replacement for the reference's REST poll loop
+    def sourcePipeline() = spark.read.format("graft-klines")
+      .option("coins", "BTC,ETH,BNB,SOL").option("interval", "1m")
+      .option("rows", n / 4).option("chunkRows", 100000)
+      .load()
+      .groupBy(col("coin"), expr("open_time div 3600000").as("hr"))
+      .agg(sum(col("volume")).as("vol"), max(col("high")), min(col("low")))
+      .write.mode("overwrite").format("noop").save()
+    sourcePipeline() // warm-up
+    val srcSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      sourcePipeline()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"""{"metric":"source_throughput","records":$n,"sec":$srcSec%.2f,"records_per_sec":${(n / srcSec).toLong}}""")
+
     // streaming mode: the same pipeline under micro-batch execution,
     // rate-source driven, counting rows that reach the sink
     val processed = new java.util.concurrent.atomic.AtomicLong(0)
