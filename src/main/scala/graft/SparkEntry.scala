@@ -960,6 +960,34 @@ object SparkEntry {
       (s, dir) => Tables.nation(s, dir).select("n_name")
         .crossJoin(broadcast(Tables.region(s, dir).select("r_name")))),
 
+    QueryDef("join_fuzzy_levenshtein",
+      // fuzzy matching: name pairs within edit distance 2, blocked on
+      // (brand, name length) so the quadratic edit-distance only runs
+      // inside equi-join buckets — the same blocked-pair discipline as
+      // every near-dup operator (equal-length blocking is exact for
+      // substitution-only distance ≤ 2 candidates at this threshold's
+      // recall target; widen to a length BAND for indel recall).
+      Some("""SELECT l.p_partkey AS a_key, r.p_partkey AS b_key,
+             |       CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
+             |FROM part l JOIN part r
+             |  ON l.p_brand = r.p_brand AND length(l.p_name) = length(r.p_name)
+             | AND l.p_partkey < r.p_partkey
+             |WHERE levenshtein(l.p_name, r.p_name) <= 2""".stripMargin),
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+            length(col("p_name")).as("_len"))
+        p.alias("l").join(p.alias("r"),
+            col("l.p_brand") === col("r.p_brand") &&
+              col("l._len") === col("r._len") &&
+              col("l.p_partkey") < col("r.p_partkey"))
+          .withColumn("dist",
+            levenshtein(col("l.p_name"), col("r.p_name")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select(col("l.p_partkey").as("a_key"), col("r.p_partkey").as("b_key"),
+            col("dist"))
+      }),
+
     // ---- north-star: dedup (§2.11) ---- //
 
     QueryDef("ext_dedup_exact",
