@@ -139,6 +139,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"unplanned cross products in: $offenders")
   }
 
+  test("_metadata column: file-level lineage rides along any parquet scan") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("_metadata.file_path").as("src_file"),
+        col("_metadata.file_size").as("src_bytes"))
+    val row = df.head()
+    assert(row.getAs[String]("src_file").contains("lineitem.parquet"))
+    assert(row.getAs[Long]("src_bytes") > 0)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-dpp-fact"
     Tables.events(spark, "/root/testdata/sf0.001")

@@ -289,6 +289,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("observe: per-batch pipeline metrics surface through query progress") {
+    // operational visibility without a second job: observe() attaches
+    // aggregates to the live stream; each micro-batch reports them in
+    // its progress event — the row-count/lag dashboards a production
+    // ingest needs, computed inside the existing pass.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val observed = ms.toDF().toDF("coin", "ts_ms", "vol")
+      .observe("ingest", count(lit(1)).as("rows"),
+        sum(col("vol")).as("volume"), max(col("ts_ms")).as("max_ts"))
+    val q = observed.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-obs")).start()
+    try {
+      val t0 = 1704067200000L
+      ms.addData(("BTC", t0, 2.0), ("ETH", t0 + 1000, 3.0))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("ingest"))).lastOption
+      assert(metrics.isDefined, "observed metrics missing from progress")
+      assert(metrics.get.getAs[Long]("rows") == 2L)
+      assert(metrics.get.getAs[Double]("volume") == 5.0)
+      assert(metrics.get.getAs[Long]("max_ts") == t0 + 1000)
+    } finally q.stop()
+  }
+
   test("state store reader: checkpointed aggregation state is queryable as a DataFrame") {
     // operational introspection at scale: the statestore data source
     // reads a live checkpoint's state (per key, per partition) without
