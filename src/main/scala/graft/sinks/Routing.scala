@@ -41,6 +41,34 @@ object Routing {
                        keys: Seq[String] = Seq("coin", "interval")): Unit =
     df.write.mode(SaveMode.Append).partitionBy(keys: _*).parquet(path)
 
+  /** Small-file compaction: streaming appends leave one file per
+    * micro-batch per partition; at scale the file count, not the
+    * bytes, kills scan planning. Re-writes `path` into
+    * ceil(totalBytes / targetFileBytes) files, sized from the scan's
+    * own `_metadata.file_size` (no filesystem listing pass). Write to
+    * a fresh directory then swap — an object store would commit via
+    * rename/manifest; the read-back-equality contract is pinned in
+    * `AvroSinkSpec`.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(path)
+    val totalBytes = df
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("f"),
+        org.apache.spark.sql.functions.col("_metadata.file_size").as("sz"))
+      .dropDuplicates("f")
+      .agg(org.apache.spark.sql.functions.sum("sz")).head().getLong(0)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "._compact_tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    nFiles
+  }
+
   /** Streaming form: checkpointed foreachBatch that routes each
     * micro-batch with one partitioned write (sink_foreach_batch +
     * sink_jdbc_append semantics, minus the per-group job storm).

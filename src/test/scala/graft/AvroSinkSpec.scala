@@ -51,4 +51,22 @@ class AvroSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(KlineIngest.hasRequiredColumns(df))
     assert(!KlineIngest.hasRequiredColumns(df.drop("interval")))
   }
+
+  test("compaction: many small files become few, data byte-identical") {
+    val out = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // simulate 20 micro-batch appends → ≥20 files
+    (1 to 20).foreach { i =>
+      spark.range(i * 100L, i * 100L + 50)
+        .select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1).write.mode("append").parquet(out)
+    }
+    def files = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(files >= 20)
+    val n = graft.sinks.Routing.compact(spark, out)
+    assert(files <= n && n < 20, s"expected few files, wrote $n, have $files")
+    val after = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(after == before)
+  }
 }
