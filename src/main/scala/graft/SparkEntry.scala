@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextStats, TopK}
+import graft.ops.{AsOfJoin, Cdc, Dedup, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
   * and — when ANSI-SQL-expressible — the DuckDB oracle that must
@@ -1652,7 +1652,199 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(col("features")).as(Seq("feat_idx", "feature")))
         .select(col("doc_id"), col("feat_idx").cast("long").as("feat_idx"),
-          col("feature").cast("double").as("feature")))
+          col("feature").cast("double").as("feature"))),
+
+    // ---- time-series repair / CDC / reshaping / profiling ---- //
+
+    QueryDef("ts_gap_fill",
+      // densify hourly per-type volume onto the full hour grid and
+      // forward-fill across gaps (ops.TimeSeries: spine from one
+      // broadcast min/max row, one window pass over bucket rows).
+      Some("""WITH b AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+             |                  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v_micro,
+             |                  CAST(count(*) AS BIGINT) AS n_obs
+             |           FROM events GROUP BY 1, 2),
+             |     bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+             |     spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             |               FROM (SELECT DISTINCT k FROM b), bounds)
+             |SELECT s.k AS event_type, epoch_ms(s.bucket) AS bucket_ms,
+             |       last_value(b.v_micro IGNORE NULLS)
+             |         OVER (PARTITION BY s.k ORDER BY s.bucket
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_micro,
+             |       coalesce(b.n_obs, 0) AS n_obs,
+             |       b.n_obs IS NULL AS is_gap
+             |FROM spine s LEFT JOIN b ON s.k = b.k AND s.bucket = b.bucket""".stripMargin),
+      (s, dir) => TimeSeries.gapFillFF(Tables.events(s, dir),
+          col("event_type"), col("event_ts"),
+          floor(col("value") * 1000000.0).cast("long"), "hour")
+        .select(col("k").as("event_type"), unix_millis(col("bucket")).as("bucket_ms"),
+          col("v_micro"), col("n_obs"), col("is_gap"))),
+
+    QueryDef("etl_cdc_apply",
+      // changelog → current snapshot (latest-wins upsert/delete apply;
+      // the reference's Debezium config, conf.json, feeds exactly this
+      // shape). ONE hash agg via max_by — the shuffle carries |keys|
+      // rows, not |changes|; no window sort.
+      Some(s"""WITH c AS (SELECT user_id, $EventOrdKeySql AS seq,
+             |                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |                  event_type, value
+             |           FROM events),
+             |     a AS (SELECT user_id, max(seq) AS last_seq, arg_max(op, seq) AS op,
+             |                  arg_max(event_type, seq) AS last_type,
+             |                  arg_max(value, seq) AS last_value
+             |           FROM c GROUP BY user_id)
+             |SELECT user_id, last_seq, last_type, last_value FROM a WHERE op <> 'D'""".stripMargin),
+      (s, dir) => Cdc.applyLatest(Tables.events(s, dir),
+          key = col("user_id"), seq = EventOrdKey,
+          op = when(col("event_type") === "error", "D").otherwise("U"),
+          deleteOp = "D",
+          payload = Seq("last_type" -> col("event_type"),
+            "last_value" -> col("value")))
+        .select(col("k").as("user_id"), col("last_seq"),
+          col("last_type"), col("last_value"))),
+
+    QueryDef("etl_scd2",
+      // type-2 dimension build: collapse each customer's order-status
+      // history to validity intervals (change-detect via lag, close
+      // via lead — one shuffle, Exchange/Sort reused by both windows).
+      Some("""WITH h AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             |                  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |                      ORDER BY o_orderdate, o_orderkey) AS prev
+             |           FROM orders),
+             |     chg AS (SELECT * FROM h WHERE prev IS NULL OR prev <> o_orderstatus)
+             |SELECT o_custkey, o_orderstatus AS attr,
+             |       epoch_ms(o_orderdate) AS eff_from_ms,
+             |       epoch_ms(lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey)) AS eff_to_ms,
+             |       CAST(row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version,
+             |       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
+             |FROM chg""".stripMargin),
+      (s, dir) => Cdc.scd2(Tables.orders(s, dir),
+          key = col("o_custkey"),
+          ord = Seq(col("o_orderdate"), col("o_orderkey")),
+          attr = col("o_orderstatus"), effTime = col("o_orderdate"))
+        .select(col("k").as("o_custkey"), col("attr"),
+          unix_millis(col("eff_from").cast("timestamp")).as("eff_from_ms"),
+          unix_millis(col("eff_to").cast("timestamp")).as("eff_to_ms"),
+          col("version"), col("is_current"))),
+
+    QueryDef("agg_unpivot",
+      // wide → long reshape (UNPIVOT): grouped measures stacked into
+      // (measure, value) rows — `stack` is a generator projection, so
+      // the reshape adds zero shuffles after the aggregation.
+      Some("""WITH w AS (SELECT l_returnflag,
+             |                  sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS qty,
+             |                  sum(CAST(floor((l_extendedprice) * 1000000.0) AS BIGINT)) AS base,
+             |                  sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0) AS BIGINT)) AS rev
+             |           FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'sum_qty' AS measure, CAST(qty AS DOUBLE) / 1000000.0 AS val FROM w
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_base', CAST(base AS DOUBLE) / 1000000.0 FROM w
+             |UNION ALL
+             |SELECT l_returnflag, 'revenue', CAST(rev AS DOUBLE) / 1000000.0 FROM w""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(sum(floor(col("l_quantity") * 1000000.0)).as("qty"),
+          sum(floor(col("l_extendedprice") * 1000000.0)).as("base"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1000000.0)).as("rev"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'sum_qty', qty, 'sum_base', base, 'revenue', rev) AS (measure, v_micro)")
+        .select(col("l_returnflag"), col("measure"),
+          (col("v_micro").cast("double") / 1000000.0).as("val"))),
+
+    QueryDef("proj_array_suite",
+      // the higher-order array-function surface (filter/aggregate
+      // lambdas, sort/distinct/slice/join) in one scan-speed
+      // projection — all codegen'd, no UDFs, no shuffle.
+      Some("""SELECT doc_id,
+             |       CAST(len(l) AS BIGINT) AS n_tok,
+             |       CAST(len(list_filter(l, x -> len(x) > 4)) AS BIGINT) AS n_long,
+             |       CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT) AS n_chars_tok,
+             |       array_to_string(list_sort(list_distinct(l))[1:3], ',') AS head3,
+             |       l[-1] AS last_tok
+             |FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)""".stripMargin),
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("n_chars_tok"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("head3"),
+          element_at(toks, -1).as("last_tok"))
+      }),
+
+    QueryDef("ext_profile_columns",
+      // dataset profiler: per-column rowcount / nulls / exact NDV /
+      // min / max over `orders`, ONE scan (multi-distinct runs through
+      // Catalyst's Expand — ×5 rows map-side, still a single shuffle;
+      // the 100 TB variant swaps exact NDV for approx_count_distinct
+      // at the same call sites). Numerics/timestamps profile as exact
+      // micro-unit / epoch-ms BIGINTs, strings as min/max VARCHAR —
+      // no double→string formatting in the contract.
+      Some("""SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+             |       min(o_orderkey) AS min_num, max(o_orderkey) AS max_num,
+             |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+             |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             |       min(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)),
+             |       max(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)),
+             |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+             |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             |       epoch_ms(min(o_orderdate)), epoch_ms(max(o_orderdate)),
+             |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |       min(o_orderstatus), max(o_orderstatus)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+             |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |       min(o_orderpriority), max(o_orderpriority)
+             |FROM orders""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("k_null"),
+          count_distinct(col("o_orderkey")).as("k_ndv"),
+          min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("p_null"),
+          count_distinct(col("o_totalprice")).as("p_ndv"),
+          min(floor(col("o_totalprice") * 1000000.0).cast("long")).as("p_min"),
+          max(floor(col("o_totalprice") * 1000000.0).cast("long")).as("p_max"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("d_null"),
+          count_distinct(col("o_orderdate")).as("d_ndv"),
+          unix_millis(min(col("o_orderdate")).cast("timestamp")).as("d_min"),
+          unix_millis(max(col("o_orderdate")).cast("timestamp")).as("d_max"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("s_null"),
+          count_distinct(col("o_orderstatus")).as("s_ndv"),
+          min(col("o_orderstatus")).as("s_min"), max(col("o_orderstatus")).as("s_max"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("pr_null"),
+          count_distinct(col("o_orderpriority")).as("pr_ndv"),
+          min(col("o_orderpriority")).as("pr_min"), max(col("o_orderpriority")).as("pr_max"))
+        .selectExpr("stack(5, " +
+          "'o_orderkey', n, k_null, k_ndv, k_min, k_max, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'o_totalprice', n, p_null, p_ndv, p_min, p_max, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'o_orderdate', n, d_null, d_ndv, d_min, d_max, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'o_orderstatus', n, s_null, s_ndv, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), s_min, s_max, " +
+          "'o_orderpriority', n, pr_null, pr_ndv, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), pr_min, pr_max" +
+          ") AS (col, n, n_null, ndv, min_num, max_num, min_str, max_str)"))
   )
 
   /** Flagship: the README's "coin volume over the last hour" intent

@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: only run queries whose name contains it
-    val nameFilter = args.lift(2).getOrElse("")
+    // optional 3rd arg: only run queries whose name contains any of the
+    // comma-separated substrings
+    val nameFilters = args.lift(2).getOrElse("").split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder()
@@ -16,7 +17,7 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => nameFilters.exists(q._1.contains)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
