@@ -981,9 +981,12 @@ object SparkEntry {
             col("l.p_brand") === col("r.p_brand") &&
               col("l._len") === col("r._len") &&
               col("l.p_partkey") < col("r.p_partkey"))
+          // threshold form runs the banded O(k·n) DP with early exit
+          // (vs the full O(n²) matrix) and returns -1 above the bound
+          // — exact for every pair we keep
           .withColumn("dist",
-            levenshtein(col("l.p_name"), col("r.p_name")).cast("long"))
-          .filter(col("dist") <= 2)
+            levenshtein(col("l.p_name"), col("r.p_name"), 2).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= 2)
           .select(col("l.p_partkey").as("a_key"), col("r.p_partkey").as("b_key"),
             col("dist"))
       }),
@@ -1777,12 +1780,16 @@ object SparkEntry {
 
     QueryDef("ext_profile_columns",
       // dataset profiler: per-column rowcount / nulls / exact NDV /
-      // min / max over `orders`, ONE scan (multi-distinct runs through
-      // Catalyst's Expand — ×5 rows map-side, still a single shuffle;
-      // the 100 TB variant swaps exact NDV for approx_count_distinct
-      // at the same call sites). Numerics/timestamps profile as exact
-      // micro-unit / epoch-ms BIGINTs, strings as min/max VARCHAR —
-      // no double→string formatting in the contract.
+      // min / max over `orders` as a union of per-column aggregations
+      // — each branch's scan prunes to its one column (columnar I/O ≈
+      // one 5-column scan total) and runs its own 2-stage distinct.
+      // Measured 3× faster than the single-pass multi-distinct form,
+      // whose Catalyst Expand multiplies every row ×6 before the
+      // shuffle (tools.ProfileProbe). The 100 TB variant swaps exact
+      // NDV for approx_count_distinct at the same call sites.
+      // Numerics/timestamps profile as exact micro-unit / epoch-ms
+      // BIGINTs, strings as min/max VARCHAR — no double→string
+      // formatting in the contract.
       Some("""SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
              |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
@@ -1818,33 +1825,31 @@ object SparkEntry {
              |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
              |       min(o_orderpriority), max(o_orderpriority)
              |FROM orders""".stripMargin),
-      (s, dir) => Tables.orders(s, dir)
-        .agg(
-          count(lit(1)).as("n"),
-          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("k_null"),
-          count_distinct(col("o_orderkey")).as("k_ndv"),
-          min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"),
-          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("p_null"),
-          count_distinct(col("o_totalprice")).as("p_ndv"),
-          min(floor(col("o_totalprice") * 1000000.0).cast("long")).as("p_min"),
-          max(floor(col("o_totalprice") * 1000000.0).cast("long")).as("p_max"),
-          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("d_null"),
-          count_distinct(col("o_orderdate")).as("d_ndv"),
-          unix_millis(min(col("o_orderdate")).cast("timestamp")).as("d_min"),
-          unix_millis(max(col("o_orderdate")).cast("timestamp")).as("d_max"),
-          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("s_null"),
-          count_distinct(col("o_orderstatus")).as("s_ndv"),
-          min(col("o_orderstatus")).as("s_min"), max(col("o_orderstatus")).as("s_max"),
-          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("pr_null"),
-          count_distinct(col("o_orderpriority")).as("pr_ndv"),
-          min(col("o_orderpriority")).as("pr_min"), max(col("o_orderpriority")).as("pr_max"))
-        .selectExpr("stack(5, " +
-          "'o_orderkey', n, k_null, k_ndv, k_min, k_max, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
-          "'o_totalprice', n, p_null, p_ndv, p_min, p_max, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
-          "'o_orderdate', n, d_null, d_ndv, d_min, d_max, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
-          "'o_orderstatus', n, s_null, s_ndv, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), s_min, s_max, " +
-          "'o_orderpriority', n, pr_null, pr_ndv, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), pr_min, pr_max" +
-          ") AS (col, n, n_null, ndv, min_num, max_num, min_str, max_str)"))
+      (s, dir) => {
+        val noNum = (lit(null).cast("long"), lit(null).cast("long"))
+        def profile(c: String, num: (Column, Column), str: Boolean): DataFrame =
+          Tables.orders(s, dir).agg(
+            count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            count_distinct(col(c)).as("ndv"),
+            num._1.as("min_num"), num._2.as("max_num"),
+            (if (str) min(col(c)) else lit(null).cast("string")).as("min_str"),
+            (if (str) max(col(c)) else lit(null).cast("string")).as("max_str"))
+            .select(lit(c).as("col"), col("n"), col("n_null"), col("ndv"),
+              col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        Seq(
+          profile("o_orderkey",
+            (min(col("o_orderkey")), max(col("o_orderkey"))), str = false),
+          profile("o_totalprice",
+            (min(floor(col("o_totalprice") * 1000000.0).cast("long")),
+              max(floor(col("o_totalprice") * 1000000.0).cast("long"))), str = false),
+          profile("o_orderdate",
+            (unix_millis(min(col("o_orderdate")).cast("timestamp")),
+              unix_millis(max(col("o_orderdate")).cast("timestamp"))), str = false),
+          profile("o_orderstatus", noNum, str = true),
+          profile("o_orderpriority", noNum, str = true),
+        ).reduce(_ unionAll _)
+      })
   )
 
   /** Flagship: the README's "coin volume over the last hour" intent
