@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** Change-data-capture materialization. The reference ships a full
   * Debezium connector config for exactly this feed
@@ -35,6 +36,91 @@ object Cdc {
         payload.map { case (n, c) => max_by(c, seq).as(n) }: _*)
     picked.filter(col("_op") =!= deleteOp).drop("_op")
   }
+
+  /** Continuously-maintained current-state snapshot: a checkpointed
+    * foreachBatch stream that merges each micro-batch of changelog
+    * rows into a parquet snapshot at `path`.
+    *
+    * The snapshot is hash-partitioned into `nBuckets` key buckets and
+    * each micro-batch rewrites ONLY the buckets containing changed
+    * keys — at 100 TB a trickle of changes touches a handful of
+    * buckets, not the whole table (the full-rewrite variant is the
+    * classic foreachBatch-merge scale bug). Each bucket commits by
+    * write-to-fresh-dir + swap.
+    *
+    * Latest-wins by `seq` makes the merge idempotent, so micro-batch
+    * replay after a crash (engine checkpoint = source offsets) cannot
+    * duplicate or reorder state — the exactly-once story the
+    * reference's save-watermark-then-write loop lacks
+    * (/root/reference/spark/streaming-longtime-raw.py:157-164).
+    */
+  def streamSnapshot(changes: DataFrame, path: String, checkpointDir: String,
+                     key: Column, seq: Column, op: Column, deleteOp: String,
+                     payload: Seq[(String, Column)], nBuckets: Int = 64)
+      : DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          mergeBatch(batch, path, key, seq, op, deleteOp, payload, nBuckets)
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** One merge step of [[streamSnapshot]] (also usable for batch
+    * incremental upserts). */
+  def mergeBatch(batch: DataFrame, path: String, key: Column, seq: Column,
+                 op: Column, deleteOp: String, payload: Seq[(String, Column)],
+                 nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val names = Seq("k", "last_seq", "_op") ++ payload.map(_._1)
+
+    val picked = batch.groupBy(key.as("k")).agg(
+        max(seq).as("last_seq"),
+        max_by(op, seq).as("_op") +:
+          payload.map { case (n, c) => max_by(c, seq).as(n) }: _*)
+      .select(names.map(col): _*)
+
+    // buckets this batch touches — bounded by nBuckets, never by |keys|
+    val affected = picked
+      .select(pmod(hash(col("k")), lit(nBuckets)).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+    val root = new org.apache.hadoop.fs.Path(path)
+    val existing =
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+        spark.read.parquet(path)                      // partition pruning:
+          .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+          .withColumn("_op", lit("U"))                // only touched buckets read
+          .select(names.map(col): _*)
+      else picked.limit(0)
+
+    val merged = existing.unionByName(picked)
+      .groupBy(col("k")).agg(
+        max(col("last_seq")).as("last_seq"),
+        max_by(col("_op"), col("last_seq")).as("_op") +:
+          payload.map { case (n, _) => max_by(col(n), col("last_seq")).as(n) }: _*)
+      .filter(col("_op") =!= deleteOp).drop("_op")
+      .withColumn("_bucket", pmod(hash(col("k")), lit(nBuckets)))
+
+    val tmp = path.stripSuffix("/") + "._merge_tmp"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
+    affected.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
+      fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(src)) fs.rename(src, dst)         // absent: bucket fully deleted
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Read back a [[streamSnapshot]] snapshot (drops the bucket
+    * layout column). */
+  def snapshot(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("_bucket")
 
   /** Slowly-changing-dimension type 2: collapse an ordered change
     * history to validity intervals of `attr`, one row per run of equal
