@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Cdc, Dedup, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
+import graft.ops.{AsOfJoin, Cdc, Dedup, EventAnalytics, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
   * and — when ANSI-SQL-expressible — the DuckDB oracle that must
@@ -1849,7 +1849,81 @@ object SparkEntry {
           profile("o_orderstatus", noNum, str = true),
           profile("o_orderpriority", noNum, str = true),
         ).reduce(_ unionAll _)
-      })
+      }),
+
+    QueryDef("ts_interpolate",
+      // linear interpolation of gap buckets between nearest observed
+      // neighbors (ops.TimeSeries.interpolate — both window directions
+      // share one shuffle+sort; extrapolation intentionally excluded).
+      Some("""WITH b AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+             |                  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v_micro
+             |           FROM events GROUP BY 1, 2),
+             |     bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+             |     spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             |               FROM (SELECT DISTINCT k FROM b), bounds),
+             |     d AS (SELECT s.k, epoch_ms(s.bucket) AS b_ms, b.v_micro
+             |           FROM spine s LEFT JOIN b ON s.k = b.k AND s.bucket = b.bucket),
+             |     w AS (SELECT k, b_ms, v_micro,
+             |              last_value(v_micro IGNORE NULLS) OVER (PARTITION BY k ORDER BY b_ms
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |              last_value(CASE WHEN v_micro IS NOT NULL THEN b_ms END IGNORE NULLS)
+             |                  OVER (PARTITION BY k ORDER BY b_ms
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             |              first_value(v_micro IGNORE NULLS) OVER (PARTITION BY k ORDER BY b_ms
+             |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |              first_value(CASE WHEN v_micro IS NOT NULL THEN b_ms END IGNORE NULLS)
+             |                  OVER (PARTITION BY k ORDER BY b_ms
+             |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+             |           FROM d)
+             |SELECT k AS event_type, b_ms AS bucket_ms,
+             |       CASE WHEN v_micro IS NOT NULL THEN CAST(v_micro AS DOUBLE) / 1000000.0
+             |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |              round((CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+             |                (CAST(b_ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))) / 1000000.0, 6)
+             |       END AS v,
+             |       v_micro IS NOT NULL AS is_obs
+             |FROM w""".stripMargin),
+      (s, dir) => TimeSeries.interpolate(Tables.events(s, dir),
+          col("event_type"), col("event_ts"),
+          floor(col("value") * 1000000.0).cast("long"), "hour")
+        .select(col("k").as("event_type"), col("bucket_ms"), col("v"), col("is_obs"))),
+
+    QueryDef("evt_funnel",
+      // ordered funnel view→click→purchase: ONE shuffle (per-user
+      // sorted event array + codegen'd aggregate-lambda state machine)
+      // vs the oracle's per-stage conditional-min joins — identical
+      // earliest-chain semantics, single pass over the fact.
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, event_type AS y
+             |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+             |     s1 AS (SELECT user_id, min(t) AS m1 FROM e WHERE y = 'view' GROUP BY 1),
+             |     s2 AS (SELECT e.user_id, min(e.t) AS m2 FROM e JOIN s1 ON e.user_id = s1.user_id
+             |            WHERE e.y = 'click' AND e.t > s1.m1 GROUP BY 1),
+             |     s3 AS (SELECT e.user_id, min(e.t) AS m3 FROM e JOIN s2 ON e.user_id = s2.user_id
+             |            WHERE e.y = 'purchase' AND e.t > s2.m2 GROUP BY 1)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase""".stripMargin),
+      (s, dir) => EventAnalytics.funnelStages(Tables.events(s, dir),
+          col("user_id"), col("ts_ms"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .agg(sum(col("m0").isNotNull.cast("long")).as("n_view"),
+          sum(col("m1").isNotNull.cast("long")).as("n_click"),
+          sum(col("m2").isNotNull.cast("long")).as("n_purchase"))),
+
+    QueryDef("evt_retention",
+      // cohort retention: first-seen day per user, distinct users per
+      // (cohort, day-offset) — two hash aggs + one user-sized join.
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+             |           FROM events GROUP BY 1)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+             |       CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+             |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM events e JOIN f ON e.user_id = f.user_id
+             |GROUP BY f.cohort, date_diff('day', f.cohort, CAST(e.ts AS DATE))""".stripMargin),
+      (s, dir) => EventAnalytics.retention(Tables.events(s, dir),
+          col("user_id"), to_date(col("event_ts")))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset").cast("long").as("day_offset"), col("n_users")))
   )
 
   /** Flagship: the README's "coin volume over the last hour" intent

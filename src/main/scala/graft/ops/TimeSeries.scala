@@ -24,14 +24,10 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   /** Aggregate `valueMicro` (an exact BIGINT measure) per (key, bucket)
-    * on `interval`-sized buckets of `ts`, densify onto the full bucket
-    * grid between the global min and max bucket, and forward-fill.
-    *
-    * Output: key, bucket (timestamp), valueMicro (null only before a
-    * key's first observation), n_obs (0 on gap rows), is_gap.
-    */
-  def gapFillFF(df: DataFrame, key: Column, ts: Column, valueMicro: Column,
-                interval: String): DataFrame = {
+    * and left-join onto the dense bucket grid between the global min
+    * and max bucket: (k, bucket, v_micro nullable, n_obs). */
+  private def densify(df: DataFrame, key: Column, ts: Column,
+                      valueMicro: Column, interval: String): DataFrame = {
     val bucketed = df
       .groupBy(key.as("k"), date_trunc(interval, ts).as("bucket"))
       .agg(sum(valueMicro).as("v_micro"), count(lit(1)).as("n_obs"))
@@ -46,13 +42,59 @@ object TimeSeries {
         sequence(col("lo"), col("hi"), expr(s"INTERVAL 1 $interval")))
         .as("bucket"))
 
+    spine.join(bucketed, Seq("k", "bucket"), "left")
+  }
+
+  /** Densify and forward-fill.
+    *
+    * Output: key, bucket (timestamp), valueMicro (null only before a
+    * key's first observation), n_obs (0 on gap rows), is_gap.
+    */
+  def gapFillFF(df: DataFrame, key: Column, ts: Column, valueMicro: Column,
+                interval: String): DataFrame = {
     val ff = Window.partitionBy(col("k")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    spine.join(bucketed, Seq("k", "bucket"), "left")
+    densify(df, key, ts, valueMicro, interval)
       .select(col("k"), col("bucket"),
         last(col("v_micro"), ignoreNulls = true).over(ff).as("v_micro"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         col("n_obs").isNull.as("is_gap"))
+  }
+
+  /** Densify and linearly interpolate gap buckets between their
+    * nearest observed neighbors; buckets before the first or after the
+    * last observation stay null (interpolation, not extrapolation).
+    * One extra window direction vs [[gapFillFF]] — still a single
+    * shuffle, both window passes share the (k → bucket) Sort.
+    *
+    * Output: key, bucket_ms (epoch ms), v (value units: observed
+    * buckets exact micro/1e6, gap buckets round(lerp, 6)), is_obs.
+    */
+  def interpolate(df: DataFrame, key: Column, ts: Column, valueMicro: Column,
+                  interval: String): DataFrame = {
+    val back = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val obsT = when(col("v_micro").isNotNull, col("b_ms"))
+    densify(df, key, ts, valueMicro, interval)
+      .withColumn("b_ms", unix_millis(col("bucket")))
+      .select(col("k"), col("b_ms"), col("v_micro"),
+        last(col("v_micro"), ignoreNulls = true).over(back).as("pv"),
+        last(obsT, ignoreNulls = true).over(back).as("pt"),
+        first(col("v_micro"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsT, ignoreNulls = true).over(fwd).as("nt"))
+      .select(col("k"), col("b_ms").as("bucket_ms"),
+        when(col("v_micro").isNotNull,
+            col("v_micro").cast("double") / 1000000.0)
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            round((col("pv").cast("double") +
+              (col("nv").cast("double") - col("pv").cast("double")) *
+                ((col("b_ms") - col("pt")).cast("double") /
+                  (col("nt") - col("pt")).cast("double"))) / 1000000.0, 6))
+          .as("v"),
+        col("v_micro").isNotNull.as("is_obs"))
   }
 }

@@ -128,9 +128,11 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   ext_sim_ivf   — query→nearest-centroid assignment crosses
     //                   |queries| × |centroids| (both small); corpus
     //                   probing is the equi-join on cell id.
-    //   ts_gap_fill   — spine construction crosses the distinct key
-    //                   set with ONE broadcast min/max bounds row.
-    val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf", "ts_gap_fill")
+    //   ts_gap_fill / ts_interpolate — spine construction crosses the
+    //                   distinct key set with ONE broadcast min/max
+    //                   bounds row.
+    val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
+      "ts_gap_fill", "ts_interpolate")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
