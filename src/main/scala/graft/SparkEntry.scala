@@ -967,6 +967,11 @@ object SparkEntry {
       // every near-dup operator (equal-length blocking is exact for
       // substitution-only distance ≤ 2 candidates at this threshold's
       // recall target; widen to a length BAND for indel recall).
+      // Block-quadratic is the FASTER plan at bench scale (blocks of
+      // ~25 strings); once blocks grow with the data, the crossover
+      // goes to ops.FuzzyJoin.selfJoin — segment-indexed candidates
+      // (PassJoin pigeonhole), equi-join not pair-enumeration, proven
+      // result-identical in FuzzyJoinSpec.
       Some("""SELECT l.p_partkey AS a_key, r.p_partkey AS b_key,
              |       CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
              |FROM part l JOIN part r

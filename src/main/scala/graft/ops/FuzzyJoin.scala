@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join via segment indexing (the PassJoin scheme,
+  * Li/Deng/Feng ICDE'11 — public algorithm, re-derived here on the
+  * DataFrame API).
+  *
+  * Pigeonhole: split every string into k+1 segments; if
+  * lev(a, b) ≤ k then a contains at least one of b's segments verbatim,
+  * starting within ±k of that segment's home position (each edit
+  * before the segment shifts it by at most one). So candidate pairs
+  * come from an EQUI-join — index side emits k+1 (segment, position)
+  * keys, probe side emits the (k+1)·(2k+1) substrings inside the
+  * shift windows — and only candidates run the O(k·n) banded DP.
+  *
+  * Scale shape: the all-pairs-within-block formulation is quadratic in
+  * block size, so doubling the data quadruples the comparisons; here
+  * candidates are bounded by actual segment collisions, and every step
+  * (explode → hash join → verify) is shuffle-parallel. Verified exact
+  * against the naive form in `FuzzyJoinSpec` (the threshold-DP verify
+  * keeps precision; segment windows guarantee recall).
+  */
+object FuzzyJoin {
+
+  /** All pairs (a_key < b_key, same `block` values, equal length ≥ k+1)
+    * with lev ≤ k. Output: a_key, b_key, dist.
+    *
+    * `block` columns must make length equal on both sides (include a
+    * length column); strings shorter than k+1 would have empty
+    * segments and must be filtered by the caller (or pair-compared —
+    * there are at most |alphabet|^k of them per block anyway).
+    */
+  def selfJoin(df: DataFrame, key: Column, text: Column,
+               block: Seq[Column], k: Int = 2): DataFrame = {
+    val n = k + 1
+    val blockNames = block.indices.map(i => s"_b$i")
+    val base = df.select(
+      Seq(key.as("_key"), text.as("_txt"), length(text).as("_len")) ++
+        block.zip(blockNames).map { case (c, nm) => c.as(nm) }: _*)
+      .filter(col("_len") >= n)
+
+    // per-row segment geometry: seg i of a len-L string starts at
+    // p_i = i*(L div n) + min(i, L mod n), length (L div n) + (i < L mod n)
+    val L = col("_len").cast("int")
+    val d = floor(L / n).cast("int")
+    val r = pmod(L, lit(n))
+    val segStart = col("_i") * d + least(col("_i"), r)
+    val segLen = d + when(col("_i") < r, 1).otherwise(0)
+
+    val idx = base
+      .select(col("*"), explode(sequence(lit(0), lit(n - 1))).as("_i"))
+      .withColumn("_seg", col("_txt").substr(segStart + 1, segLen))
+
+    val probe = base
+      .select(col("*"), explode(sequence(lit(0), lit(n - 1))).as("_i"))
+      .withColumn("_s", explode(sequence(lit(-k), lit(k))))
+      .withColumn("_start", segStart + col("_s"))
+      .withColumn("_slen", segLen)
+      .filter(col("_start") >= 0 && col("_start") + col("_slen") <= L)
+      .withColumn("_seg", col("_txt").substr(col("_start") + 1, col("_slen")))
+
+    val joinCond = blockNames.map(nm => idx(nm) === probe(nm))
+      .reduce(_ && _) &&
+      idx("_i") === probe("_i") && idx("_seg") === probe("_seg") &&
+      idx("_key") =!= probe("_key")
+
+    idx.alias("l").join(probe.alias("r"), joinCond)
+      .select(
+        least(col("l._key"), col("r._key")).as("a_key"),
+        greatest(col("l._key"), col("r._key")).as("b_key"),
+        when(col("l._key") < col("r._key"), col("l._txt"))
+          .otherwise(col("r._txt")).as("a_txt"),
+        when(col("l._key") < col("r._key"), col("r._txt"))
+          .otherwise(col("l._txt")).as("b_txt"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+}

@@ -62,7 +62,14 @@ object ProfileProbe {
     }
     time("profiler B (5-agg union)")(b)
 
-    time("fuzzy (threshold lev)")(SparkEntry.queries("join_fuzzy_levenshtein")(spark, sfDir))
+    time("fuzzy (catalog)")(SparkEntry.queries("join_fuzzy_levenshtein")(spark, sfDir))
+    time("fuzzy (segment index)")({
+      val pp = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          length(col("p_name")).as("_len"))
+      graft.ops.FuzzyJoin.selfJoin(pp, col("p_partkey"), col("p_name"),
+        Seq(col("p_brand"), col("_len")), k = 2)
+    })
     val p = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"),
         length(col("p_name")).as("_len"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.FuzzyJoin
+
+class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // small alphabet + short strings: dense with genuine lev≤2 pairs,
+  // including the del+ins (segment-shifting) shapes that break naive
+  // chunk-equality blocking
+  private val rnd = new scala.util.Random(7)
+  private def rstr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+
+  private lazy val corpus = {
+    val bases = (0 until 80).map(i => (i.toLong, rstr(6 + rnd.nextInt(4))))
+    val subst = bases.take(30).map { case (i, s0) =>
+      val s = s0.toCharArray
+      s(rnd.nextInt(s.length)) = ('a' + rnd.nextInt(4)).toChar
+      (100L + i, new String(s))
+    }
+    val shifted = bases.slice(30, 50).map { case (i, s) =>
+      (200L + i, s.substring(1) + ('a' + rnd.nextInt(4)).toChar)
+    }
+    (bases ++ subst ++ shifted).toDF("key", "txt")
+      .withColumn("len", length($"txt"))
+  }
+
+  test("segment-index join is exactly the naive all-pairs result") {
+    val fast = FuzzyJoin.selfJoin(corpus, col("key"), col("txt"), Seq(col("len")), k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = corpus.alias("l").join(corpus.alias("r"),
+        col("l.len") === col("r.len") && col("l.key") < col("r.key"))
+      .select(col("l.key"), col("r.key"),
+        levenshtein(col("l.txt"), col("r.txt")).cast("long").as("d"))
+      .filter($"d" <= 2).as[(Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture must contain true near-pairs")
+    assert(fast === naive)
+  }
+
+  test("candidate generation is an equi-join, never a cross product") {
+    val plan = FuzzyJoin.selfJoin(corpus, col("key"), col("txt"),
+      Seq(col("len")), k = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+}
