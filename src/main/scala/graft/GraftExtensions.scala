@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, JaccardSortedExpr, ShingleCodesExpr, SimHashExpr, TokenCountExpr}
+import graft.functions.{DotProductExpr, JaccardSortedExpr, LevWithinExpr, ShingleCodesExpr, SimHashExpr, TokenCountExpr}
 import graft.plans.ReplaceTokenCount
 
 /** SparkSessionExtensions hook exposing graft's custom expressions to
@@ -52,6 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "graft_jaccard(a, b) takes two sorted array<long> args")
         JaccardSortedExpr(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_lev_within"),
+      new ExpressionInfo(classOf[LevWithinExpr].getName, "graft_lev_within"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3, "graft_lev_within(l, r, k) takes two strings and a literal k")
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lev_within: k must be an integer literal, got $other")
+        }
+        LevWithinExpr(exprs(0), exprs(1), k)
       }))
     e.injectOptimizerRule(_ => ReplaceTokenCount)
   }

@@ -75,7 +75,8 @@ object FuzzyJoin {
         when(col("l._key") < col("r._key"), col("r._txt"))
           .otherwise(col("l._txt")).as("b_txt"))
       .distinct()
-      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), k).cast("long"))
+      .withColumn("dist",
+        graft.functions.EditDistance.levWithin(col("a_txt"), col("b_txt"), k).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("a_key"), col("b_key"), col("dist"))
   }
