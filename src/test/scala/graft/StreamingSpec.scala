@@ -496,4 +496,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // read-back with partition pruning
     assert(back.filter(col("coin") === "BTC" && col("interval") === "5m").count() == 1)
   }
+
+  test("RocksDB state store: custom keyed state off-heap, same results as the HDFS provider") {
+    // the 100 TB state posture: keyed state in RocksDB (spills past
+    // executor heap, incremental changelog checkpoints upload deltas
+    // instead of full snapshots). Same StatefulOhlc pipeline and
+    // asserts as the heap-provider test above — results must agree.
+    import graft.streaming.StatefulOhlc
+    import graft.streaming.StatefulOhlc.Tick
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try {
+      val ms = MemoryStream[Tick]
+      val q = StatefulOhlc.updates(ms.toDS())
+        .writeStream.format("memory").queryName("ohlc_rocks")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("cp-ohlc-rocks")).start()
+      try {
+        ms.addData(Tick("BTC", "1m", 1000L, 10.0, 1.0),
+          Tick("BTC", "1m", 2000L, 15.0, 2.0))
+        q.processAllAvailable()
+        ms.addData(Tick("BTC", "1m", 3000L, 5.0, 1.0),
+          Tick("ETH", "1m", 1000L, 7.0, 4.0))
+        q.processAllAvailable()
+        val last = spark.table("ohlc_rocks")
+          .filter(col("coin") === "BTC").orderBy(col("n").desc).head()
+        assert(last.getAs[Double]("open") == 10.0)
+        assert(last.getAs[Double]("high") == 15.0)
+        assert(last.getAs[Double]("close") == 5.0)
+        assert(last.getAs[Long]("n") == 3L)
+        assert(spark.table("ohlc_rocks").filter(col("coin") === "ETH").count() == 1)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset(changelogKey)
+    }
+  }
 }
