@@ -1740,6 +1740,39 @@ object SparkEntry {
           unix_millis(col("eff_to").cast("timestamp")).as("eff_to_ms"),
           col("version"), col("is_current"))),
 
+    QueryDef("etl_zorder",
+      // multi-dimensional layout: Z-order (Morton) bucket statistics
+      // over (l_partkey, l_suppkey). Each 64 Ki-cell of z-space is a compact
+      // rectangle of the key plane — the per-bucket min/max spans ARE
+      // the file-skipping power a z-ordered rewrite buys (ops.Layout
+      // writes the actual layout; LayoutSpec measures the span win).
+      // The mask-spread interleave is stated identically in both
+      // engines — pure bitwise arithmetic, no UDF anywhere.
+      Some("""WITH b0 AS (SELECT CAST(l_partkey AS BIGINT) AS pa, CAST(l_suppkey AS BIGINT) AS pb,
+             |                   CAST(l_partkey AS BIGINT) & 65535 AS a, CAST(l_suppkey AS BIGINT) & 65535 AS b
+             |            FROM lineitem),
+             |s1 AS (SELECT pa, pb, ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b FROM b0),
+             |s2 AS (SELECT pa, pb, ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b FROM s1),
+             |s3 AS (SELECT pa, pb, ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b FROM s2),
+             |s4 AS (SELECT pa, pb, ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b FROM s3),
+             |z  AS (SELECT pa, pb, (a | (b << 1)) >> 16 AS z_bucket FROM s4)
+             |SELECT z_bucket, CAST(count(*) AS BIGINT) AS n,
+             |       min(pa) AS min_part, max(pa) AS max_part,
+             |       min(pb) AS min_supp, max(pb) AS max_supp
+             |FROM z GROUP BY z_bucket""".stripMargin),
+      (s, dir) => {
+        import graft.ops.Layout
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").cast("long").as("pa"),
+            col("l_suppkey").cast("long").as("pb"))
+          .withColumn("z_bucket",
+            shiftright(Layout.zValue(col("pa"), col("pb")), 16))
+          .groupBy("z_bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("pa")).as("min_part"), max(col("pa")).as("max_part"),
+            min(col("pb")).as("min_supp"), max(col("pb")).as("max_supp"))
+      }),
+
     QueryDef("agg_unpivot",
       // wide → long reshape (UNPIVOT): grouped measures stacked into
       // (measure, value) rows — `stack` is a generator projection, so
