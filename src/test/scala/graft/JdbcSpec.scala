@@ -44,4 +44,24 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(scan.contains("PushedFilters") && scan.contains("TS"),
       s"JDBC filter not pushed:\n$scan")
   }
+
+  test("MERGE upsert sink: replay is idempotent, updates win over inserts") {
+    val b1 = Seq(("BTC", 1L, 10.0), ("ETH", 2L, 20.0)).toDF("coin", "ts", "price")
+    Routing.ensureTableAndAppend(b1.limit(0), url, "latest",
+      "coin VARCHAR(16), ts BIGINT, price DOUBLE", props)
+
+    Routing.upsertJdbc(b1, url, "latest", Seq("coin"), props)
+    // exact replay of the same micro-batch (at-least-once delivery):
+    // MERGE matches every key and rewrites identical values — no dupes
+    Routing.upsertJdbc(b1, url, "latest", Seq("coin"), props)
+    val after1 = spark.read.jdbc(url, "latest", props)
+    assert(after1.count() == 2)
+
+    // newer batch updates one key, inserts another
+    val b2 = Seq(("BTC", 5L, 15.0), ("SOL", 1L, 30.0)).toDF("coin", "ts", "price")
+    Routing.upsertJdbc(b2, url, "latest", Seq("coin"), props)
+    val rows = spark.read.jdbc(url, "latest", props).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set(("BTC", 5L, 15.0), ("ETH", 2L, 20.0), ("SOL", 1L, 30.0)))
+  }
 }
