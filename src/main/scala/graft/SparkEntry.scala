@@ -282,6 +282,38 @@ object SparkEntry {
                 |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
       }),
 
+    QueryDef("sql_recursive_cte",
+      // iterative SQL: WITH RECURSIVE (Spark ≥4.0, UnionLoopExec)
+      // walks the implicit 10-ary hierarchy parent = custkey div 10 —
+      // per-root subtree size and height. Each recursion step is one
+      // distributed join against the previous frontier; both engines
+      // run the identical fixpoint and must agree exactly.
+      Some("""WITH RECURSIVE tree AS (
+             |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+             |  FROM customer WHERE c_custkey < 10
+             |  UNION ALL
+             |  SELECT t.root, c.c_custkey AS node, t.depth + 1 AS depth
+             |  FROM tree t JOIN customer c
+             |    ON c.c_custkey // 10 = t.node AND c.c_custkey >= 10)
+             |SELECT CAST(root AS BIGINT) AS root,
+             |       CAST(count(*) AS BIGINT) AS n_nodes,
+             |       CAST(max(depth) AS BIGINT) AS max_depth
+             |FROM tree GROUP BY root""".stripMargin),
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        s.sql("""WITH RECURSIVE tree AS (
+                |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+                |  FROM customer WHERE c_custkey < 10
+                |  UNION ALL
+                |  SELECT t.root, c.c_custkey AS node, t.depth + 1 AS depth
+                |  FROM tree t JOIN customer c
+                |    ON c.c_custkey DIV 10 = t.node AND c.c_custkey >= 10)
+                |SELECT CAST(root AS BIGINT) AS root,
+                |       CAST(count(*) AS BIGINT) AS n_nodes,
+                |       CAST(max(depth) AS BIGINT) AS max_depth
+                |FROM tree GROUP BY root""".stripMargin)
+      }),
+
     QueryDef("join_broadcast_dim",
       // fact × small dim: `part` broadcasts (≪ the 64 MiB threshold) —
       // zero shuffle of the fact side.
