@@ -1850,6 +1850,31 @@ object SparkEntry {
           element_at(toks, -1).as("last_tok"))
       }),
 
+    QueryDef("proj_map_suite",
+      // the map-typed column surface: JSON props → map<string,string>
+      // (from_json), then map_concat with a constructed literal map,
+      // size / map_keys / element_at — exported engine-neutrally
+      // (sorted keys CSV, scalar lookups). Scan-speed, no shuffle.
+      Some("""SELECT event_id,
+             |       CAST(len(json_keys(props)) + 1 AS BIGINT) AS n_keys,
+             |       array_to_string(list_sort(list_append(json_keys(props), 't')), ',') AS keys_csv,
+             |       json_extract_string(props, '$.k') AS k_val,
+             |       event_type AS t_val
+             |FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          map_concat(
+            from_json(col("props"),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)),
+            map(lit("t"), col("event_type"))).as("m"))
+        .select(col("event_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(col("m"), "t").as("t_val"))),
+
     QueryDef("ext_profile_columns",
       // dataset profiler: per-column rowcount / nulls / exact NDV /
       // min / max over `orders` as a union of per-column aggregations
