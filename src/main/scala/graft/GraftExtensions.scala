@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{DotProductExpr, JaccardSortedExpr, LevWithinExpr, ShingleCodesExpr, SimHashExpr, TokenCountExpr}
-import graft.plans.ReplaceTokenCount
+import graft.plans.{ReplaceLevenshtein, ReplaceTokenCount}
 
 /** SparkSessionExtensions hook exposing graft's custom expressions to
   * SQL users (`spark.sql("SELECT graft_dot(a, b) ...")`). Activated by
@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LevWithinExpr(exprs(0), exprs(1), k)
       }))
     e.injectOptimizerRule(_ => ReplaceTokenCount)
+    e.injectOptimizerRule(_ => ReplaceLevenshtein)
   }
 }

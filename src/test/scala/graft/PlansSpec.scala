@@ -34,4 +34,31 @@ class PlansSpec extends AnyFunSuite with SparkTestBase {
   test("graft_token_count is registered for SQL") {
     assert(spark.sql("SELECT graft_token_count('x y z')").head().getInt(0) == 3)
   }
+
+  test("levenshtein(a,b) <= k is rewritten to the bit-parallel kernel and agrees") {
+    val p = Tables.part(spark, "/root/testdata/sf0.001")
+      .select(col("p_name").as("a"), reverse(col("p_name")).as("b"))
+    val bounded = p.filter(expr("levenshtein(a, b) <= 2"))
+    val opt = bounded.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_lev_within") && !opt.contains("levenshtein("),
+      s"rule did not fire:\n$opt")
+    // threshold built-in form swaps directly
+    val direct = p.select(expr("levenshtein(a, b, 2)").as("d"))
+    assert(direct.queryExecution.optimizedPlan.toString.contains("graft_lev_within"))
+    // value parity: bounded filter count matches the unrewritten result
+    // computed via the full-distance comparison on literals
+    val pairs = Seq(("kitten", "sitting"), ("abc", "abd"), ("abc", "abc"),
+      ("abc", "xyz"), ("", "ab")).toDF("a", "b")
+    val got = pairs.filter(expr("levenshtein(a, b) <= 2")).count()
+    assert(got === 3) // abd=1, abc=0, ""/ab=2; kitten=3 and xyz=3 drop
+    assert(pairs.filter(expr("levenshtein(a, b) < 3")).count() === 3)
+    assert(pairs.filter(expr("levenshtein(a, b) <= 3")).count() === 5)
+  }
+
+  test("unbounded levenshtein projection is NOT rewritten") {
+    val df = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(expr("levenshtein(a, b)").as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_lev_within"))
+    assert(df.head().getInt(0) == 3)
+  }
 }
