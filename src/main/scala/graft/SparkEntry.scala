@@ -1492,6 +1492,77 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(50)),
 
+    QueryDef("ext_tfidf",
+      // term relevance per document: tf from one token aggregation,
+      // document frequency from a second, joined back on the term (a
+      // shuffle join on the token key — the right shape when the
+      // vocabulary outgrows a broadcast), top-3 terms per doc by
+      // score. The idf is the exact rational N/df (every step one
+      // IEEE op from integers — bit-identical cross-engine; the
+      // log-scaled variant is a presentation choice on top).
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tok WHERE t <> '' GROUP BY doc_id, t),
+             |df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM tok WHERE t <> '' GROUP BY t),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.t, tf.tf, df.df,
+             |              tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+             |       FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                 ORDER BY score DESC, t) AS rk FROM sc)
+             |SELECT doc_id, t AS term, tf, df, score
+             |FROM r WHERE rk <= 3""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("t"))
+          .filter(col("t") =!= "")
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val sc = tf.join(df, "t").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            col("tf") * (col("n_docs").cast("double") / col("df")))
+        sc.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("t"))))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+            col("score"))
+      }),
+
+    QueryDef("evt_sessionize",
+      // batch sessionization: gap > 30 min starts a new session —
+      // lag + running-sum share ONE shuffle/sort (same window spec),
+      // then the per-session rollup. The batch twin of
+      // strm_window_session's session_window.
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_ns(ts)//1000000 AS ts_ms,
+             |                  lag(epoch_ns(ts)//1000000) OVER (PARTITION BY user_id
+             |                      ORDER BY epoch_ns(ts)//1000000, event_id) AS prev
+             |           FROM events),
+             |s AS (SELECT user_id, ts_ms,
+             |             CAST(sum(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000
+             |                           THEN 1 ELSE 0 END)
+             |               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+             |      FROM g)
+             |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
+             |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+             |FROM s GROUP BY user_id, session_no""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(EventOrd: _*)
+        Tables.events(s, dir)
+          .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+          .withColumn("session_no",
+            sum(when(col("prev").isNull || col("ts_ms") - col("prev") > 1800000L, 1)
+              .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("long"))
+          .groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+      }),
+
     QueryDef("ext_text_clean",
       // scrub pipeline (lowercase, digit-fold, whitespace-collapse,
       // trim) — the normalization pass before dedup/tokenization.
