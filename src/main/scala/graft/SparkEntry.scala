@@ -1492,6 +1492,41 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(50)),
 
+    QueryDef("ext_ngram_lm",
+      // bigram language-model counts: P(w2|w1) as the exact rational
+      // c(w1,w2)/c(w1). Bigrams come from lag over the positional
+      // token explode (posexplode / UNNEST WITH ORDINALITY — same
+      // construct both engines); two aggregations, the conditional
+      // joined back on the unigram key. Top-50 by support for a
+      // bounded, deterministic output.
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |raw AS (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS i FROM t0),
+             |tok AS (SELECT doc_id, i, t FROM raw WHERE t <> ''),
+             |big AS (SELECT doc_id, lag(t) OVER (PARTITION BY doc_id ORDER BY i) AS w1, t AS w2
+             |        FROM tok),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |       FROM big WHERE w1 IS NOT NULL GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY w1)
+             |SELECT c2.w1, c2.w2, c2.c12, c1.c1,
+             |       c2.c12 / CAST(c1.c1 AS DOUBLE) AS p
+             |FROM c2 JOIN c1 ON c2.w1 = c1.w1
+             |ORDER BY c12 DESC, c2.w1, w2 LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+          .filter(col("t") =!= "")
+        val big = tok.withColumn("w1", lag(col("t"), 1).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+          .filter(col("w1").isNotNull)
+        val c2 = big.groupBy(col("w1"), col("t").as("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        c2.join(c1, "w1")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            (col("c12") / col("c1").cast("double")).as("p"))
+          .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)
+      }),
+
     QueryDef("ext_tfidf",
       // term relevance per document: tf from one token aggregation,
       // document frequency from a second, joined back on the term (a

@@ -44,14 +44,32 @@ object Layout {
     * within partitions, so every file covers one compact z-interval —
     * a rectangle-ish region of (a, b) space with tight min/max footer
     * stats on BOTH columns.
+    *
+    * Each dimension is first normalized to the full 16-bit range with
+    * `width_bucket` over its actual min/max (one tiny agg, 4 scalars
+    * to the driver). Without this, a dimension with fewer significant
+    * bits never reaches the high interleave positions and the split
+    * degenerates to a single-key sort — with it, consecutive z-range
+    * cuts alternate between the dimensions regardless of their raw
+    * scales. (Skewed deployments swap the uniform bins for
+    * approx-quantile bounds at the same call site.)
     */
   def zorderWrite(df: DataFrame, a: Column, b: Column, path: String,
-                  files: Int = 8): Unit =
-    df.withColumn("_z", zValue(a, b))
+                  files: Int = 8): Unit = {
+    val r = df.agg(min(a).cast("double"), max(a).cast("double"),
+      min(b).cast("double"), max(b).cast("double")).head()
+    def bin(c: Column, lo: Double, hi: Double): Column =
+      if (lo >= hi) lit(0L)
+      else least(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(65536)),
+        lit(65536L)) - 1L
+    df.withColumn("_z", zValue(
+        bin(a, r.getDouble(0), r.getDouble(1)),
+        bin(b, r.getDouble(2), r.getDouble(3))))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Mean per-file span (max-min) of `c` over a parquet directory —
     * the pruning-power metric: lower span ⇒ a point/range predicate on
