@@ -1729,6 +1729,41 @@ object SparkEntry {
         corpus.join(bad, Seq("doc_id"), "left_anti").select("doc_id", "source")
       }),
 
+    QueryDef("ext_expectations",
+      // declarative data-quality expectations: each rule is a
+      // conditional count folded into ONE scan (single agg row,
+      // unpivoted to a per-rule report by a stack generator — no
+      // second pass, no per-rule jobs). Uniqueness rides the same agg
+      // as count minus distinct-count. The gate pattern before
+      // admitting a batch into a 100 TB table.
+      Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             |       CAST(sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+             |                       OR o_orderdate >= DATE '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+             |       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             |       CAST(sum(CASE WHEN o_custkey IS NULL OR o_custkey <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
+             |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq
+             |FROM orders)
+             |SELECT r.rule, a.n AS n_checked, r.v AS n_violations, r.v = 0 AS pass
+             |FROM a, LATERAL (VALUES ('price_positive', v_price), ('date_in_range', v_date),
+             |                        ('status_domain', v_status), ('custkey_valid', v_cust),
+             |                        ('orderkey_unique', v_uniq)) r(rule, v)""".stripMargin),
+      (s, dir) => Tables.orders(s, dir).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("v_price"),
+          sum(when(col("o_orderdate") < to_date(lit("1992-01-01")) ||
+            col("o_orderdate") >= to_date(lit("1999-01-01")), 1).otherwise(0)).as("v_date"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).as("v_status"),
+          sum(when(col("o_custkey").isNull || col("o_custkey") <= 0, 1).otherwise(0)).as("v_cust"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"))
+        .select(col("n"), expr(
+          """stack(5, 'price_positive', v_price, 'date_in_range', v_date,
+            |'status_domain', v_status, 'custkey_valid', v_cust,
+            |'orderkey_unique', v_uniq) AS (rule, v)""".stripMargin))
+        .select(col("rule"), col("n").as("n_checked"),
+          col("v").cast("long").as("n_violations"),
+          (col("v") === 0).as("pass"))),
+
     QueryDef("ext_corpus_stats",
       // per-language corpus profile with exact interpolated quantiles
       // (Spark percentile ≡ DuckDB quantile_cont: rank p·(n−1), linear
