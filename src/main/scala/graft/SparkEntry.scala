@@ -500,6 +500,36 @@ object SparkEntry {
           (abs(col("_est") - col("n_exact")).cast("double") / col("n_exact") <= 0.02)
             .as("within_2pct"))),
 
+    QueryDef("agg_sketch_merge",
+      // RE-AGGREGATABLE sketches — the pattern exact distinct cannot
+      // do: per-(type, day) HLL sketches (Datasketches, the mergeable
+      // state a 100 TB rollup table stores) union up to per-type
+      // totals WITHOUT touching raw rows again. Contract mirrors
+      // agg_approx_distinct: the merged estimate must sit within 3%
+      // of the exact count, as a boolean both engines state; the
+      // two-level path must also see every (type, day) cell.
+      Some("""SELECT event_type,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |       CAST(count(DISTINCT ts::DATE) AS BIGINT) AS n_days,
+             |       true AS merged_within_3pct
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            to_date(col("event_ts")).as("day"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(merged, "event_type")
+          .select(col("event_type"), col("n_exact"), col("n_days"),
+            (abs(col("_est") - col("n_exact")).cast("double") / col("n_exact") <= 0.03)
+              .as("merged_within_3pct"))
+      }),
+
     QueryDef("agg_rollup",
       // hierarchical totals — grouping-set aggregation (§2.5 "not
       // present" row; added as capability). Spark and DuckDB both

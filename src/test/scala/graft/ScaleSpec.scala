@@ -130,9 +130,12 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //                   probing is the equi-join on cell id.
     //   ts_gap_fill / ts_interpolate — spine construction crosses the
     //                   distinct key set with ONE broadcast min/max
-    //                   bounds row.
+    //                   bounds row;
+    //   ext_tfidf     — the corpus-size scalar N joins in as ONE
+    //                   broadcast row (same bounded shape as the
+    //                   time-series bounds row).
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
-      "ts_gap_fill", "ts_interpolate")
+      "ts_gap_fill", "ts_interpolate", "ext_tfidf")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
