@@ -152,4 +152,55 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Persist the corpus as an LSH index: signatures precomputed once,
+    * stored as a parquet table BUCKETED on the signature. Build cost
+    * is one pass + one shuffle; after that every probe is a bucket-
+    * pruned point lookup — the index-once / query-many shape a vector
+    * store needs at 100 TB (per-query cost O(probed buckets), not
+    * O(corpus)).
+    */
+  def buildLshIndex(corpus: DataFrame, table: String, nBits: Int = 8,
+                    dim: Int = 64, seed: Long = 42L, buckets: Int = 32): Unit = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm"))
+      .withColumn("bucket", signature(col("c_emb"), planes))
+    graft.sinks.Routing.writeBucketed(c, table, "bucket", buckets)
+  }
+
+  /** Top-k against a [[buildLshIndex]] table. The probe-bucket set is
+    * tiny (≤ |queries| · |masks| ints), so it is collected and pushed
+    * as an IN predicate — Spark's bucket pruning then reads ONLY the
+    * matching bucket files (`SelectedBucketsCount` in the scan,
+    * asserted in `SimilaritySpec`). Same results as [[lshTopK]] with
+    * the same (nBits, probeDist, dim, seed) by construction.
+    */
+  def lshIndexedTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, k: Int = 10, nBits: Int = 8,
+                     probeDist: Int = 2, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val masks = (0 until (1 << nBits))
+      .filter(m => Integer.bitCount(m) <= probeDist)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normD(col("embedding")).as("q_nrm"))
+      .withColumn("sig", signature(col("q_emb"), planes))
+      .withColumn("bucket", explode(array(
+        masks.map(m => col("sig").bitwiseXOR(m)): _*)))
+    val probeBuckets = q.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val c = spark.table(table)
+      .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored
+      .select(col("q_id"), col("c_id"), col("cosine")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

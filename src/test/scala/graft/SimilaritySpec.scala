@@ -60,4 +60,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall collapsed — LSH bucketing broken")
   }
+
+  test("persisted LSH index: bucket-pruned probe, same results as the ad-hoc path") {
+    spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    val loc = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/lsh_idx")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    Similarity.buildLshIndex(corpus, "lsh_idx", buckets = 32)
+    // one point lookup, probe radius 1 → ≤ 9 of 32 buckets touched
+    val q = corpus.filter(col("vec_id") === 0)
+    val indexed = Similarity.lshIndexedTopK(spark, "lsh_idx", q, k = 5, probeDist = 1)
+    // the scan must read ONLY the probed buckets, not the table
+    val scan = indexed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(scan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$scan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"probe read every bucket: ${sel.get.matched}")
+    // result parity with the ad-hoc (scan-everything) formulation
+    val adhoc = Similarity.lshTopK(q, corpus, k = 5, probeDist = 1)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val got = indexed
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(got === adhoc)
+  }
 }
