@@ -30,6 +30,27 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(z(0x1FFFF, 0) === 0x55555555L)
   }
 
+  test("Morton code is a bijection: round-trips through de-interleave on a bulk sample") {
+    def compact(z: Long): Int = { // inverse of spread16 (even bits)
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      x.toInt
+    }
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(2000)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(compact(z) === a && compact(z >> 1) === b, s"($a,$b) -> $z")
+    }
+    assert(got.map(_.getLong(2)).distinct.length === got.length)
+  }
+
   test("z-ordered rewrite shrinks per-file spans on both key dimensions") {
     val dir = "/root/testdata/sf0.01"
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")

@@ -497,6 +497,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(back.filter(col("coin") === "BTC" && col("interval") === "5m").count() == 1)
   }
 
+  test("composed longtime pipeline, exactly-once: stream -> enrich -> MERGE upsert sink") {
+    // the reference's Kafka -> per-(coin, interval) JDBC job with its
+    // two defects fixed at once: checkpointed offsets AND an upsert
+    // sink, so the duplicate deliveries its producer makes routine
+    // (re-fetched kline windows) cannot duplicate rows downstream.
+    implicit val ctx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val props = new java.util.Properties()
+    Routing.ensureTableAndAppend(
+      Seq.empty[(String, String, Long, Double)]
+        .toDF("coin", "interval", "ts", "volume").limit(0),
+      url, "latest_kline",
+      "coin VARCHAR(16), interval VARCHAR(8), ts BIGINT, volume DOUBLE", props)
+
+    val ms = MemoryStream[String]
+    val enriched = KlineIngest.enrich(KlineIngest.parse(
+      ms.toDF().select(col("value").cast("binary").as("value"))))
+    val q = enriched
+      .select(col("coin"), col("interval"),
+        unix_millis(col("timestamp")).as("ts"), col("volume"))
+      .writeStream
+      .option("checkpointLocation", tmp("cp-upsert"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // latest tick per key within the batch, then idempotent MERGE
+        val latest = batch
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("coin"), col("interval"))
+              .orderBy(col("ts").desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        Routing.upsertJdbc(latest, url, "latest_kline",
+          Seq("coin", "interval"), props)
+      }
+      .start()
+    try {
+      val t0 = 1704067200000L
+      ms.addData(klineJson("BTC", "1m", t0), klineJson("ETH", "1m", t0))
+      q.processAllAvailable()
+      // duplicate delivery: same BTC row again plus one newer tick
+      ms.addData(klineJson("BTC", "1m", t0), klineJson("BTC", "1m", t0 + 60000))
+      q.processAllAvailable()
+      val rows = spark.read.jdbc(url, "latest_kline", props).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // no duplicates, latest timestamp wins per key
+      assert(rows === Set(("BTC", "1m", t0 + 60000), ("ETH", "1m", t0)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store: custom keyed state off-heap, same results as the HDFS provider") {
     // the 100 TB state posture: keyed state in RocksDB (spills past
     // executor heap, incremental changelog checkpoints upload deltas
