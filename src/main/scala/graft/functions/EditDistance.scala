@@ -56,6 +56,10 @@ object EditDistanceKernel {
     if (m > 64) return a.levenshteinDistance(b, k)
 
     val st = states.get()
+    if (st.cur == Int.MaxValue) { // stamp wrap: ~2^31 calls/thread is
+      java.util.Arrays.fill(st.stamp, 0) // reachable at 100 TB pair counts
+      st.cur = 0
+    }
     st.cur += 1
     val cur = st.cur
     val peq = st.peq
