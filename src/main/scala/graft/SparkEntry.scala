@@ -500,6 +500,27 @@ object SparkEntry {
           (abs(col("_est") - col("n_exact")).cast("double") / col("n_exact") <= 0.02)
             .as("within_2pct"))),
 
+    QueryDef("agg_filtered_suite",
+      // the FILTER-clause aggregation surface (per-aggregate
+      // predicates in one grouped pass — no self-joins, no CASE
+      // scaffolding) plus the boolean aggregates. Identical SQL runs
+      // on both engines; micro-unit sum keeps the filtered double
+      // total exact, and an all-filtered-out group yields NULL on
+      // both sides.
+      Some("""SELECT event_type,
+             |       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+             |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+             |            FILTER (WHERE value > 100) AS DOUBLE) / 1000000.0 AS sum_big,
+             |       bool_and(value >= 0) AS all_nonneg,
+             |       bool_or(value > 1000) AS any_huge
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.events(s, dir).groupBy("event_type").agg(
+        expr("count(*) FILTER (WHERE value > 100)").cast("long").as("n_big"),
+        (expr("sum(CAST(floor(value * 1000000.0) AS BIGINT)) FILTER (WHERE value > 100)")
+          .cast("double") / 1000000.0).as("sum_big"),
+        expr("bool_and(value >= 0)").as("all_nonneg"),
+        expr("bool_or(value > 1000)").as("any_huge"))),
+
     QueryDef("agg_sketch_merge",
       // RE-AGGREGATABLE sketches — the pattern exact distinct cannot
       // do: per-(type, day) HLL sketches (Datasketches, the mergeable
