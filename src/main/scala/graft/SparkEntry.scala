@@ -2048,18 +2048,24 @@ object SparkEntry {
       // size / map_keys / element_at — exported engine-neutrally
       // (sorted keys CSV, scalar lookups). Scan-speed, no shuffle.
       Some("""SELECT event_id,
-             |       CAST(len(json_keys(props)) + 1 AS BIGINT) AS n_keys,
-             |       array_to_string(list_sort(list_append(json_keys(props), 't')), ',') AS keys_csv,
+             |       CAST(len(list_filter(json_keys(props), k -> k <> 't')) + 1 AS BIGINT) AS n_keys,
+             |       array_to_string(list_sort(list_append(
+             |         list_filter(json_keys(props), k -> k <> 't'), 't')), ',') AS keys_csv,
              |       json_extract_string(props, '$.k') AS k_val,
              |       event_type AS t_val
              |FROM events""".stripMargin),
       (s, dir) => Tables.events(s, dir)
         .select(col("event_id"),
+          // drop any payload 't' before adding ours: map_concat under
+          // the default EXCEPTION dedup policy would otherwise throw
+          // on a key collision (both engines filter identically)
           map_concat(
-            from_json(col("props"),
-              org.apache.spark.sql.types.MapType(
-                org.apache.spark.sql.types.StringType,
-                org.apache.spark.sql.types.StringType)),
+            map_filter(
+              from_json(col("props"),
+                org.apache.spark.sql.types.MapType(
+                  org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.StringType)),
+              (k, _) => k =!= "t"),
             map(lit("t"), col("event_type"))).as("m"))
         .select(col("event_id"),
           size(col("m")).cast("long").as("n_keys"),

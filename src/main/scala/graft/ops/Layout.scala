@@ -58,6 +58,10 @@ object Layout {
                   files: Int = 8): Unit = {
     val r = df.agg(min(a).cast("double"), max(a).cast("double"),
       min(b).cast("double"), max(b).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null-key) input:
+      df.write.mode("overwrite").parquet(path) // write it as-is, no layout
+      return
+    }
     def bin(c: Column, lo: Double, hi: Double): Column =
       if (lo >= hi) lit(0L)
       else least(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(65536)),

@@ -126,21 +126,24 @@ object Similarity {
     * per query — tune nBits up / probeDist down as real data gets more
     * clustered (near-dups concentrate in one bucket).
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nBits: Int = 8, probeDist: Int = 2, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed)
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        normD(col("embedding")).as("c_nrm"))
-      .withColumn("bucket", signature(col("c_emb"), planes))
-    // probe set: every bit-mask with popcount <= probeDist
+  /** Query side of every LSH path: signature + multi-probe explode
+    * (one bucket row per mask within `probeDist` bit flips). */
+  private def lshProbeSide(queries: DataFrame, planes: Array[Array[Double]],
+                           nBits: Int, probeDist: Int): DataFrame = {
     val masks = (0 until (1 << nBits))
       .filter(m => Integer.bitCount(m) <= probeDist)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"))
       .withColumn("sig", signature(col("q_emb"), planes))
       .withColumn("bucket", explode(array(
         masks.map(m => col("sig").bitwiseXOR(m)): _*)))
+  }
+
+  /** Candidate scoring shared by [[lshTopK]] and [[lshIndexedTopK]]:
+    * bucket equi-join, exact cosine, dedup (multi-probe may hit a
+    * pair twice), total-order rank. ONE definition so the ad-hoc and
+    * indexed paths cannot drift apart. */
+  private def scoreAndRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
@@ -148,9 +151,19 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     scored
-      .select(col("q_id"), col("c_id"), col("cosine")).distinct() // multi-probe may hit a pair twice
+      .select(col("q_id"), col("c_id"), col("cosine")).distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nBits: Int = 8, probeDist: Int = 2, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm"))
+      .withColumn("bucket", signature(col("c_emb"), planes))
+    scoreAndRank(c, lshProbeSide(queries, planes, nBits, probeDist), k)
   }
 
   /** Persist the corpus as an LSH index: signatures precomputed once,
@@ -181,26 +194,13 @@ object Similarity {
                      probeDist: Int = 2, dim: Int = 64,
                      seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
-    val masks = (0 until (1 << nBits))
-      .filter(m => Integer.bitCount(m) <= probeDist)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        normD(col("embedding")).as("q_nrm"))
-      .withColumn("sig", signature(col("q_emb"), planes))
-      .withColumn("bucket", explode(array(
-        masks.map(m => col("sig").bitwiseXOR(m)): _*)))
+    // cache: the probe side is consumed twice (bucket collect + join)
+    // and its signatures cost nBits×dim dot products per query row
+    val q = lshProbeSide(queries, planes, nBits, probeDist).cache()
     val probeBuckets = q.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val c = spark.table(table)
       .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine",
-        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored
-      .select(col("q_id"), col("c_id"), col("cosine")).distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    scoreAndRank(c, q, k)
   }
 }

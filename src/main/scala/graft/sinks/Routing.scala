@@ -160,15 +160,25 @@ object Routing {
     // idiom; PostgreSQL would take the VALUES form or ON CONFLICT).
     def cast(c: String) =
       s"CAST(? AS ${sqlType(schema(schema.fieldIndex(c)).dataType)})"
+    // null-safe key match: NULL = NULL is UNKNOWN in SQL, which would
+    // route a replayed NULL-keyed row to INSERT every time — spell out
+    // IS NOT DISTINCT FROM (Derby has no shorthand; binds each key twice)
     val mergeSql =
       s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d
-         |ON ${keyCols.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")}
+         |ON ${keyCols.map(k =>
+        s"(t.$k = ${cast(k)} OR (t.$k IS NULL AND ${cast(k)} IS NULL))").mkString(" AND ")}
          |WHEN MATCHED THEN UPDATE SET ${valCols.map(c => s"$c = ${cast(c)}").mkString(", ")}
          |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
          |VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
-    // parameter order = ON keys, SET values, INSERT row
-    val bindOrder = (keyCols ++ valCols ++ cols).map(schema.fieldIndex).toArray
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    // parameter order = ON keys (each twice), SET values, INSERT row
+    val bindOrder =
+      (keyCols.flatMap(k => Seq(k, k)) ++ valCols ++ cols).map(schema.fieldIndex).toArray
+    // co-locate each key in ONE partition: concurrent per-partition
+    // transactions merging the same key would race (nondeterministic
+    // winner, lock-timeout risk); within a partition, application
+    // order is the batch's row order
+    val byKey = df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    byKey.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
         val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
         try {

@@ -14,10 +14,13 @@ object FuzzyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // graft extensions OFF: with them on, ReplaceLevenshtein rewrites
+    // the built-in threshold form into the Myers kernel and the probe
+    // would benchmark the kernel against itself
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-    ).getOrCreate()
+    ).config("spark.sql.extensions", "").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val p = Tables.part(spark, sfDir).select(

@@ -63,5 +63,15 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     val rows = spark.read.jdbc(url, "latest", props).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows === Set(("BTC", 5L, 15.0), ("ETH", 2L, 20.0), ("SOL", 1L, 30.0)))
+
+    // NULL key: the null-safe ON clause must treat NULL as matching
+    // NULL, so replaying a NULL-keyed row updates instead of stacking
+    // one duplicate per replay
+    val bn = Seq((Option.empty[String], 7L, 1.0)).toDF("coin", "ts", "price")
+    Routing.upsertJdbc(bn, url, "latest", Seq("coin"), props)
+    Routing.upsertJdbc(bn, url, "latest", Seq("coin"), props)
+    val nullRows = spark.read.jdbc(url, "latest", props)
+      .filter(col("coin").isNull).collect()
+    assert(nullRows.length === 1 && nullRows.head.getLong(1) === 7L)
   }
 }
