@@ -1100,7 +1100,7 @@ object SparkEntry {
              |       round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
              |             (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6) AS jaccard
              |FROM base l JOIN base r
-             |  ON l.lang = r.lang AND l.len_bkt = r.len_bkt AND l.doc_id < r.doc_id
+             |  ON l.lang = r.lang AND abs(l.len_bkt - r.len_bkt) <= 1 AND l.doc_id < r.doc_id
              |WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
              |      (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.9""".stripMargin),
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
@@ -1221,7 +1221,7 @@ object SparkEntry {
              |  JOIN (SELECT doc_id, lang, n_chars // 20 AS len_bkt,
              |               list_distinct(string_split(text, ' ')) AS toks
              |        FROM documents) r
-             |    ON l.lang = r.lang AND l.len_bkt = r.len_bkt AND l.doc_id < r.doc_id
+             |    ON l.lang = r.lang AND abs(l.len_bkt - r.len_bkt) <= 1 AND l.doc_id < r.doc_id
              |  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
              |        (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.9),
              |edges AS (SELECT a_id AS src, b_id AS dst FROM base
@@ -1253,7 +1253,7 @@ object SparkEntry {
              |  JOIN (SELECT doc_id, lang, n_chars // 20 AS len_bkt,
              |               list_distinct(string_split(text, ' ')) AS toks
              |        FROM documents) r
-             |    ON l.lang = r.lang AND l.len_bkt = r.len_bkt AND l.doc_id < r.doc_id
+             |    ON l.lang = r.lang AND abs(l.len_bkt - r.len_bkt) <= 1 AND l.doc_id < r.doc_id
              |  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) /
              |        (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.9),
              |edges AS (SELECT a_id AS src, b_id AS dst FROM base

@@ -80,41 +80,68 @@ object Cdc {
         max_by(op, seq).as("_op") +:
           payload.map { case (n, c) => max_by(c, seq).as(n) }: _*)
       .select(names.map(col): _*)
+      .persist() // consumed twice: affected-bucket collect + the merge write
 
-    // buckets this batch touches — bounded by nBuckets, never by |keys|
-    val affected = picked
-      .select(pmod(hash(col("k")), lit(nBuckets)).as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(path)
+      // stale parking lot lives OUTSIDE the snapshot root so partition
+      // discovery never sees it
+      val staleRoot = new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + "._stale")
 
-    val root = new org.apache.hadoop.fs.Path(path)
-    val existing =
-      if (fs.exists(root) && fs.listStatus(root).nonEmpty)
-        spark.read.parquet(path)                      // partition pruning:
-          .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
-          .withColumn("_op", lit("U"))                // only touched buckets read
-          .select(names.map(col): _*)
-      else picked.limit(0)
+      // crash repair: a bucket parked here with no live twin means a
+      // previous run died between the two swap renames — restore it
+      // BEFORE reading `existing`, or those keys would silently vanish
+      // from the re-merged snapshot
+      if (fs.exists(staleRoot)) {
+        fs.listStatus(staleRoot).foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+          if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+        }
+        fs.delete(staleRoot, true)
+      }
 
-    val merged = existing.unionByName(picked)
-      .groupBy(col("k")).agg(
-        max(col("last_seq")).as("last_seq"),
-        max_by(col("_op"), col("last_seq")).as("_op") +:
-          payload.map { case (n, _) => max_by(col(n), col("last_seq")).as(n) }: _*)
-      .filter(col("_op") =!= deleteOp).drop("_op")
-      .withColumn("_bucket", pmod(hash(col("k")), lit(nBuckets)))
+      // buckets this batch touches — bounded by nBuckets, never by |keys|
+      val affected = picked
+        .select(pmod(hash(col("k")), lit(nBuckets)).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
 
-    val tmp = path.stripSuffix("/") + "._merge_tmp"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
-    affected.foreach { b =>
-      val dst = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
-      fs.delete(dst, true)
-      fs.mkdirs(dst.getParent)
-      if (fs.exists(src)) fs.rename(src, dst)         // absent: bucket fully deleted
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val existing =
+        if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+          spark.read.parquet(path)                      // partition pruning:
+            .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+            .withColumn("_op", lit("U"))                // only touched buckets read
+            .select(names.map(col): _*)
+        else picked.limit(0)
+
+      val merged = existing.unionByName(picked)
+        .groupBy(col("k")).agg(
+          max(col("last_seq")).as("last_seq"),
+          max_by(col("_op"), col("last_seq")).as("_op") +:
+            payload.map { case (n, _) => max_by(col(n), col("last_seq")).as(n) }: _*)
+        .filter(col("_op") =!= deleteOp).drop("_op")
+        .withColumn("_bucket", pmod(hash(col("k")), lit(nBuckets)))
+
+      val tmp = path.stripSuffix("/") + "._merge_tmp"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
+      // two-rename swap: park the live bucket, promote the fresh one.
+      // Either crash window is recoverable — before the promote, the
+      // repair pass restores the parked copy; after it, the parked copy
+      // is garbage and the replayed merge is idempotent anyway.
+      fs.mkdirs(staleRoot)
+      affected.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/_bucket=$b")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
+        val stale = new org.apache.hadoop.fs.Path(staleRoot, s"_bucket=$b")
+        fs.mkdirs(dst.getParent)
+        if (fs.exists(dst)) fs.rename(dst, stale)
+        if (fs.exists(src)) fs.rename(src, dst)         // absent: bucket fully deleted
+      }
+      fs.delete(staleRoot, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    } finally picked.unpersist()
   }
 
   /** Read back a [[streamSnapshot]] snapshot (drops the bucket
@@ -134,9 +161,14 @@ object Cdc {
   def scd2(history: DataFrame, key: Column, ord: Seq[Column],
            attr: Column, effTime: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ord: _*)
+    // null-safe change detect: `_prev =!= attr` is UNKNOWN when either
+    // side is null, which would drop transitions INTO null and emit a
+    // version per row across null runs. First row always starts a
+    // version (row_number reuses the same sort).
     val changed = history
+      .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(attr, 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= attr)
+      .filter(col("_rn") === 1 || !(col("_prev") <=> attr))
     val kw = Window.partitionBy(key).orderBy(ord: _*)
     changed.select(
       key.as("k"),

@@ -25,12 +25,17 @@ object Dedup {
 
   /** Deterministic exact dedup: the survivor is the row minimizing
     * `tiebreaker` within each key group — reproducible across runs
-    * and engines (unlike dropDuplicates' arbitrary pick).
+    * and engines (unlike dropDuplicates' arbitrary pick). Ties on the
+    * tiebreaker fall through to a full-row hash, so the pick stays
+    * deterministic even for non-unique tiebreakers (rows identical in
+    * every column are interchangeable anyway).
     */
   def exactKeepFirst(df: DataFrame, keys: Seq[String], tiebreaker: String): DataFrame =
     df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col(tiebreaker))))
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(tiebreaker),
+            org.apache.spark.sql.functions.xxhash64(df.columns.map(col): _*))))
       .filter(col("_rn") === 1).drop("_rn")
 
   // ---------------------------------------------------------------- //
@@ -99,10 +104,15 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toCol(SimHashExpr(toExpr(col("text")))).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
-    * the 4×16-bit chunk trick: any pair within distance 3 shares at
-    * least one exact chunk (pigeonhole), so candidates come from 4
-    * equi-joins on chunk value — no all-pairs scan.
+  /** SimHash near-dup pairs found via the 4×16-bit chunk trick:
+    * candidates come from 4 equi-joins on chunk value — no all-pairs
+    * scan. RECALL CONTRACT: the pigeonhole guarantees every pair
+    * within Hamming distance 3 shares a chunk, so recall is total for
+    * `maxDist ≤ 3`; beyond that the result is the CHUNK-BLOCKED
+    * subset (a pair differing in all four chunks is never considered
+    * — by design, that is what keeps the join bounded). Callers
+    * wanting full recall at larger distances split the signature into
+    * maxDist+1 chunks instead.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs)
@@ -140,9 +150,15 @@ object Dedup {
       col("doc_id"), col("lang"),
       (col("n_chars") / lenBucket).cast("long").as("len_bkt"),
       toCol(ShingleCodesExpr(toExpr(col("text")), 1, distinct = true)).as("toks"))
-    base.alias("l")
+    // probe the neighbor buckets too: similar docs can straddle a
+    // bucket boundary (19 vs 21 chars), and Jaccard ≥ 0.5 tolerates up
+    // to 2× length difference. One probe value matches per pair, so no
+    // duplicate candidates.
+    val probe = base.withColumn("_pbkt", explode(array(
+      col("len_bkt") - 1, col("len_bkt"), col("len_bkt") + 1)))
+    probe.alias("l")
       .join(base.alias("r"),
-        col("l.lang") === col("r.lang") && col("l.len_bkt") === col("r.len_bkt") &&
+        col("l.lang") === col("r.lang") && col("l._pbkt") === col("r.len_bkt") &&
           col("l.doc_id") < col("r.doc_id"))
       .withColumn("jaccard",
         toCol(graft.functions.JaccardSortedExpr(

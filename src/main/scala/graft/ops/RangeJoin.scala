@@ -30,14 +30,18 @@ object RangeJoin {
     val rKeys = keys.map(k => col(k).as(s"_r_$k"))
     val r = right.select(rKeys :+ col(rightTime).as("_rt"): _*)
       .withColumn("_rbkt", expr(s"_rt div $windowMs"))
+    // synthetic row id: grouping on the left columns alone would
+    // collapse duplicate left rows and sum their window counts
     val l = left
+      .withColumn("_lid", monotonically_increasing_id())
       .withColumn("_lbkt", expr(s"$leftTime div $windowMs"))
       .withColumn("_bkt", explode(array(col("_lbkt") - 1, col("_lbkt"))))
     val cond: Column = keys.map(k => col(k) === col(s"_r_$k"))
       .reduce(_ && _) && col("_bkt") === col("_rbkt") &&
       col("_rt") > col(leftTime) - windowMs && col("_rt") <= col(leftTime)
     l.join(r, cond, "left_outer")
-      .groupBy(left.columns.map(col): _*)
+      .groupBy(col("_lid") +: left.columns.map(col): _*)
       .agg(count(col("_rt")).as("n_in_window"))
+      .drop("_lid")
   }
 }

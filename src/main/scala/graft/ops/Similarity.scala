@@ -25,10 +25,13 @@ object Similarity {
     * so results are fully deterministic.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    // zero-norm embeddings are excluded on both sides: cosine would be
+    // 0/0 = NaN, and Spark sorts NaN above every real double, so one
+    // garbage vector would rank #1 for every query
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      normD(col("embedding")).as("q_nrm"))
+      normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      normD(col("embedding")).as("c_nrm"))
+      normD(col("embedding")).as("c_nrm")).filter(col("c_nrm") > 0)
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
@@ -88,10 +91,12 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"),
         rankedCells(col("embedding")).getItem(0).getField("cell").as("cell"))
+      .filter(col("c_nrm") > 0) // zero-norm: cosine undefined (NaN)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"),
         explode(transform(slice(rankedCells(col("embedding")), 1, nprobe),
           p => p.getField("cell"))).as("cell"))
+      .filter(col("q_nrm") > 0)
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
@@ -134,6 +139,7 @@ object Similarity {
       .filter(m => Integer.bitCount(m) <= probeDist)
     queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"))
+      .filter(col("q_nrm") > 0) // zero-norm: cosine undefined (NaN)
       .withColumn("sig", signature(col("q_emb"), planes))
       .withColumn("bucket", explode(array(
         masks.map(m => col("sig").bitwiseXOR(m)): _*)))
@@ -162,6 +168,7 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0) // zero-norm: cosine undefined (NaN)
       .withColumn("bucket", signature(col("c_emb"), planes))
     scoreAndRank(c, lshProbeSide(queries, planes, nBits, probeDist), k)
   }
@@ -178,6 +185,7 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0) // zero-norm: cosine undefined (NaN)
       .withColumn("bucket", signature(col("c_emb"), planes))
     graft.sinks.Routing.writeBucketed(c, table, "bucket", buckets)
   }
@@ -194,11 +202,16 @@ object Similarity {
                      probeDist: Int = 2, dim: Int = 64,
                      seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
-    // cache: the probe side is consumed twice (bucket collect + join)
-    // and its signatures cost nBits×dim dot products per query row
-    val q = lshProbeSide(queries, planes, nBits, probeDist).cache()
-    val probeBuckets = q.select("bucket").distinct()
-      .collect().map(_.getInt(0))
+    // the probe side is consumed twice (bucket set + join) and its
+    // signatures cost nBits×dim dot products per query row: collect it
+    // ONCE (|queries|·|masks| rows — small by the point-lookup
+    // contract) and rebuild a local DataFrame, so nothing is cached
+    // and nothing computes twice
+    val probe = lshProbeSide(queries, planes, nBits, probeDist)
+    val rows = probe.collect()
+    val probeBuckets = rows.map(_.getAs[Int]("bucket")).distinct.sorted
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), probe.schema)
     val c = spark.table(table)
       .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
     scoreAndRank(c, q, k)

@@ -60,13 +60,16 @@ object TopK {
   }
 
   /** Top-k `valueCol` rows per `groupCol`, exploded back to flat rows
-    * `(group, rnk, value, tiebreak-id)` with rnk in 1..k.
+    * `(group, rnk, value, tiebreak-id)` with rnk in 1..k. Rows with a
+    * null value or id are excluded (they cannot rank; letting them
+    * through would crash the non-nullable tuple encoder).
     */
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                    idCol: String, k: Int): DataFrame = {
     import df.sparkSession.implicits._
     val ds = df.select(col(groupCol).cast("string"),
         col(valueCol).cast("double"), col(idCol).cast("long"))
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .as[(String, Double, Long)]
     val agg = new TopKAgg(k)
     ds.groupByKey(_._1)
