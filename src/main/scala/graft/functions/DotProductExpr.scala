@@ -20,9 +20,9 @@ import org.apache.spark.sql.types._
   * SURVEY.md §4.4).
   *
   * Nulls: null array → null result (BinaryExpression's null-safe
-  * contract). Null *elements* are treated as 0 contribution on the
-  * interpreted path and must not occur on the codegen path (embedding
-  * fixtures carry none); length mismatch uses the shorter prefix.
+  * contract). Null *elements* contribute 0 on BOTH execution paths
+  * (codegen emits the per-element guard only when the schema's
+  * containsNull requires it); length mismatch uses the shorter prefix.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,14 +64,25 @@ case class DotProductExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       def get(e: Expression) =
         if (elemType(e) == FloatType) "getFloat" else "getDouble"
+      def mayHaveNulls(e: Expression) =
+        e.dataType.asInstanceOf[ArrayType].containsNull
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // null elements skip the pair, SAME as the interpreted eval —
+      // without the guard the two execution modes diverge (zeroed
+      // unsafe slot vs skipped term) or NPE on generic arrays. The
+      // check is emitted only when the schema admits nulls, so
+      // containsNull=false inputs keep the branch-free loop.
+      val guard =
+        if (mayHaveNulls(left) || mayHaveNulls(right))
+          s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) "
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.${get(left)}($i) * (double) $b.${get(right)}($i);
+         |  $guard$s += (double) $a.${get(left)}($i) * (double) $b.${get(right)}($i);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -12,8 +12,8 @@ import org.apache.spark.sql.types._
   * This distribution ships avro-core but not the spark-avro DataSource
   * module, so the sink is built directly on Avro's container-file
   * writer: each task serializes ITS OWN partition to one
-  * `part-<pid>.avro` — the same executor-parallel, no-driver-funnel
-  * shape as a DataSource sink. Flat primitive schemas only (the kline
+  * `part-<attempt>-<pid>.avro` — the same executor-parallel,
+  * no-driver-funnel shape as a DataSource sink. Flat primitive schemas only (the kline
   * record is exactly that); nested types belong in parquet.
   *
   * Unlike the reference, which creates a fresh directory per
@@ -47,29 +47,49 @@ object AvroSink {
   }
 
   /** Write `df` as Avro container files under `dir`, one file per
-    * partition, executor-parallel. */
+    * partition, executor-parallel.
+    *
+    * File names carry the task attempt id, so (a) successive calls
+    * into the same directory APPEND new files instead of truncating
+    * the previous batch's `part-<pid>`, and (b) a speculative or
+    * retried attempt writes its own file rather than interleaving with
+    * the original (duplicate files from both attempts finishing are
+    * the at-least-once cost; exactly-once file sinks need a commit
+    * protocol — that path here is the checkpointed parquet sink).
+    * I/O goes through the Hadoop FileSystem API with the driver's
+    * configuration, so shared storage works from executors (local
+    * `java.io.File` would write each executor's own disk).
+    */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = avroSchema(df.schema).toString
     val names = df.schema.fieldNames
     val types = df.schema.fields.map(_.dataType)
-    new java.io.File(dir).mkdirs()
+    val conf = org.apache.spark.util.GraftConfBridge.broadcastConf(
+      df.sparkSession.sparkContext)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dir), org.apache.spark.util.GraftConfBridge.value(conf))
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$dir/part-${tc.taskAttemptId()}-${tc.partitionId()}.avro"), false)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, new java.io.File(s"$dir/part-$pid.avro"))
+        w.create(schema, out)
         try rows.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < names.length) {
             val v = if (row.isNullAt(i)) null else types(i) match {
-              case TimestampType =>
-                java.lang.Long.valueOf(row.getTimestamp(i).getTime * 1000L)
-              case TimestampNTZType =>
+              case TimestampType => // true epoch micros: millis + sub-ms nanos
+                val t = row.getTimestamp(i)
                 java.lang.Long.valueOf(
-                  row.getAs[java.time.LocalDateTime](i)
-                    .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+                  Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+              case TimestampNTZType =>
+                val ldt = row.getAs[java.time.LocalDateTime](i)
+                java.lang.Long.valueOf(
+                  ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                    ldt.getNano / 1000L)
               case StringType => row.getString(i)
               case _ => row.get(i).asInstanceOf[AnyRef]
             }

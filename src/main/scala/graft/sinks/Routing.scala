@@ -51,7 +51,8 @@ object Routing {
     * `AvroSinkSpec`.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil): Int = {
     val df = spark.read.parquet(path)
     val totalBytes = df
       .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("f"),
@@ -60,12 +61,25 @@ object Routing {
       .agg(org.apache.spark.sql.functions.sum("sz")).head().getLong(0)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = path.stripSuffix("/") + "._compact_tmp"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // a Hive-partitioned source (writePartitioned/routedParquet layout)
+    // must be rewritten WITH partitionBy, or the directory scheme — and
+    // partition pruning — is silently flattened away
+    val w = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    // crash-safe swap: park the live dir, promote the fresh one, then
+    // drop the parked copy. A crash leaves either the parked dir (data
+    // intact, rename it back) or both (promotion done, delete parked) —
+    // never a window with NO live data, which delete-then-rename had.
+    val parked = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "._compact_old")
+    fs.delete(parked, true)
+    fs.rename(dst, parked)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(parked, true)
     nFiles
   }
 
@@ -80,8 +94,23 @@ object Routing {
     enriched.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) writePartitioned(batch, path, keys)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: a marker per committed batch makes the common
+        // replay path (crash AFTER write+marker, before the engine
+        // commit log records the epoch) a no-op instead of a blind
+        // re-append. The residual window — crash between write and
+        // marker — is inherent to parquet append without a
+        // transactional table format; the exactly-once sinks here are
+        // upsertJdbc and Cdc.streamSnapshot.
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$path/_committed_batch_$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          writePartitioned(batch, path, keys)
+          fs.create(marker, true).close()
+        }
       }
       .trigger(Trigger.AvailableNow())
 
@@ -109,14 +138,17 @@ object Routing {
                            ddl: String, props: java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
     try {
-      // dialect-neutral IF NOT EXISTS: probe the catalog first
-      // (Derby has no IF NOT EXISTS; PostgreSQL/MySQL do)
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      var exists = false
-      while (rs.next() && !exists)
-        exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      if (!exists)
-        conn.createStatement().execute(s"CREATE TABLE $table ($ddl)")
+      // dialect-neutral IF NOT EXISTS: probe the catalog for THIS table
+      // (both case forms — Derby folds unquoted identifiers to upper)
+      // rather than listing every table in the warehouse
+      def probe(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+      if (!probe(table) && !probe(table.toUpperCase)) {
+        val st = conn.createStatement()
+        try st.execute(s"CREATE TABLE $table ($ddl)") finally st.close()
+      }
     } finally conn.close()
     df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
   }

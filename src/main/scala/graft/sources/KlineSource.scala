@@ -238,30 +238,60 @@ private class KlineReaderFactory(fields: Array[String])
     new KlineReader(p.asInstanceOf[KlineChunk], fields)
 }
 
-/** Generates the chunk's rows; only the pruned-to columns are computed. */
+/** Generates the chunk's rows; only the pruned-to columns are computed.
+  * Per-chunk constants (the coin's base level, the interned coin/
+  * interval strings) and the column dispatch are resolved ONCE here —
+  * this is the throughput-bench hot path, so get() must not re-hash
+  * the coin or re-match column names per row.
+  */
 private class KlineReader(chunk: KlineChunk, fields: Array[String])
     extends PartitionReader[InternalRow] {
+  import KlineSource.unit
   private var i = -1
+  private val base = 100.0 * (1.0 + unit(chunk.coin, 0L, 7L)) // per-coin level
+  private val coinU = UTF8String.fromString(chunk.coin)
+  private val intervalU = UTF8String.fromString(chunk.interval)
+
+  // column names resolved to ordinals once per partition; the shared
+  // open/close pair is computed once per ROW, only when a price
+  // column survives pruning
+  private val codes: Array[Int] = fields.map {
+    case "coin" => 0
+    case "interval" => 1
+    case "open_time" => 2
+    case "open" => 3
+    case "high" => 4
+    case "low" => 5
+    case "close" => 6
+    case "volume" => 7
+    case other => throw new IllegalStateException(s"unknown column $other")
+  }
+  private val needsPrice = codes.exists(c => c >= 3 && c <= 6)
 
   override def next(): Boolean = { i += 1; i < chunk.rows }
 
   override def get(): InternalRow = {
-    import KlineSource.unit
     val idx = chunk.startIdx + i
-    val base = 100.0 * (1.0 + unit(chunk.coin, 0L, 7L))  // per-coin level
-    val drift = unit(chunk.coin, idx, 1L) - 0.5
-    val open = base * (1.0 + 0.1 * drift)
-    val close = base * (1.0 + 0.1 * (unit(chunk.coin, idx, 2L) - 0.5))
-    val values: Array[Any] = fields.map {
-      case "coin" => UTF8String.fromString(chunk.coin)
-      case "interval" => UTF8String.fromString(chunk.interval)
-      case "open_time" => chunk.startMs + idx * chunk.stepMs
-      case "open" => open
-      case "high" => math.max(open, close) * 1.01
-      case "low" => math.min(open, close) * 0.99
-      case "close" => close
-      case "volume" => 1000.0 * unit(chunk.coin, idx, 3L)
-      case other => throw new IllegalStateException(s"unknown column $other")
+    var o = 0.0
+    var c = 0.0
+    if (needsPrice) {
+      o = base * (1.0 + 0.1 * (unit(chunk.coin, idx, 1L) - 0.5))
+      c = base * (1.0 + 0.1 * (unit(chunk.coin, idx, 2L) - 0.5))
+    }
+    val values = new Array[Any](codes.length)
+    var j = 0
+    while (j < codes.length) {
+      values(j) = codes(j) match {
+        case 0 => coinU
+        case 1 => intervalU
+        case 2 => chunk.startMs + idx * chunk.stepMs
+        case 3 => o
+        case 4 => math.max(o, c) * 1.01
+        case 5 => math.min(o, c) * 0.99
+        case 6 => c
+        case 7 => 1000.0 * unit(chunk.coin, idx, 3L)
+      }
+      j += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }
