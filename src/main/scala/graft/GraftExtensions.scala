@@ -67,5 +67,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectOptimizerRule(_ => ReplaceTokenCount)
     e.injectOptimizerRule(_ => ReplaceLevenshtein)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

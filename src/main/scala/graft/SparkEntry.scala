@@ -428,6 +428,36 @@ object SparkEntry {
           payload = Seq("click_value"), tiebreak = "event_id")
       }),
 
+    QueryDef("join_asof_native",
+      // the same point-in-time enrichment through the whole-operator
+      // Catalyst path (plans.AsOfJoinNode/Exec): co-partitioned sorted
+      // merge, one O(n+m) pass per partition, left partitioning/order
+      // preserved for downstream reuse. Same DuckDB ASOF oracle as
+      // join_asof — the two implementations must hash-match it AND
+      // each other.
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms
+             |           FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, value, event_id
+             |       FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, t, arg_max(value, event_id) AS click_value
+             |      FROM r0 GROUP BY user_id, t)
+             |SELECT l.event_id, l.user_id, l.ts_ms,
+             |       r.t AS asof_time, r.click_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_ms >= r.t""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        AsOfJoin.native(
+          left = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_ms"),
+          right = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id"),
+              col("value").as("click_value")),
+          keys = Seq("user_id"),
+          leftTime = "ts_ms", rightTime = "ts_ms",
+          payload = Seq("click_value"), tiebreak = "event_id")
+      }),
+
     QueryDef("join_range_window",
       // trailing-window range join: clicks per user in the hour before
       // each purchase (ops.RangeJoin — banded equi-join, fan-out 2,

@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
 
 /** As-of (point-in-time) join: for every left row, attach the single
   * right row with the greatest `rightTime <= leftTime` for the same
@@ -87,5 +91,54 @@ object AsOfJoin {
     out.select(left.columns.map(col) ++
       (matchedTime +: payload).map(c => col("_m")(c).as(c)): _*)
       .withColumnRenamed(matchedTime, "asof_time")
+  }
+
+  /** Backward as-of join through the custom whole-operator path
+    * (`plans.AsOfJoinNode` / `AsOfJoinExec`): co-partitioned sorted
+    * merge instead of the union-window carry. Result-identical to
+    * [[backward]] (property-checked in `JoinOpsSpec`); prefer this
+    * form when an input is already partitioned on the key (its
+    * exchange is reused — the union form always re-shuffles both) or
+    * when the left row width is large (no window state carries whole
+    * rows). Time columns are cast to long epoch values; `rightTime`
+    * and `tiebreak` must be non-null.
+    *
+    * Output: all left columns, then `asof_time` (matched right time,
+    * null when no match) and the payload columns — same contract as
+    * [[backward]].
+    */
+  def native(left: DataFrame, right: DataFrame, keys: Seq[String],
+             leftTime: String, rightTime: String,
+             payload: Seq[String], tiebreak: String,
+             tolerance: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
+    val l = left.withColumn(leftTime, col(leftTime).cast(LongType))
+    val r = right.withColumn(rightTime, col(rightTime).cast(LongType))
+    // shield each side behind a fresh aliasing Project: when both
+    // sides derive from the same relation, the analyzer's
+    // DeduplicateRelations renews the duplicated subtree's exprIds —
+    // a rewrite it can apply inside known nodes (the Project) but not
+    // to the attributes this custom node captured. With the shield,
+    // the captured attributes are the alias outputs, which the
+    // rewrite never touches.
+    def shield(p: LogicalPlan): LogicalPlan =
+      Project(p.output.map(a => Alias(a, a.name)()), p)
+    val lPlan = shield(l.queryExecution.analyzed)
+    val rPlan = shield(r.queryExecution.analyzed)
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of $side side has no column '$n' (has: ${p.output.map(_.name).mkString(", ")})"))
+    val payloadOut = payload.map { p =>
+      val a = attr(rPlan, p, "right")
+      AttributeReference(p, a.dataType, nullable = true)()
+    }
+    val asofOut = AttributeReference("asof_time", LongType, nullable = true)()
+    GraftPlanBridge.ofRows(spark, AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _, "left")), keys.map(attr(rPlan, _, "right")),
+      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"),
+      payload.map(attr(rPlan, _, "right")), attr(rPlan, tiebreak, "right"),
+      tolerance, asofOut, payloadOut))
   }
 }

@@ -24,6 +24,14 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Option[Long], Option[Double])]
       .collect().sortBy(_._1)
 
+  private def asofNative(l: org.apache.spark.sql.DataFrame,
+                         r: org.apache.spark.sql.DataFrame,
+                         tol: Option[Long] = None) =
+    AsOfJoin.native(l, r, Seq("user_id"), "ts_ms", "ts_ms",
+      Seq("click_value"), "event_id", tol)
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+
   test("asof: latest right row at-or-before left time; equal time matches") {
     val l = left((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 99L))
     val r = right((7L, 100L, 10L, 1.0), (7L, 200L, 11L, 2.0))
@@ -79,6 +87,50 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
         }
     }.toSeq
     assert(fast == naive)
+  }
+
+  test("asof native: boundary, tiebreak, and tolerance semantics match backward") {
+    val l = left((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 99L), (4L, 8L, 500L))
+    val r = right((7L, 100L, 10L, 1.0), (7L, 100L, 12L, 5.0), (7L, 200L, 11L, 2.0),
+      (9L, 450L, 20L, 9.0))
+    assert(asofNative(l, r).toSeq == asof(l, r).toSeq)
+    val lt = left((1L, 7L, 1000L), (2L, 7L, 2000L))
+    val rt = right((7L, 900L, 10L, 1.0))
+    assert(asofNative(lt, rt, tol = Some(150L)).toSeq ==
+      asof(lt, rt, tol = Some(150L)).toSeq)
+  }
+
+  test("asof native: parity with the union-window form on random multi-partition data") {
+    val rnd = new scala.util.Random(29)
+    val l = left((1 to 500).map(i =>
+      (i.toLong, (i % 11).toLong, rnd.nextInt(5000).toLong)): _*).repartition(7)
+    val r = right((1 to 1500).map(i =>
+      ((i % 11).toLong, rnd.nextInt(5000).toLong, i.toLong, rnd.nextInt(100).toDouble)): _*)
+      .repartition(5)
+    assert(asofNative(l, r).toSeq == asof(l, r).toSeq)
+    assert(asofNative(l, r, tol = Some(300L)).toSeq == asof(l, r, tol = Some(300L)).toSeq)
+  }
+
+  test("asof native: plans as the custom operator and reuses an existing key partitioning") {
+    val l = left((1 to 50).map(i => (i.toLong, (i % 3).toLong, i * 10L)): _*)
+    val r = right((1 to 50).map(i => ((i % 3).toLong, i * 7L, i.toLong, 1.0)): _*)
+    val plain = AsOfJoin.native(l, r, Seq("user_id"), "ts_ms", "ts_ms",
+      Seq("click_value"), "event_id")
+    val plainPhys = plain.queryExecution.executedPlan.toString
+    // executedPlan is the AdaptiveSparkPlan wrapper (collect doesn't
+    // descend into it) — assert on the rendered operator
+    assert(plainPhys.contains("AsOfJoin ["), s"custom operator missing:\n$plainPhys")
+    assert("Exchange hashpartitioning".r.findAllIn(plainPhys).size == 2)
+
+    // a left side already hash-partitioned on the key satisfies the
+    // operator's ClusteredDistribution — EnsureRequirements must NOT
+    // add a third exchange (the union-window form always re-shuffles)
+    val pre = AsOfJoin.native(
+      l.repartition(org.apache.spark.sql.functions.col("user_id")), r,
+      Seq("user_id"), "ts_ms", "ts_ms", Seq("click_value"), "event_id")
+    val prePhys = pre.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(prePhys).size == 2,
+      s"expected the explicit repartition + one right-side exchange only:\n$prePhys")
   }
 
   test("range join: counts match a direct theta-join on random data") {
