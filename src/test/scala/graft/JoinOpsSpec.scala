@@ -133,6 +133,31 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       s"expected the explicit repartition + one right-side exchange only:\n$prePhys")
   }
 
+  test("asof native: empty sides and null keys behave like the union-window form") {
+    val l = left((1L, 7L, 100L))
+    val rEmpty = right().limit(0)
+    assert(asofNative(l, rEmpty).toSeq == asof(l, rEmpty).toSeq)
+    assert(asofNative(left(), rEmpty).isEmpty)
+
+    // null keys group together (both forms treat the key as a grouping
+    // key, not a SQL equality): a null-key left row matches the latest
+    // null-key right row
+    val lNull = Seq((1L, Option.empty[Long], 100L), (2L, Some(7L), 100L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val rNull = Seq((Option.empty[Long], 50L, 10L, 1.5), (Some(7L), 60L, 11L, 2.5))
+      .toDF("user_id", "ts_ms", "event_id", "click_value")
+    val nat = AsOfJoin.native(lNull, rNull, Seq("user_id"), "ts_ms", "ts_ms",
+      Seq("click_value"), "event_id")
+      .as[(Long, Option[Long], Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val win = AsOfJoin.backward(lNull, rNull, Seq("user_id"), "ts_ms", "ts_ms",
+      Seq("click_value"), "event_id")
+      .as[(Long, Option[Long], Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(nat == win)
+    assert(nat.head == ((1L, None, 100L, Some(50L), Some(1.5))))
+  }
+
   test("range join: counts match a direct theta-join on random data") {
     val n = 400
     val rnd = new scala.util.Random(7)
