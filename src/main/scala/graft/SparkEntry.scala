@@ -1733,6 +1733,21 @@ object SparkEntry {
              |FROM documents""".stripMargin),
       (s, dir) => TextStats.packChunks(Tables.documents(s, dir), budget = 512)),
 
+    QueryDef("ext_chunk_overlap",
+      // sliding-window chunking with overlap (RAG / long-context prep;
+      // TextStats.chunkOverlap, size=128 stride=96): chunk starts every
+      // 96 tokens, spans up to 128 — shuffle-free projection+generator,
+      // embarrassingly parallel over documents.
+      Some("""SELECT doc_id,
+             |       CAST(s // 96 AS BIGINT) AS chunk_idx,
+             |       CAST(s AS BIGINT) AS tok_start,
+             |       CAST(least(128, n_tokens - s) AS BIGINT) AS tok_len
+             |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |      FROM documents),
+             |     UNNEST(generate_series(0, n_tokens - 1, 96)) AS t(s)""".stripMargin),
+      (s, dir) => TextStats.chunkOverlap(Tables.documents(s, dir), size = 128, stride = 96)
+        .select("doc_id", "chunk_idx", "tok_start", "tok_len")),
+
     QueryDef("ext_data_split",
       // deterministic train/eval split by multiplicative key hash —
       // stable across runs/engines, no sampling state to carry.

@@ -164,4 +164,27 @@ object TextStats {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
         expr(s"offset div $budget").as("chunk_id"))
   }
+
+  /** Per-document sliding-window chunking with overlap (the RAG /
+    * long-context prep step, vs [[packChunks]]'s cross-document
+    * packing): chunk starts every `stride` tokens while inside the
+    * document, each chunk spanning up to `size` tokens, so successive
+    * chunks share `size - stride` tokens of context. Pure projection +
+    * generator — no shuffle at all, no state: chunking parallelizes
+    * embarrassingly over documents at any scale. Output one row per
+    * chunk: (doc_id, chunk_idx, tok_start, tok_len).
+    */
+  def chunkOverlap(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1L, lit(stride.toLong)))
+          .as("tok_start"))
+      .select(col("doc_id"),
+        expr(s"tok_start div $stride").as("chunk_idx"),
+        col("tok_start"),
+        least(lit(size.toLong), col("n_tokens") - col("tok_start")).as("tok_len"))
+  }
 }

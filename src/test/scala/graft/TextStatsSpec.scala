@@ -33,6 +33,23 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.getAs[Boolean]("passes_quality")) // < 20 tokens
   }
 
+  test("chunkOverlap: stride starts, size cap, short-doc single chunk, overlap width") {
+    // 10 tokens, size=4 stride=3 → starts 0,3,6,9; last chunk truncated
+    val ten = doc((1 to 10).map(i => s"t$i").mkString(" "))
+    val chunks = TextStats.chunkOverlap(ten, size = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len"))).sortBy(_._1)
+    assert(chunks.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // consecutive chunks share size - stride = 1 token
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 + a._3 - b._2 == 1L); case _ => }
+    // a doc shorter than one chunk yields exactly one truncated chunk
+    val short = TextStats.chunkOverlap(doc("a b"), size = 128, stride = 96).collect()
+    assert(short.length == 1 &&
+      short.head.getAs[Long]("tok_start") == 0L &&
+      short.head.getAs[Long]("tok_len") == 2L)
+  }
+
   test("langId picks the language with most marker hits; ties go to max code") {
     val rows = TextStats.langId(Seq(
       (1L, "el la de y la el"),       // es markers
