@@ -96,16 +96,18 @@ object AsOfJoin {
   /** Backward as-of join through the custom whole-operator path
     * (`plans.AsOfJoinNode` / `AsOfJoinExec`): co-partitioned sorted
     * merge instead of the union-window carry. Result-identical to
-    * [[backward]] (property-checked in `JoinOpsSpec`); prefer this
-    * form when an input is already partitioned on the key (its
-    * exchange is reused — the union form always re-shuffles both) or
-    * when the left row width is large (no window state carries whole
-    * rows). Time columns are cast to long epoch values; `rightTime`
-    * and `tiebreak` must be non-null.
+    * [[backward]] for integral time columns (property-checked in
+    * `JoinOpsSpec`); prefer this form when an input is already
+    * partitioned on the key (its exchange is reused — the union form
+    * always re-shuffles both) or when the left row width is large (no
+    * window state carries whole rows). The merge orders on long epoch
+    * values: non-long time columns are cast INTERNALLY (left columns
+    * pass through unchanged), and `asof_time` is exported as the
+    * matched right time's long epoch value. `rightTime` and
+    * `tiebreak` must be non-null.
     *
-    * Output: all left columns, then `asof_time` (matched right time,
-    * null when no match) and the payload columns — same contract as
-    * [[backward]].
+    * Output: all left columns, then `asof_time` (null when no match)
+    * and the payload columns — same contract as [[backward]].
     */
   def native(left: DataFrame, right: DataFrame, keys: Seq[String],
              leftTime: String, rightTime: String,
@@ -113,8 +115,13 @@ object AsOfJoin {
              tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     GraftPlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
-    val l = left.withColumn(leftTime, col(leftTime).cast(LongType))
-    val r = right.withColumn(rightTime, col(rightTime).cast(LongType))
+    // the epoch cast rides on hidden columns so the caller's time
+    // columns keep their type in the output (the hidden left column is
+    // dropped below; the right side never surfaces)
+    val ltCol = "_graft_asof_lt"
+    val rtCol = "_graft_asof_rt"
+    val l = left.withColumn(ltCol, col(leftTime).cast(LongType))
+    val r = right.withColumn(rtCol, col(rightTime).cast(LongType))
     // shield each side behind a fresh aliasing Project: when both
     // sides derive from the same relation, the analyzer's
     // DeduplicateRelations renews the duplicated subtree's exprIds —
@@ -137,8 +144,8 @@ object AsOfJoin {
     GraftPlanBridge.ofRows(spark, AsOfJoinNode(
       lPlan, rPlan,
       keys.map(attr(lPlan, _, "left")), keys.map(attr(rPlan, _, "right")),
-      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"),
+      attr(lPlan, ltCol, "left"), attr(rPlan, rtCol, "right"),
       payload.map(attr(rPlan, _, "right")), attr(rPlan, tiebreak, "right"),
-      tolerance, asofOut, payloadOut))
+      tolerance, asofOut, payloadOut)).drop(ltCol)
   }
 }

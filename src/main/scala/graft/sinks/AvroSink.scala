@@ -66,6 +66,11 @@ object AvroSink {
     val types = df.schema.fields.map(_.dataType)
     val conf = org.apache.spark.util.GraftConfBridge.broadcastConf(
       df.sparkSession.sparkContext)
+    // create the directory up front so an empty DataFrame still leaves
+    // a readable (empty) sink directory rather than nothing
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(dir), df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(dir))
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val schema = new Schema.Parser().parse(schemaJson)

@@ -53,6 +53,15 @@ object Routing {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    // a Hive-partitioned source (writePartitioned/routedParquet layout)
+    // must be rewritten WITH partitionBy, or the directory scheme — and
+    // partition pruning — is silently flattened away. Detect the layout
+    // from the directory names (k=v per level) unless the caller pins it.
+    val parts =
+      if (partitionCols.nonEmpty) partitionCols else detectPartitionCols(fs, dst)
     val df = spark.read.parquet(path)
     val totalBytes = df
       .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("f"),
@@ -61,26 +70,53 @@ object Routing {
       .agg(org.apache.spark.sql.functions.sum("sz")).head().getLong(0)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = path.stripSuffix("/") + "._compact_tmp"
-    // a Hive-partitioned source (writePartitioned/routedParquet layout)
-    // must be rewritten WITH partitionBy, or the directory scheme — and
-    // partition pruning — is silently flattened away
     val w = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
     // crash-safe swap: park the live dir, promote the fresh one, then
     // drop the parked copy. A crash leaves either the parked dir (data
     // intact, rename it back) or both (promotion done, delete parked) —
     // never a window with NO live data, which delete-then-rename had.
+    // Hadoop rename reports failure by RETURNING FALSE (it rarely
+    // throws), so every step is checked: a failed promotion rolls the
+    // parked original back and aborts — falling through to the delete
+    // would destroy the only copy.
     val parked = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "._compact_old")
     fs.delete(parked, true)
-    fs.rename(dst, parked)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (!fs.rename(dst, parked))
+      throw new java.io.IOException(s"compact: could not park $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      val rolledBack = fs.rename(parked, dst)
+      throw new java.io.IOException(
+        s"compact: promotion of $tmp failed" +
+          (if (rolledBack) "; original restored" else s"; ORIGINAL LEFT AT $parked"))
+    }
     fs.delete(parked, true)
     nFiles
+  }
+
+  /** Infer Hive partition columns from a directory tree: each level
+    * whose child directories are all `name=value` contributes one
+    * column. Mirrors what `spark.read.parquet` itself discovers, so a
+    * compaction rewrite preserves exactly the layout the reader sees. */
+  private[sinks] def detectPartitionCols(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer[String]()
+    var dir = root
+    var done = false
+    while (!done) {
+      val subdirs = fs.listStatus(dir).filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+      val names = subdirs.map(_.getPath.getName.split("=", 2))
+      if (subdirs.nonEmpty && names.forall(_.length == 2) &&
+          names.map(_.head).distinct.length == 1) {
+        cols += names.head.head
+        dir = subdirs.head.getPath
+      } else done = true
+    }
+    cols.toSeq
   }
 
   /** Streaming form: checkpointed foreachBatch that routes each
@@ -98,15 +134,19 @@ object Routing {
         // replay guard: a marker per committed batch makes the common
         // replay path (crash AFTER write+marker, before the engine
         // commit log records the epoch) a no-op instead of a blind
-        // re-append. The residual window — crash between write and
-        // marker — is inherent to parquet append without a
+        // re-append. Markers live INSIDE the checkpoint dir, so their
+        // lifetime is coupled to the batch-id sequence they guard: a
+        // fresh checkpoint (whose batch ids restart at 0) starts with
+        // no stale markers, and compacting/rewriting the OUTPUT dir
+        // cannot destroy them. The residual window — crash between
+        // write and marker — is inherent to parquet append without a
         // transactional table format; the exactly-once sinks here are
         // upsertJdbc and Cdc.streamSnapshot.
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+          new java.net.URI(checkpointDir), spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(
-          s"$path/_committed_batch_$batchId")
+          s"$checkpointDir/graft-sink-commits/batch_$batchId")
         if (!fs.exists(marker) && !batch.isEmpty) {
           writePartitioned(batch, path, keys)
           fs.create(marker, true).close()
@@ -140,9 +180,15 @@ object Routing {
     try {
       // dialect-neutral IF NOT EXISTS: probe the catalog for THIS table
       // (both case forms — Derby folds unquoted identifiers to upper)
-      // rather than listing every table in the warehouse
+      // rather than listing every table in the warehouse. getTables
+      // treats the name as a LIKE pattern, so '_' (ubiquitous in the
+      // routed table names) must be escaped or `table_1m` would
+      // false-match a `tableX1m` and skip the CREATE.
+      val esc = conn.getMetaData.getSearchStringEscape
       def probe(name: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
+        val pattern = name.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+        val rs = conn.getMetaData.getTables(null, null, pattern, Array("TABLE"))
         try rs.next() finally rs.close()
       }
       if (!probe(table) && !probe(table.toUpperCase)) {

@@ -293,7 +293,8 @@ private class KlineReader(chunk: KlineChunk, fields: Array[String])
       }
       j += 1
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
+    // wrap the array directly — fromSeq(toIndexedSeq) would copy twice
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = ()

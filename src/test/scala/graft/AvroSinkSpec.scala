@@ -69,4 +69,23 @@ class AvroSinkSpec extends AnyFunSuite with SparkTestBase {
     val after = spark.read.parquet(out).orderBy("id").collect().toSeq
     assert(after == before)
   }
+
+  test("compaction auto-detects and preserves a Hive-partitioned layout") {
+    val out = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    (1 to 6).foreach { i =>
+      Seq(("BTC", "1m", i.toLong), ("ETH", "5m", i.toLong))
+        .toDF("coin", "interval", "v")
+        .repartition(2)
+        .write.mode("append").partitionBy("coin", "interval").parquet(out)
+    }
+    val before = spark.read.parquet(out)
+      .orderBy("coin", "interval", "v").collect().toSeq
+    graft.sinks.Routing.compact(spark, out)
+    // the coin=/interval= directory scheme (and so partition pruning)
+    // must survive the rewrite without the caller naming the columns
+    assert(new java.io.File(s"$out/coin=BTC/interval=1m").isDirectory)
+    val after = spark.read.parquet(out)
+      .orderBy("coin", "interval", "v").collect().toSeq
+    assert(after == before)
+  }
 }
