@@ -1733,6 +1733,21 @@ object SparkEntry {
              |FROM documents""".stripMargin),
       (s, dir) => TextStats.packChunks(Tables.documents(s, dir), budget = 512)),
 
+    QueryDef("agg_heavy_hitters",
+      // bounded-memory frequent items (Misra–Gries, k=100) over the
+      // corpus token stream: O(k) mergeable state per partial vs the
+      // vocabulary-sized exact group-by. The pinned contract (like
+      // agg_approx_distinct): every true heavy hitter present, never
+      // overcounted, undercount within n/k — engine-deterministic
+      // booleans the oracle states as literals.
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |exact AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |tot AS (SELECT sum(cnt) AS n FROM exact)
+             |SELECT tok, CAST(cnt AS BIGINT) AS true_cnt,
+             |       true AS in_sketch, true AS underest_ok, true AS bound_ok
+             |FROM exact, tot WHERE cnt * 100 > n""".stripMargin),
+      (s, dir) => ops.HeavyHitters.tokenReport(Tables.documents(s, dir), k = 100)),
+
     QueryDef("ext_chunk_overlap",
       // sliding-window chunking with overlap (RAG / long-context prep;
       // TextStats.chunkOverlap, size=128 stride=96): chunk starts every

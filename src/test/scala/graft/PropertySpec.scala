@@ -92,6 +92,25 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("misra-gries: never overcounts, undercounts within n/k, heavy hitters survive") =
+    forAll(Gen.chooseNum(2, 6), Gen.chooseNum(1, 8)) { (k, nPart) =>
+      // a skewed stream: token i appears ~2^(vocab.size - i) times
+      val stream = vocab.zipWithIndex.flatMap { case (t, i) =>
+        List.fill(1 << math.max(0, 8 - i))(t)
+      }
+      val n = stream.size.toLong
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val sketch = spark.createDataset(stream).repartition(nPart)
+        .select(new graft.ops.HeavyHitters.MisraGriesAgg(k).toColumn.name("m"))
+        .head()
+      sketch.size <= k - 1 &&
+        sketch.forall { case (t, est) => est >= 1 && est <= exact(t) } &&
+        exact.forall { case (t, c) =>
+          val est = sketch.getOrElse(t, 0L)
+          c - est <= n / k && (c * k <= n || est > 0)
+        }
+    }
+
   property("token-count rewrite is value-identical to size(split) on arbitrary strings") =
     forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "), Gen.const("  "),
       Gen.const(""), Gen.const("\t")))) { parts =>

@@ -133,9 +133,12 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //                   bounds row;
     //   ext_tfidf     — the corpus-size scalar N joins in as ONE
     //                   broadcast row (same bounded shape as the
-    //                   time-series bounds row).
+    //                   time-series bounds row);
+    //   agg_heavy_hitters — the total-count scalar and the ≤(k-1)-entry
+    //                   Misra–Gries sketch each join in as ONE
+    //                   broadcast row against the heavy-hitter set.
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
-      "ts_gap_fill", "ts_interpolate", "ext_tfidf")
+      "ts_gap_fill", "ts_interpolate", "ext_tfidf", "agg_heavy_hitters")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
