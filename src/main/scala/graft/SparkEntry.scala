@@ -581,6 +581,41 @@ object SparkEntry {
               .as("merged_within_3pct"))
       }),
 
+    QueryDef("agg_quantile_rollup",
+      // the quantile twin of agg_sketch_merge: per-(type, day) KLL
+      // sketches (functions.QuantileSketch, TypedImperativeAggregate —
+      // live sketch object between rows, serialized only at shuffle)
+      // MERGE to per-type p50/p90 without re-touching raw rows. The
+      // pinned contract: each merged estimate's TRUE normalized rank
+      // (computed exactly against the raw values) sits within 5% of
+      // the target rank — 3× KLL k=200's 99%-confidence bound, so the
+      // booleans are de-facto deterministic; the oracle states them.
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       true AS rank50_ok, true AS rank90_ok
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QuantileSketch._
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            to_date(col("event_ts")).as("day"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(kllAgg(col("value")).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(kllMerge(col("sk")).as("msk"))
+          .select(col("event_type"),
+            kllQuantile(col("msk"), 0.5).as("est50"),
+            kllQuantile(col("msk"), 0.9).as("est90"))
+        ev.join(broadcast(merged), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("value") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("value") <= col("est90"), 1L).otherwise(0L)).as("r90"))
+          .select(col("event_type"), col("n"),
+            (abs(col("r50").cast("double") / col("n") - 0.5) <= 0.05).as("rank50_ok"),
+            (abs(col("r90").cast("double") / col("n") - 0.9) <= 0.05).as("rank90_ok"))
+      }),
+
     QueryDef("agg_rollup",
       // hierarchical totals — grouping-set aggregation (§2.5 "not
       // present" row; added as capability). Spark and DuckDB both
