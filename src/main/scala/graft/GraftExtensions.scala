@@ -65,6 +65,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         LevWithinExpr(exprs(0), exprs(1), k)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketch.KllAgg].getName, "graft_kll_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_kll_agg(value) takes one double arg")
+        graft.functions.QuantileSketch.KllAgg(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketch.KllMergeAgg].getName, "graft_kll_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_kll_merge(sketch) takes one binary arg")
+        graft.functions.QuantileSketch.KllMergeAgg(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketch.KllQuantileExpr].getName, "graft_kll_quantile"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_kll_quantile(sketch, rank) takes a binary and a literal rank")
+        val rank = exprs(1) match {
+          // SQL `0.5` parses as a Decimal literal; accept any numeric
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_quantile: rank must be a numeric literal, got $other")
+        }
+        graft.functions.QuantileSketch.KllQuantileExpr(exprs.head, rank)
+      }))
     e.injectOptimizerRule(_ => ReplaceTokenCount)
     e.injectOptimizerRule(_ => ReplaceLevenshtein)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -31,6 +31,17 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rank(est.getDouble(1)) - 0.9) <= 0.05)
   }
 
+  test("SQL surface: graft_kll_agg / merge / quantile through the extensions") {
+    spark.range(10000).select((col("id") % 4).as("cell"),
+        col("id").cast("double").as("v"))
+      .createOrReplaceTempView("kll_in")
+    val p50 = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_merge(sk), 0.5) AS p50
+        |FROM (SELECT cell, graft_kll_agg(v) AS sk FROM kll_in GROUP BY cell)
+        |""".stripMargin).head().getDouble(0)
+    assert(math.abs(p50 / 10000.0 - 0.5) <= 0.05)
+  }
+
   test("merge of disjoint ranges spans both; empty sketch quantile is null") {
     val lo = spark.range(0, 1000).select(col("id").cast("double").as("v"))
       .agg(kllAgg(col("v")).as("sk"))
