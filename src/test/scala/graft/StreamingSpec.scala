@@ -155,6 +155,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed KLL sketches in a streaming aggregation (mergeable state per window)") {
+    // the rollup-table pattern UNDER a stream: each event-time window
+    // accumulates a KLL sketch (TypedImperativeAggregate state in the
+    // state store), so downstream can merge windows without raw rows
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val agg = ms.toDF().toDF("ts_ms", "v")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("v"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.QuantileSketch.kllAgg(col("v")).as("sk"),
+        count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("kll_win")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("cp-kllwin")).start()
+    try {
+      val t0 = 1704067200000L
+      ms.addData((1 to 100).map(i => (t0 + i * 1000L, i.toDouble)): _*)
+      ms.addData((1 to 50).map(i => (t0 + 3600000L + i * 1000L, 1000.0 + i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("kll_win")
+        .select(col("n"),
+          graft.functions.QuantileSketch.kllQuantile(col("sk"), 0.5).as("p50"))
+        .collect().map(r => (r.getAs[Long]("n"), r.getAs[Double]("p50"))).sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(1)._1 == 100L && math.abs(rows(1)._2 - 50.0) <= 5.0)
+      assert(rows(0)._1 == 50L && math.abs(rows(0)._2 - 1025.0) <= 3.0)
+    } finally q.stop()
+  }
+
   test("chained windowed aggregations: 1-minute pre-agg re-rolled to 5-minute windows") {
     // two stateful operators in one streaming query (Spark ≥3.4 in
     // append mode): the fine window pre-aggregates — at scale that is
