@@ -65,29 +65,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         LevWithinExpr(exprs(0), exprs(1), k)
       }))
+    // optional trailing k: graft_kll_agg(v) or graft_kll_agg(v, 400)
+    def kllK(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+             fn: String): Int = exprs match {
+      case Seq(_) => 200
+      case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn takes (input) or (input, k) with k an integer literal")
+    }
     e.injectFunction((
       FunctionIdentifier("graft_kll_agg"),
       new ExpressionInfo(classOf[graft.functions.QuantileSketch.KllAgg].getName, "graft_kll_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "graft_kll_agg(value) takes one double arg")
-        graft.functions.QuantileSketch.KllAgg(exprs.head)
-      }))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.QuantileSketch.KllAgg(exprs.head, kllK(exprs, "graft_kll_agg"))))
     e.injectFunction((
       FunctionIdentifier("graft_kll_merge"),
       new ExpressionInfo(classOf[graft.functions.QuantileSketch.KllMergeAgg].getName, "graft_kll_merge"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 1, "graft_kll_merge(sketch) takes one binary arg")
-        graft.functions.QuantileSketch.KllMergeAgg(exprs.head)
-      }))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.QuantileSketch.KllMergeAgg(exprs.head, kllK(exprs, "graft_kll_merge"))))
     e.injectFunction((
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.QuantileSketch.KllQuantileExpr].getName, "graft_kll_quantile"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "graft_kll_quantile(sketch, rank) takes a binary and a literal rank")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType}
+        // SQL `0.5` parses as a Decimal literal; accept numerics ONLY
+        // (a date/bool literal stringifying to a number must not
+        // silently become a rank)
         val rank = exprs(1) match {
-          // SQL `0.5` parses as a Decimal literal; accept any numeric
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
-            v.toString.toDouble
+          case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+          case Literal(v: Double, DoubleType) => v
+          case Literal(v: Float, FloatType) => v.toDouble
+          case Literal(v: Int, IntegerType) => v.toDouble
           case other => throw new IllegalArgumentException(
             s"graft_kll_quantile: rank must be a numeric literal, got $other")
         }

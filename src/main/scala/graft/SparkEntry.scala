@@ -603,8 +603,9 @@ object SparkEntry {
         val merged = daily.groupBy("event_type")
           .agg(kllMerge(col("sk")).as("msk"))
           .select(col("event_type"),
-            kllQuantile(col("msk"), 0.5).as("est50"),
-            kllQuantile(col("msk"), 0.9).as("est90"))
+            kllQuantiles(col("msk"), Seq(0.5, 0.9)).as("qs"))
+          .select(col("event_type"),
+            col("qs").getItem(0).as("est50"), col("qs").getItem(1).as("est90"))
         ev.join(broadcast(merged), "event_type")
           .groupBy("event_type")
           .agg(

@@ -4,11 +4,13 @@ import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Re-aggregatable quantile sketches (DataSketches KLL), the quantile
   * twin of the HLL rollup (`agg_sketch_merge`): a rollup table stores
@@ -41,16 +43,45 @@ object QuantileSketch {
     GraftColumnBridge.column(
       KllQuantileExpr(GraftColumnBridge.expression(c), rank))
 
+  /** Column API: sketch → array of quantiles, ONE deserialization for
+    * all ranks (use this when reading several quantiles per sketch). */
+  def kllQuantiles(c: Column, ranks: Seq[Double]): Column =
+    GraftColumnBridge.column(
+      KllQuantilesExpr(GraftColumnBridge.expression(c), ranks))
+
+  /** Shared shape of both sketch aggregates: everything but what a
+    * row contributes (`update`). */
+  sealed abstract class KllAggBase
+      extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+    def k: Int
+    def inputType: DataType
+
+    final override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+    final override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+      buf.merge(other); buf
+    }
+    final override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+    final override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+    final override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+    final override def dataType: DataType = BinaryType
+    final override def nullable: Boolean = false
+    final override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == inputType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects $inputType input, got ${child.dataType}")
+  }
+
   /** raw doubles → serialized KLL sketch. */
   case class KllAgg(
       child: Expression,
       k: Int = 200,
       mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+      inputAggBufferOffset: Int = 0) extends KllAggBase {
 
-    override def createAggregationBuffer(): KllDoublesSketch =
-      KllDoublesSketch.newHeapInstance(k)
+    override def inputType: DataType = DoubleType
 
     override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
       val v = child.eval(input)
@@ -58,24 +89,12 @@ object QuantileSketch {
       buf
     }
 
-    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-      buf.merge(other); buf
-    }
-
-    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
-    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-      KllDoublesSketch.heapify(Memory.wrap(bytes))
-
     override def withNewMutableAggBufferOffset(newOffset: Int): KllAgg =
       copy(mutableAggBufferOffset = newOffset)
     override def withNewInputAggBufferOffset(newOffset: Int): KllAgg =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildInternal(newChild: Expression): KllAgg =
       copy(child = newChild)
-
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     override def prettyName: String = "graft_kll_agg"
   }
 
@@ -84,11 +103,9 @@ object QuantileSketch {
       child: Expression,
       k: Int = 200,
       mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+      inputAggBufferOffset: Int = 0) extends KllAggBase {
 
-    override def createAggregationBuffer(): KllDoublesSketch =
-      KllDoublesSketch.newHeapInstance(k)
+    override def inputType: DataType = BinaryType
 
     override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
       val v = child.eval(input)
@@ -97,24 +114,12 @@ object QuantileSketch {
       buf
     }
 
-    override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-      buf.merge(other); buf
-    }
-
-    override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
-    override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-      KllDoublesSketch.heapify(Memory.wrap(bytes))
-
     override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
       copy(mutableAggBufferOffset = newOffset)
     override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
       copy(child = newChild)
-
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     override def prettyName: String = "graft_kll_merge"
   }
 
@@ -126,6 +131,10 @@ object QuantileSketch {
 
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary sketch, got ${child.dataType}")
 
     override def nullSafeEval(bytes: Any): Any = {
       val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
@@ -136,5 +145,35 @@ object QuantileSketch {
     override protected def withNewChildInternal(newChild: Expression): KllQuantileExpr =
       copy(child = newChild)
     override def prettyName: String = "graft_kll_quantile"
+  }
+
+  /** serialized sketch → array of quantile estimates: the sketch is
+    * deserialized ONCE per row for all ranks (vs once per rank with
+    * repeated [[KllQuantileExpr]] calls — the difference scales as
+    * rows × ranks over a big rollup table). Null for the empty
+    * sketch. */
+  case class KllQuantilesExpr(child: Expression, ranks: Seq[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      "ranks must be non-empty, each in [0, 1]")
+    private val rankArr = ranks.toArray
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary sketch, got ${child.dataType}")
+
+    override def nullSafeEval(bytes: Any): Any = {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))
+      if (sk.isEmpty) null
+      else new GenericArrayData(
+        sk.getQuantiles(rankArr, QuantileSearchCriteria.INCLUSIVE))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): KllQuantilesExpr =
+      copy(child = newChild)
+    override def prettyName: String = "graft_kll_quantiles"
   }
 }

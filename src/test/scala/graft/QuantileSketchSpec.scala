@@ -42,6 +42,36 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(p50 / 10000.0 - 0.5) <= 0.05)
   }
 
+  test("wrong input types fail at analysis, not with executor ClassCastExceptions") {
+    spark.range(10).createOrReplaceTempView("kll_types")
+    // BIGINT into the double agg
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_kll_agg(id) FROM kll_types").collect())
+    assert(e1.getMessage.contains("DoubleType") || e1.getMessage.contains("expects"))
+    // string into the quantile extractor
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_kll_quantile(CAST('x' AS STRING), 0.5)").collect())
+    assert(e2.getMessage.contains("binary") || e2.getMessage.contains("expects"))
+  }
+
+  test("multi-rank extraction matches per-rank; SQL accepts the k parameter") {
+    val sk = spark.range(1000).select(col("id").cast("double").as("v"))
+      .agg(kllAgg(col("v")).as("sk"))
+    val row = sk.select(
+      kllQuantiles(col("sk"), Seq(0.25, 0.75)).as("qs"),
+      kllQuantile(col("sk"), 0.25).as("q25"),
+      kllQuantile(col("sk"), 0.75).as("q75")).head()
+    val qs = row.getAs[scala.collection.Seq[Double]]("qs")
+    assert(qs(0) == row.getAs[Double]("q25") && qs(1) == row.getAs[Double]("q75"))
+
+    spark.range(1000).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("kll_kparam")
+    val p = spark.sql(
+      "SELECT graft_kll_quantile(graft_kll_agg(v, 400), 0.5) FROM kll_kparam")
+      .head().getDouble(0)
+    assert(math.abs(p / 1000.0 - 0.5) <= 0.05)
+  }
+
   test("merge of disjoint ranges spans both; empty sketch quantile is null") {
     val lo = spark.range(0, 1000).select(col("id").cast("double").as("v"))
       .agg(kllAgg(col("v")).as("sk"))
