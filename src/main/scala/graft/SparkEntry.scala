@@ -1796,8 +1796,7 @@ object SparkEntry {
              |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
              |      FROM documents),
              |     UNNEST(generate_series(0, n_tokens - 1, 96)) AS t(s)""".stripMargin),
-      (s, dir) => TextStats.chunkOverlap(Tables.documents(s, dir), size = 128, stride = 96)
-        .select("doc_id", "chunk_idx", "tok_start", "tok_len")),
+      (s, dir) => TextStats.chunkOverlap(Tables.documents(s, dir), size = 128, stride = 96)),
 
     QueryDef("ext_data_split",
       // deterministic train/eval split by multiplicative key hash —

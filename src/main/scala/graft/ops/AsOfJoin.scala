@@ -120,6 +120,8 @@ object AsOfJoin {
     // dropped below; the right side never surfaces)
     val ltCol = "_graft_asof_lt"
     val rtCol = "_graft_asof_rt"
+    require(!left.columns.contains(ltCol) && !right.columns.contains(rtCol),
+      s"as-of inputs must not already carry the internal columns $ltCol/$rtCol")
     val l = left.withColumn(ltCol, col(leftTime).cast(LongType))
     val r = right.withColumn(rtCol, col(rightTime).cast(LongType))
     // shield each side behind a fresh aliasing Project: when both

@@ -84,10 +84,13 @@ object HeavyHitters {
       .select(
         col("tok"),
         col("cnt").cast("long").as("true_cnt"),
-        element_at(col("sketch"), col("tok")).isNotNull.as("in_sketch"),
-        coalesce(element_at(col("sketch"), col("tok")) <= col("cnt"), lit(false))
+        // try_element_at: under ANSI mode (Spark 4 default) plain
+        // element_at THROWS on a missing key — the contract columns
+        // must be able to report false, not crash
+        try_element_at(col("sketch"), col("tok")).isNotNull.as("in_sketch"),
+        coalesce(try_element_at(col("sketch"), col("tok")) <= col("cnt"), lit(false))
           .as("underest_ok"),
-        ((col("cnt") - coalesce(element_at(col("sketch"), col("tok")), lit(0L)))
+        ((col("cnt") - coalesce(try_element_at(col("sketch"), col("tok")), lit(0L)))
           * k <= col("n")).as("bound_ok"))
   }
 }

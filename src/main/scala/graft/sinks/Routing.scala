@@ -113,7 +113,11 @@ object Routing {
       if (subdirs.nonEmpty && names.forall(_.length == 2) &&
           names.map(_.head).distinct.length == 1) {
         cols += names.head.head
-        dir = subdirs.head.getPath
+        // descend a NON-EMPTY branch: an empty leftover partition dir
+        // as the first listing must not truncate detection of the
+        // deeper levels
+        dir = subdirs.find(s => fs.listStatus(s.getPath).nonEmpty)
+          .getOrElse(subdirs.head).getPath
       } else done = true
     }
     cols.toSeq
@@ -147,7 +151,14 @@ object Routing {
           new java.net.URI(checkpointDir), spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(
           s"$checkpointDir/graft-sink-commits/batch_$batchId")
-        if (!fs.exists(marker) && !batch.isEmpty) {
+        // legacy location (markers used to live in the output dir):
+        // still honored so a batch committed by the previous layout
+        // is not re-appended after an upgrade
+        val legacy = new org.apache.hadoop.fs.Path(
+          s"$path/_committed_batch_$batchId")
+        val outFs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !outFs.exists(legacy) && !batch.isEmpty) {
           writePartitioned(batch, path, keys)
           fs.create(marker, true).close()
         }
@@ -184,10 +195,12 @@ object Routing {
       // treats the name as a LIKE pattern, so '_' (ubiquitous in the
       // routed table names) must be escaped or `table_1m` would
       // false-match a `tableX1m` and skip the CREATE.
-      val esc = conn.getMetaData.getSearchStringEscape
+      val esc = Option(conn.getMetaData.getSearchStringEscape).filter(_.nonEmpty)
       def probe(name: String): Boolean = {
-        val pattern = name.replace(esc, esc + esc)
-          .replace("_", esc + "_").replace("%", esc + "%")
+        // a driver without escape support (null/empty) falls back to
+        // the raw name — a LIKE false-match risk, but not a crash
+        val pattern = esc.fold(name)(e => name.replace(e, e + e)
+          .replace("_", e + "_").replace("%", e + "%"))
         val rs = conn.getMetaData.getTables(null, null, pattern, Array("TABLE"))
         try rs.next() finally rs.close()
       }
