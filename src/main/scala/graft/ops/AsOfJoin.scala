@@ -122,6 +122,13 @@ object AsOfJoin {
     val rtCol = "_graft_asof_rt"
     require(!left.columns.contains(ltCol) && !right.columns.contains(rtCol),
       s"as-of inputs must not already carry the internal columns $ltCol/$rtCol")
+    // the output appends asof_time + payload to ALL left columns; a name
+    // collision would emit duplicate attributes that fail (or silently
+    // mis-bind) only at the first downstream resolution — fail fast here
+    val clash = ("asof_time" +: payload).filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"as-of left side already has output column(s) ${clash.mkString(", ")}; " +
+        "rename them or the payload before joining")
     val l = left.withColumn(ltCol, col(leftTime).cast(LongType))
     val r = right.withColumn(rtCol, col(rightTime).cast(LongType))
     // shield each side behind a fresh aliasing Project: when both

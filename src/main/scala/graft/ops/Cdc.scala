@@ -98,7 +98,9 @@ object Cdc {
       if (fs.exists(staleRoot)) {
         fs.listStatus(staleRoot).foreach { st =>
           val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-          if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+          if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"snapshot repair: rename ${st.getPath} -> $dst failed")
         }
         fs.delete(staleRoot, true)
       }
@@ -136,8 +138,15 @@ object Cdc {
         val src = new org.apache.hadoop.fs.Path(s"$tmp/_bucket=$b")
         val stale = new org.apache.hadoop.fs.Path(staleRoot, s"_bucket=$b")
         fs.mkdirs(dst.getParent)
-        if (fs.exists(dst)) fs.rename(dst, stale)
-        if (fs.exists(src)) fs.rename(src, dst)         // absent: bucket fully deleted
+        // Hadoop rename reports failure by returning false; an unchecked
+        // park would let the promote rename INTO the still-live dst dir
+        // (nesting it as a child) and corrupt the snapshot — abort instead.
+        if (fs.exists(dst) && !fs.rename(dst, stale))
+          throw new java.io.IOException(
+            s"snapshot swap: park $dst -> $stale failed; aborting before promote")
+        if (fs.exists(src) && !fs.rename(src, dst))     // absent: bucket fully deleted
+          throw new java.io.IOException(
+            s"snapshot swap: promote $src -> $dst failed (parked copy at $stale)")
       }
       fs.delete(staleRoot, true)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

@@ -56,6 +56,10 @@ object AvroSink {
     * the original (duplicate files from both attempts finishing are
     * the at-least-once cost; exactly-once file sinks need a commit
     * protocol — that path here is the checkpointed parquet sink).
+    * Each attempt writes to a hidden `.…tmp` name and renames to the
+    * final name only after the Avro container is closed, so a FAILED
+    * attempt never leaves a truncated (unparseable) visible file — the
+    * dot prefix also hides stray temps from Spark/Hadoop readers.
     * I/O goes through the Hadoop FileSystem API with the driver's
     * configuration, so shared storage works from executors (local
     * `java.io.File` would write each executor's own disk).
@@ -77,11 +81,14 @@ object AvroSink {
         val tc = org.apache.spark.TaskContext.get()
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(dir), org.apache.spark.util.GraftConfBridge.value(conf))
-        val out = fs.create(new org.apache.hadoop.fs.Path(
-          s"$dir/part-${tc.taskAttemptId()}-${tc.partitionId()}.avro"), false)
+        val name = s"part-${tc.taskAttemptId()}-${tc.partitionId()}.avro"
+        val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/.$name.tmp")
+        val finalPath = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val out = fs.create(tmpPath, false)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
-        try rows.foreach { row =>
+        var committed = false
+        try { rows.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < names.length) {
@@ -102,7 +109,15 @@ object AvroSink {
             i += 1
           }
           w.append(rec)
-        } finally w.close()
+        }
+          w.close()                    // flush + container footer
+          if (!fs.rename(tmpPath, finalPath))
+            throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+          committed = true
+        } finally if (!committed) {
+          try w.close() catch { case _: Throwable => () }
+          try fs.delete(tmpPath, false) catch { case _: Throwable => () }
+        }
       }
     }
   }

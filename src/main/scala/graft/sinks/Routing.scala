@@ -224,9 +224,18 @@ object Routing {
     * Values are bound through `CAST(? AS <type>)` in the MERGE source
     * row because Derby (the test dialect) cannot infer parameter types
     * in VALUES; the casts are portable ANSI.
+    *
+    * A batch may carry several rows for one key; Spark guarantees no
+    * intra-partition order after a repartition, so "last row wins"
+    * would be nondeterministic. The batch is therefore reduced to ONE
+    * row per key before merging: the row with the greatest `orderCol`
+    * when given (ties nondeterministic — use a total order per key),
+    * else the greatest value tuple (arbitrary but deterministic, so
+    * replays converge).
     */
   def upsertJdbc(df: DataFrame, jdbcUrl: String, table: String,
-                 keyCols: Seq[String], props: java.util.Properties): Unit = {
+                 keyCols: Seq[String], props: java.util.Properties,
+                 orderCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.types._
     val schema = df.schema
     def sqlType(dt: DataType): String = dt match {
@@ -264,11 +273,18 @@ object Routing {
     // parameter order = ON keys (each twice), SET values, INSERT row
     val bindOrder =
       (keyCols.flatMap(k => Seq(k, k)) ++ valCols ++ cols).map(schema.fieldIndex).toArray
+    // one row per key per batch (see scaladoc) — groupBy treats NULL
+    // keys as equal, matching the MERGE's IS-NOT-DISTINCT-FROM match
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val ord = orderCol.map(col).getOrElse(struct(valCols.map(col): _*))
+    val oneRow = df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(col(valCols.head), ord).as(valCols.head),
+        valCols.tail.map(c => max_by(col(c), ord).as(c)): _*)
+      .select(cols.map(col): _*)
     // co-locate each key in ONE partition: concurrent per-partition
     // transactions merging the same key would race (nondeterministic
-    // winner, lock-timeout risk); within a partition, application
-    // order is the batch's row order
-    val byKey = df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    // winner, lock-timeout risk)
+    val byKey = oneRow.repartition(keyCols.map(col): _*)
     byKey.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
         val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)

@@ -74,4 +74,26 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("coin").isNull).collect()
     assert(nullRows.length === 1 && nullRows.head.getLong(1) === 7L)
   }
+
+  test("upsert reduces a multi-row-per-key batch deterministically") {
+    val b0 = Seq(("BTC", 0L, 0.0)).toDF("coin", "ts", "price")
+    Routing.ensureTableAndAppend(b0.limit(0), url, "latest2",
+      "coin VARCHAR(16), ts BIGINT, price DOUBLE", props)
+
+    // one batch, three rows for BTC: with orderCol the max-ts row wins
+    // regardless of row order after the key repartition
+    val b = Seq(("BTC", 3L, 13.0), ("BTC", 9L, 19.0), ("BTC", 5L, 15.0),
+      ("ETH", 1L, 21.0)).toDF("coin", "ts", "price").repartition(8)
+    Routing.upsertJdbc(b, url, "latest2", Seq("coin"), props, orderCol = Some("ts"))
+    val rows = spark.read.jdbc(url, "latest2", props).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set(("BTC", 9L, 19.0), ("ETH", 1L, 21.0)))
+
+    // without orderCol: greatest value tuple, still deterministic
+    val b2 = Seq(("SOL", 2L, 1.0), ("SOL", 8L, 2.0)).toDF("coin", "ts", "price")
+    Routing.upsertJdbc(b2, url, "latest2", Seq("coin"), props)
+    val sol = spark.read.jdbc(url, "latest2", props)
+      .filter(col("coin") === "SOL").collect()
+    assert(sol.length === 1 && sol.head.getLong(1) === 8L)
+  }
 }

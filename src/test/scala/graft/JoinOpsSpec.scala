@@ -158,6 +158,24 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(nat.head == ((1L, None, 100L, Some(50L), Some(1.5))))
   }
 
+  test("asof native: output-name collisions with the left side fail fast") {
+    val l = left((1L, 7L, 100L)).withColumn(
+      "click_value", org.apache.spark.sql.functions.lit(0.0))
+    val r = right((7L, 50L, 10L, 1.5))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.native(l, r, Seq("user_id"), "ts_ms", "ts_ms",
+        Seq("click_value"), "event_id")
+    }
+    assert(e.getMessage.contains("click_value"))
+    val l2 = left((1L, 7L, 100L)).withColumn(
+      "asof_time", org.apache.spark.sql.functions.lit(0L))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.native(l2, r, Seq("user_id"), "ts_ms", "ts_ms",
+        Seq("click_value"), "event_id")
+    }
+    assert(e2.getMessage.contains("asof_time"))
+  }
+
   test("range join: counts match a direct theta-join on random data") {
     val n = 400
     val rnd = new scala.util.Random(7)
