@@ -458,6 +458,76 @@ object SparkEntry {
           payload = Seq("click_value"), tiebreak = "event_id")
       }),
 
+    QueryDef("join_asof_fwd_native",
+      // FORWARD as-of through the native exec: each purchase gets the
+      // EARLIEST click at-or-after its event time (the "next quote"
+      // lookup). DuckDB's ASOF with the inequality flipped is the
+      // oracle; same max-event_id pre-reduce of ties.
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms
+             |           FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, value, event_id
+             |       FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, t, arg_max(value, event_id) AS click_value
+             |      FROM r0 GROUP BY user_id, t)
+             |SELECT l.event_id, l.user_id, l.ts_ms,
+             |       r.t AS asof_time, r.click_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_ms <= r.t""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        AsOfJoin.native(
+          left = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_ms"),
+          right = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id"),
+              col("value").as("click_value")),
+          keys = Seq("user_id"),
+          leftTime = "ts_ms", rightTime = "ts_ms",
+          payload = Seq("click_value"), tiebreak = "event_id",
+          direction = "forward")
+      }),
+
+    QueryDef("join_asof_nearest_native",
+      // NEAREST as-of through the native exec: min |Δt|, ties to the
+      // backward side. DuckDB has no nearest ASOF — the oracle takes
+      // both directional ASOF picks per purchase and selects the
+      // closer one with the same tie rule.
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms
+             |           FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, epoch_ns(ts)//1000000 AS t, value, event_id
+             |       FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, t, arg_max(value, event_id) AS click_value
+             |      FROM r0 GROUP BY user_id, t),
+             |b AS (SELECT l.event_id, r.t AS bt, r.click_value AS bv
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms >= r.t),
+             |f AS (SELECT l.event_id, r.t AS ft, r.click_value AS fv
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms <= r.t)
+             |SELECT l.event_id, l.user_id, l.ts_ms,
+             |       CASE WHEN ft IS NULL THEN bt WHEN bt IS NULL THEN ft
+             |            WHEN l.ts_ms - bt <= ft - l.ts_ms THEN bt ELSE ft
+             |       END AS asof_time,
+             |       CASE WHEN ft IS NULL THEN bv WHEN bt IS NULL THEN fv
+             |            WHEN l.ts_ms - bt <= ft - l.ts_ms THEN bv ELSE fv
+             |       END AS click_value
+             |FROM l
+             |JOIN b ON l.event_id = b.event_id
+             |JOIN f ON l.event_id = f.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        AsOfJoin.native(
+          left = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_ms"),
+          right = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_ms"), col("event_id"),
+              col("value").as("click_value")),
+          keys = Seq("user_id"),
+          leftTime = "ts_ms", rightTime = "ts_ms",
+          payload = Seq("click_value"), tiebreak = "event_id",
+          direction = "nearest")
+      }),
+
     QueryDef("join_range_window",
       // trailing-window range join: clicks per user in the hour before
       // each purchase (ops.RangeJoin — banded equi-join, fan-out 2,
@@ -1969,15 +2039,33 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("frame_bytes"))),
 
     QueryDef("ext_multimodal_features",
-      // stubbed decode → feature rows. Exploded to scalars (one row
-      // per (doc, feature index)) so the result is oracle-hashable;
-      // the fake codec derives feature i from the i-th codepoint.
-      Some("""WITH u AS (SELECT doc_id, text, unnest(generate_series(1, 8)) AS i
-             |           FROM documents)
+      // REAL decode → feature rows: each doc gets a deterministically
+      // generated 8×8 checkerboard PNG (Multimodal.syntheticPng), the
+      // PngCodec decodes it through javax.imageio and emits
+      // [w, h, meanRGB, popStdRGB]. The checkerboard's two tone values
+      // per channel are affine in doc_id mod 256, so mean = (a+b)/2 and
+      // std = |a−b|/2 are exact doubles the oracle states in closed
+      // form — verifying the full encode→decode→stats path, not just
+      // the plumbing.
+      Some("""WITH p AS (SELECT doc_id,
+             |             CAST((doc_id * 3 + 11) % 256 AS DOUBLE) AS a0,
+             |             CAST((doc_id * 5 + 28) % 256 AS DOUBLE) AS a1,
+             |             CAST((doc_id * 7 + 45) % 256 AS DOUBLE) AS a2,
+             |             CAST((doc_id * 7 + 5) % 256 AS DOUBLE) AS b0,
+             |             CAST((doc_id * 11 + 28) % 256 AS DOUBLE) AS b1,
+             |             CAST((doc_id * 15 + 51) % 256 AS DOUBLE) AS b2
+             |           FROM documents),
+             |     f AS (SELECT doc_id,
+             |             [8.0, 8.0, (a0+b0)/2, (a1+b1)/2, (a2+b2)/2,
+             |              abs(a0-b0)/2, abs(a1-b1)/2, abs(a2-b2)/2] AS feats
+             |           FROM p),
+             |     u AS (SELECT doc_id, feats,
+             |             unnest(generate_series(1, 8)) AS i FROM f)
              |SELECT doc_id, CAST(i - 1 AS BIGINT) AS feat_idx,
-             |       CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS DOUBLE) AS feature
+             |       feats[CAST(i AS INTEGER)] AS feature
              |FROM u""".stripMargin),
-      (s, dir) => Multimodal.fakeFeatures(Tables.documents(s, dir))
+      (s, dir) => Multimodal.decodeBatches(
+          Multimodal.withPngMedia(Tables.documents(s, dir)), new Multimodal.PngCodec)
         .select(col("doc_id"),
           posexplode(col("features")).as(Seq("feat_idx", "feature")))
         .select(col("doc_id"), col("feat_idx").cast("long").as("feat_idx"),

@@ -108,12 +108,22 @@ object AsOfJoin {
     *
     * Output: all left columns, then `asof_time` (null when no match)
     * and the payload columns — same contract as [[backward]].
+    *
+    * `direction` extends the match rule beyond backward (see
+    * `AsOfJoinExec`): "forward" = smallest rightTime >= leftTime,
+    * "nearest" = min |rightTime − leftTime| with ties to the backward
+    * side; tolerance bounds the signed (backward/forward) or absolute
+    * (nearest) distance. All directions share the one-exchange,
+    * single-pass merge.
     */
   def native(left: DataFrame, right: DataFrame, keys: Seq[String],
              leftTime: String, rightTime: String,
              payload: Seq[String], tiebreak: String,
-             tolerance: Option[Long] = None): DataFrame = {
+             tolerance: Option[Long] = None,
+             direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction '$direction' (backward|forward|nearest)")
     GraftPlanBridge.ensureStrategy(spark, AsOfJoinStrategy)
     // the epoch cast rides on hidden columns so the caller's time
     // columns keep their type in the output (the hidden left column is
@@ -155,6 +165,6 @@ object AsOfJoin {
       keys.map(attr(lPlan, _, "left")), keys.map(attr(rPlan, _, "right")),
       attr(lPlan, ltCol, "left"), attr(rPlan, rtCol, "right"),
       payload.map(attr(rPlan, _, "right")), attr(rPlan, tiebreak, "right"),
-      tolerance, asofOut, payloadOut)).drop(ltCol)
+      tolerance, asofOut, payloadOut, direction)).drop(ltCol)
   }
 }

@@ -76,6 +76,99 @@ object Multimodal {
     def dim: Int
   }
 
+  /** Deterministic PNG fixture: an 8×8 RGB checkerboard whose two tone
+    * values per channel are affine functions of `id` mod 256, encoded
+    * through `javax.imageio` — a REAL compressed image payload, but
+    * with decoded pixel statistics in closed form (mean = (a+b)/2,
+    * population std = |a−b|/2, both exact in double arithmetic), so a
+    * SQL oracle can verify the full decode path byte-for-byte.
+    */
+  def syntheticPng(id: Long, side: Int = 8): Array[Byte] = {
+    val a = Array.tabulate(3)(c => ((id * (3 + 2 * c) + 11 + 17 * c) % 256).toInt)
+    val b = Array.tabulate(3)(c => ((id * (7 + 4 * c) + 5 + 23 * c) % 256).toInt)
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val p = if ((x + y) % 2 == 0) a else b
+        img.setRGB(x, y, (p(0) << 16) | (p(1) << 8) | p(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL (deterministically generated) PNG payload per doc —
+    * the image analog of [[withMedia]]'s text-bytes stand-in. Payloads
+    * are produced executor-side per partition (no driver materialize).
+    */
+  def withPngMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("image/png").as("mime"),
+        lit(8).as("width"), lit(8).as("height")))
+  }
+
+  /** Real image decode on the JDK's built-in codec (`javax.imageio`):
+    * payload → BufferedImage → 8 features
+    * `[width, height, meanR, meanG, meanB, stdR, stdG, stdB]`
+    * (population std). Undecodable bytes → None, matching the
+    * drop-on-failure contract of [[decodeBatches]].
+    */
+  final class PngCodec extends MediaCodec {
+    val dim = 8
+    override def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = (w * h).toDouble
+        val sum = new Array[Double](3)
+        val sq = new Array[Double](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = ((rgb >> (16 - 8 * c)) & 0xff).toDouble
+              sum(c) += v
+              sq(c) += v * v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val f = new Array[Float](dim)
+        f(0) = w.toFloat
+        f(1) = h.toFloat
+        var c = 0
+        while (c < 3) {
+          val m = sum(c) / n
+          f(2 + c) = m.toFloat
+          f(5 + c) = math.sqrt(math.max(0.0, sq(c) / n - m * m)).toFloat
+          c += 1
+        }
+        Some(f)
+      }
+    }
+  }
+
   /** Deterministic stand-in codec (no media libs in this container):
     * "decodes" a payload into byte-histogram-bucket features.
     */
@@ -98,7 +191,10 @@ object Multimodal {
   def decodeBatches(docs: DataFrame, codec: MediaCodec): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withMedia(docs)
+    // a frame that already carries a `media` payload column (e.g.
+    // [[withPngMedia]]) is decoded as-is; bare docs get the text-bytes
+    // stand-in payload
+    (if (docs.columns.contains("media")) docs else withMedia(docs))
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>

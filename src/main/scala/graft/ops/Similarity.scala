@@ -68,35 +68,44 @@ object Similarity {
     })
   }
 
-  /** IVF-style approximate top-k: a coarse quantizer (MLlib KMeans,
-    * fixed seed) partitions the corpus into `nlist` cells; each query
-    * probes its `nprobe` nearest centroids and reranks exactly within
-    * those cells. The 100 TB shape: centroids broadcast (tiny), the
-    * corpus is written partitioned by cell once, and a query touches
-    * nprobe/nlist of the data.
+  /** Centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2);
+    * sort ascending on (−score, cell) → nearest cells first,
+    * deterministic. Shared by the ad-hoc and indexed IVF paths so cell
+    * assignment cannot drift between them.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(corpus, nlist, seed)
+  private def rankedCells(emb: org.apache.spark.sql.Column,
+                          centroids: Array[Array[Double]]) =
+    array_sort(array(centroids.zipWithIndex.map { case (cArr, i) =>
+      val dot = dotD(emb, array(cArr.map(lit): _*))
+      val norm2 = cArr.map(x => x * x).sum
+      struct((lit(norm2 / 2) - dot).as("negscore"), lit(i).as("cell"))
+    }: _*))
 
-    // centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2);
-    // sort ascending on (−score, cell) → nearest cells first, deterministic
-    def rankedCells(emb: org.apache.spark.sql.Column) =
-      array_sort(array(centroids.zipWithIndex.map { case (cArr, i) =>
-        val dot = dotD(emb, array(cArr.map(lit): _*))
-        val norm2 = cArr.map(x => x * x).sum
-        struct((lit(norm2 / 2) - dot).as("negscore"), lit(i).as("cell"))
-      }: _*))
-
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+  /** Corpus side of both IVF paths: nearest cell + norm, zero-norm
+    * rows dropped (cosine would be NaN and NaN sorts above reals). */
+  private def ivfCorpusSide(corpus: DataFrame,
+                            centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"),
-        rankedCells(col("embedding")).getItem(0).getField("cell").as("cell"))
-      .filter(col("c_nrm") > 0) // zero-norm: cosine undefined (NaN)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        rankedCells(col("embedding"), centroids).getItem(0).getField("cell").as("cell"))
+      .filter(col("c_nrm") > 0)
+
+  /** Query side of both IVF paths: one row per (query, probed cell). */
+  private def ivfProbeSide(queries: DataFrame, centroids: Array[Array[Double]],
+                           nprobe: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"),
-        explode(transform(slice(rankedCells(col("embedding")), 1, nprobe),
+        explode(transform(slice(rankedCells(col("embedding"), centroids), 1, nprobe),
           p => p.getField("cell"))).as("cell"))
       .filter(col("q_nrm") > 0)
+
+  /** Cell-join + exact rerank shared by [[ivfTopK]] and
+    * [[ivfIndexedTopK]] — one definition so the two paths return
+    * identical rows by construction. No dedup needed: a corpus row
+    * lives in exactly one cell, so a (query, corpus) pair joins at
+    * most once.
+    */
+  private def ivfScoreRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
@@ -106,6 +115,65 @@ object Similarity {
     scored.select(col("q_id"), col("c_id"), col("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** IVF-style approximate top-k: a coarse quantizer (MLlib KMeans,
+    * fixed seed) partitions the corpus into `nlist` cells; each query
+    * probes its `nprobe` nearest centroids and reranks exactly within
+    * those cells. The 100 TB shape: centroids broadcast (tiny), the
+    * corpus is written partitioned by cell once ([[buildIvfIndex]]),
+    * and a query touches nprobe/nlist of the data.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, seed)
+    ivfScoreRank(ivfCorpusSide(corpus, centroids),
+      ivfProbeSide(queries, centroids, nprobe), k)
+  }
+
+  /** Persist the corpus as an IVF index: fit the coarse quantizer
+    * once, write the corpus PARTITIONED BY cell (a directory per
+    * cell, so a probe's cell filter prunes at the file listing — no
+    * data read outside the probed cells) and the centroid table
+    * alongside (`<dir>_centroids`, nlist tiny rows). Build cost is
+    * one KMeans sample fit + one partitioned write; after that every
+    * query reads nprobe/nlist of the data — the index-once /
+    * query-many shape [[ivfTopK]]'s doc promises.
+    */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+                    seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, nlist, seed)
+    ivfCorpusSide(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
+  }
+
+  /** Top-k against a [[buildIvfIndex]] directory. Centroids are read
+    * back (nlist rows — trivially collectible), the probed cell ids
+    * (bounded by nlist, NOT by |queries|) are pushed as a partition
+    * filter, and the scan prunes to the probed cell directories
+    * (`PartitionFilters` in the scan, asserted in `SimilaritySpec`).
+    * Same rows as [[ivfTopK]] with the same (nlist, nprobe, seed) by
+    * construction — both paths share cell assignment and rerank.
+    */
+  def ivfIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val centroids = spark.read.parquet(dir.stripSuffix("/") + "_centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val q = ivfProbeSide(queries, centroids, nprobe)
+    // distinct probed cells: ≤ nlist ints, safe to collect regardless
+    // of the query count
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+      .select(col("c_id"), col("c_emb"), col("c_nrm"), col("cell"))
+    ivfScoreRank(c, q, k)
   }
 
   /** Fixed-seed random hyperplanes; deterministic across runs (also
@@ -200,15 +268,21 @@ object Similarity {
   def lshIndexedTopK(spark: org.apache.spark.sql.SparkSession, table: String,
                      queries: DataFrame, k: Int = 10, nBits: Int = 8,
                      probeDist: Int = 2, dim: Int = 64,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L, maxProbe: Int = 100000): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     // the probe side is consumed twice (bucket set + join) and its
     // signatures cost nBits×dim dot products per query row: collect it
     // ONCE (|queries|·|masks| rows — small by the point-lookup
     // contract) and rebuild a local DataFrame, so nothing is cached
-    // and nothing computes twice
+    // and nothing computes twice. The contract is enforced, not
+    // assumed: a query side past `maxProbe` exploded rows fails loudly
+    // here instead of silently OOMing the driver — batch the queries
+    // or use the join-form [[lshTopK]] for scan-sized query sets.
     val probe = lshProbeSide(queries, planes, nBits, probeDist)
-    val rows = probe.collect()
+    val rows = probe.limit(maxProbe + 1).collect()
+    require(rows.length <= maxProbe,
+      s"lshIndexedTopK probe side exceeds maxProbe=$maxProbe exploded rows; " +
+        "this path is a point-lookup API — batch the queries or use lshTopK")
     val probeBuckets = rows.map(_.getAs[Int]("bucket")).distinct.sorted
     val q = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), probe.schema)

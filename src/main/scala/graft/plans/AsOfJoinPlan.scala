@@ -55,7 +55,8 @@ case class AsOfJoinNode(
     tiebreak: Attribute,
     tolerance: Option[Long],
     asofTimeOut: AttributeReference,
-    payloadOut: Seq[AttributeReference]) extends BinaryNode {
+    payloadOut: Seq[AttributeReference],
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ (asofTimeOut +: payloadOut)
 
@@ -76,13 +77,31 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
         n.payload, n.tiebreak, n.tolerance, n.asofTimeOut +: n.payloadOut,
-        planLater(n.left), planLater(n.right)) :: Nil
+        planLater(n.left), planLater(n.right), n.direction) :: Nil
     case _ => Nil
   }
 }
 
-/** Sorted-merge backward as-of join (see [[AsOfJoinNode]] scaladoc for
-  * the distribution/ordering contract and scale argument). */
+/** Sorted-merge as-of join (see [[AsOfJoinNode]] scaladoc for the
+  * distribution/ordering contract and scale argument).
+  *
+  * `direction` selects the match rule per left row (same key):
+  *  - `backward`: greatest rightTime <= leftTime (max tiebreak at the
+  *    matched time); tolerance bounds leftTime − rightTime.
+  *  - `forward`: smallest rightTime >= leftTime (max tiebreak at the
+  *    matched time); tolerance bounds rightTime − leftTime.
+  *  - `nearest`: whichever of the two candidates minimizes
+  *    |rightTime − leftTime|, ties to the backward side; a right row
+  *    AT the left time matches with distance 0. Tolerance bounds the
+  *    absolute distance (each candidate is dropped independently
+  *    before the comparison, so an in-tolerance far-side match still
+  *    wins when the near side is out of tolerance).
+  *
+  * All three run in the same single forward pass per partition: the
+  * right cursor never rewinds; forward/nearest additionally buffer the
+  * current right tie-group's winner (one projected row), so memory
+  * stays O(1) per partition regardless of duplicates.
+  */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -93,7 +112,11 @@ case class AsOfJoinExec(
     tolerance: Option[Long],
     matchAttrs: Seq[Attribute],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    direction: String = "backward") extends BinaryExecNode {
+
+  require(Set("backward", "forward", "nearest")(direction),
+    s"unknown as-of direction '$direction'")
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -118,6 +141,7 @@ case class AsOfJoinExec(
     val numOut = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val tol = tolerance
+    val dir = direction
     val (lOut, rOut) = (left.output, right.output)
     val (lKeys, rKeys, lTime, rTime, pay) =
       (leftKeys, rightKeys, leftTime, rightTime, payload)
@@ -131,14 +155,20 @@ case class AsOfJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
       // match-side output row: (asof_time, payload...) — field 0 doubles
-      // as the tolerance probe
+      // as the tolerance/distance probe
       val rMatchProj = UnsafeProjection.create(rTime +: pay, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullMatch = new GenericInternalRow(nMatch)
       val joined = new JoinedRow
 
-      new Iterator[InternalRow] {
+      def emit(l: InternalRow, m: InternalRow): InternalRow = {
+        numOut += 1
+        if (m != null) { numMatched += 1; resultProj(joined(l, m)) }
+        else resultProj(joined(l, nullMatch))
+      }
+
+      if (dir == "backward") new Iterator[InternalRow] {
         private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var held: InternalRow = null    // best match so far (copied)
         private var heldKey: InternalRow = null // its key (copied)
@@ -166,9 +196,93 @@ case class AsOfJoinExec(
           }
           val matched = held != null && keyOrd.compare(heldKey, lk) == 0 &&
             (tol.isEmpty || held.getLong(0) >= lt - tol.get)
-          numOut += 1
-          if (matched) { numMatched += 1; resultProj(joined(l, held)) }
-          else resultProj(joined(l, nullMatch))
+          emit(l, if (matched) held else null)
+        }
+      }
+      else new Iterator[InternalRow] {
+        // forward / nearest. Invariants per left row (lk, lt), with
+        // left ascending by (key, time) and right by (key, time, tb):
+        //  - `held`   = backward candidate: the greatest-(time, tb)
+        //               right row with key == heldKey and time < lt
+        //               among rows the cursor has passed (strict <:
+        //               rows AT lt belong to the forward group, which
+        //               matches them at distance 0);
+        //  - `fwd`    = the max-tiebreak winner of the right tie-group
+        //               at the smallest time >= some earlier lt for
+        //               fwdKey; still the forward match while
+        //               fwd.time >= lt, and demoted to `held` when the
+        //               left side moves past it;
+        //  - `rRow`   = first right row after the consumed prefix.
+        // Each right row is consumed exactly once; no rewinds.
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var held: InternalRow = null
+        private var heldKey: InternalRow = null
+        private var fwd: InternalRow = null
+        private var fwdKey: InternalRow = null
+
+        private def readNext(): Unit =
+          rRow = if (rIter.hasNext) rIter.next() else null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lt = lTimeProj(l).getLong(0)
+          val lk = lKeyProj(l)
+          // 1. demote a stale forward group: same key but now behind
+          // the left time → it is the best backward candidate so far
+          if (fwd != null) {
+            val c = keyOrd.compare(fwdKey, lk)
+            if (c < 0) fwd = null // key advanced past it
+            else if (c == 0 && fwd.getLong(0) < lt) {
+              held = fwd; heldKey = fwdKey
+              fwd = null
+            }
+          }
+          // 2. advance the cursor: rows before (lk, lt) refresh the
+          // backward candidate; the first tie-group at time >= lt
+          // becomes the forward group (its last row = max tiebreak)
+          var advance = fwd == null
+          while (advance && rRow != null) {
+            val c = keyOrd.compare(rKeyProj(rRow), lk)
+            if (c < 0) readNext()
+            else if (c > 0) advance = false // no right rows for this key yet
+            else {
+              val rt = rTimeProj(rRow).getLong(0)
+              if (rt < lt) {
+                held = rMatchProj(rRow).copy(); heldKey = lk.copy()
+                readNext()
+              } else {
+                var winner = rMatchProj(rRow).copy()
+                readNext()
+                var grouping = true
+                while (grouping && rRow != null) {
+                  if (keyOrd.compare(rKeyProj(rRow), lk) == 0 &&
+                    rTimeProj(rRow).getLong(0) == rt) {
+                    winner = rMatchProj(rRow).copy()
+                    readNext()
+                  } else grouping = false
+                }
+                fwd = winner; fwdKey = lk.copy()
+                advance = false
+              }
+            }
+          }
+          // 3. pick the match for this direction
+          val fwdOk = fwd != null && keyOrd.compare(fwdKey, lk) == 0 &&
+            (tol.isEmpty || fwd.getLong(0) - lt <= tol.get)
+          val chosen =
+            if (dir == "forward") { if (fwdOk) fwd else null }
+            else { // nearest: smaller |Δt| wins, ties to backward
+              val bwdOk = held != null && keyOrd.compare(heldKey, lk) == 0 &&
+                (tol.isEmpty || lt - held.getLong(0) <= tol.get)
+              if (bwdOk && fwdOk) {
+                if (lt - held.getLong(0) <= fwd.getLong(0) - lt) held else fwd
+              } else if (bwdOk) held
+              else if (fwdOk) fwd
+              else null
+            }
+          emit(l, chosen)
         }
       }
     }

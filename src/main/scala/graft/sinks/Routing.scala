@@ -221,9 +221,10 @@ object Routing {
     * make replays routine). Per-partition transactions: a partition's
     * rows land atomically; retries of a failed task re-merge cleanly.
     *
-    * Values are bound through `CAST(? AS <type>)` in the MERGE source
-    * row because Derby (the test dialect) cannot infer parameter types
-    * in VALUES; the casts are portable ANSI.
+    * The statement is dialect-routed by [[upsertStatement]]: ANSI
+    * MERGE for Derby/DB2-family (executed for real in `JdbcSpec`),
+    * `INSERT ... ON CONFLICT DO UPDATE` for PostgreSQL (golden-text
+    * asserted — no Postgres server in the sandbox).
     *
     * A batch may carry several rows for one key; Spark guarantees no
     * intra-partition order after a repartition, so "last row wins"
@@ -233,11 +234,28 @@ object Routing {
     * else the greatest value tuple (arbitrary but deterministic, so
     * replays converge).
     */
-  def upsertJdbc(df: DataFrame, jdbcUrl: String, table: String,
-                 keyCols: Seq[String], props: java.util.Properties,
-                 orderCol: Option[String] = None): Unit = {
+  /** Dialect-routed single-row upsert statement + the row-index bind
+    * order for its `?` parameters.
+    *
+    * PostgreSQL (`jdbc:postgresql:`): `INSERT ... ON CONFLICT (keys)
+    * DO UPDATE SET v = EXCLUDED.v` — the native idiom; requires a
+    * unique index on the key columns (and `NULLS NOT DISTINCT` on it
+    * if NULL keys must upsert rather than stack, PG15+). Parameter
+    * types are inferred, so plain `?` placeholders bind one row in
+    * column order.
+    *
+    * Everything else (Derby is the executed test dialect): ANSI MERGE
+    * against the 1-row catalog dummy (Derby's MERGE source must be a
+    * base table), values bound through `CAST(? AS <type>)` because
+    * Derby cannot infer parameter types, and a spelled-out
+    * IS-NOT-DISTINCT-FROM key match (NULL = NULL is UNKNOWN, which
+    * would re-INSERT a replayed NULL-keyed row every time).
+    */
+  private[graft] def upsertStatement(
+      jdbcUrl: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String]): (String, Array[Int]) = {
     import org.apache.spark.sql.types._
-    val schema = df.schema
     def sqlType(dt: DataType): String = dt match {
       case LongType => "BIGINT"
       case IntegerType => "INTEGER"
@@ -252,27 +270,38 @@ object Routing {
     }
     val cols = schema.fields.map(_.name).toSeq
     val valCols = cols.filterNot(keyCols.contains)
+    if (jdbcUrl.startsWith("jdbc:postgresql:")) {
+      val sql =
+        s"""INSERT INTO $table (${cols.mkString(", ")})
+           |VALUES (${cols.map(_ => "?").mkString(", ")})
+           |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE
+           |SET ${valCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}""".stripMargin
+      (sql, cols.map(schema.fieldIndex).toArray)
+    } else {
+      def cast(c: String) =
+        s"CAST(? AS ${sqlType(schema(schema.fieldIndex(c)).dataType)})"
+      val sql =
+        s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d
+           |ON ${keyCols.map(k =>
+          s"(t.$k = ${cast(k)} OR (t.$k IS NULL AND ${cast(k)} IS NULL))").mkString(" AND ")}
+           |WHEN MATCHED THEN UPDATE SET ${valCols.map(c => s"$c = ${cast(c)}").mkString(", ")}
+           |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+           |VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
+      // parameter order = ON keys (each twice), SET values, INSERT row
+      ((sql, (keyCols.flatMap(k => Seq(k, k)) ++ valCols ++ cols)
+        .map(schema.fieldIndex).toArray))
+    }
+  }
+
+  def upsertJdbc(df: DataFrame, jdbcUrl: String, table: String,
+                 keyCols: Seq[String], props: java.util.Properties,
+                 orderCol: Option[String] = None): Unit = {
+    val schema = df.schema
+    val cols = schema.fields.map(_.name).toSeq
+    val valCols = cols.filterNot(keyCols.contains)
     require(valCols.nonEmpty && keyCols.forall(cols.contains),
       s"upsertJdbc: keys $keyCols must be a proper subset of $cols")
-    // Derby's MERGE source must be a base table, so the single-row
-    // source is the 1-row catalog dummy with every value bound as a
-    // typed parameter in the ON / SET / VALUES clauses (the DB2-family
-    // idiom; PostgreSQL would take the VALUES form or ON CONFLICT).
-    def cast(c: String) =
-      s"CAST(? AS ${sqlType(schema(schema.fieldIndex(c)).dataType)})"
-    // null-safe key match: NULL = NULL is UNKNOWN in SQL, which would
-    // route a replayed NULL-keyed row to INSERT every time — spell out
-    // IS NOT DISTINCT FROM (Derby has no shorthand; binds each key twice)
-    val mergeSql =
-      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d
-         |ON ${keyCols.map(k =>
-        s"(t.$k = ${cast(k)} OR (t.$k IS NULL AND ${cast(k)} IS NULL))").mkString(" AND ")}
-         |WHEN MATCHED THEN UPDATE SET ${valCols.map(c => s"$c = ${cast(c)}").mkString(", ")}
-         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-         |VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
-    // parameter order = ON keys (each twice), SET values, INSERT row
-    val bindOrder =
-      (keyCols.flatMap(k => Seq(k, k)) ++ valCols ++ cols).map(schema.fieldIndex).toArray
+    val (mergeSql, bindOrder) = upsertStatement(jdbcUrl, table, schema, keyCols)
     // one row per key per batch (see scaladoc) — groupBy treats NULL
     // keys as equal, matching the MERGE's IS-NOT-DISTINCT-FROM match
     import org.apache.spark.sql.functions.{col, max_by, struct}

@@ -75,6 +75,24 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(nullRows.length === 1 && nullRows.head.getLong(1) === 7L)
   }
 
+  test("postgres dialect emits INSERT..ON CONFLICT; derby keeps ANSI MERGE") {
+    val schema = Seq(("BTC", 1L, 10.0)).toDF("coin", "ts", "price").schema
+    val (pgSql, pgBind) = Routing.upsertStatement(
+      "jdbc:postgresql://db:5432/graft", "latest", schema, Seq("coin"))
+    assert(pgSql ==
+      """INSERT INTO latest (coin, ts, price)
+        |VALUES (?, ?, ?)
+        |ON CONFLICT (coin) DO UPDATE
+        |SET ts = EXCLUDED.ts, price = EXCLUDED.price""".stripMargin)
+    assert(pgBind.toSeq == Seq(0, 1, 2))
+
+    val (dbySql, dbyBind) = Routing.upsertStatement(url, "latest", schema, Seq("coin"))
+    assert(dbySql.startsWith("MERGE INTO latest t USING SYSIBM.SYSDUMMY1 d"))
+    assert(dbySql.contains("WHEN MATCHED THEN UPDATE SET"))
+    // ON keys twice (null-safe match), SET values, INSERT row
+    assert(dbyBind.toSeq == Seq(0, 0, 1, 2, 0, 1, 2))
+  }
+
   test("upsert reduces a multi-row-per-key batch deterministically") {
     val b0 = Seq(("BTC", 0L, 0.0)).toDF("coin", "ts", "price")
     Routing.ensureTableAndAppend(b0.limit(0), url, "latest2",

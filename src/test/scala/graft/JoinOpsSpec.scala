@@ -158,6 +158,99 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(nat.head == ((1L, None, 100L, Some(50L), Some(1.5))))
   }
 
+  private def asofNativeDir(l: org.apache.spark.sql.DataFrame,
+                            r: org.apache.spark.sql.DataFrame,
+                            direction: String,
+                            tol: Option[Long] = None) =
+    AsOfJoin.native(l, r, Seq("user_id"), "ts_ms", "ts_ms",
+      Seq("click_value"), "event_id", tol, direction)
+      .as[(Long, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+
+  /** Naive per-row reference for all three directions. */
+  private def asofNaive(l: org.apache.spark.sql.DataFrame,
+                        r: org.apache.spark.sql.DataFrame,
+                        direction: String,
+                        tol: Option[Long] = None) = {
+    val rightRows = r.as[(Long, Long, Long, Double)].collect()
+    l.as[(Long, Long, Long)].collect().sortBy(_._1).map { case (id, k, t) =>
+      val keyRows = rightRows.filter(_._1 == k)
+      val cand = direction match {
+        case "backward" =>
+          val m = keyRows.filter(x => x._2 <= t && tol.forall(t - x._2 <= _))
+          if (m.isEmpty) None else Some(m.maxBy(x => (x._2, x._3)))
+        case "forward" =>
+          val m = keyRows.filter(x => x._2 >= t && tol.forall(x._2 - t <= _))
+          if (m.isEmpty) None
+          else {
+            val t0 = m.map(_._2).min
+            Some(m.filter(_._2 == t0).maxBy(_._3))
+          }
+        case "nearest" =>
+          val m = keyRows.filter(x => tol.forall(math.abs(x._2 - t) <= _))
+          if (m.isEmpty) None
+          else {
+            val d0 = m.map(x => math.abs(x._2 - t)).min
+            val atMin = m.filter(x => math.abs(x._2 - t) == d0)
+            // ties to the backward side; max tiebreak within the time
+            val side = if (atMin.exists(_._2 <= t)) atMin.filter(_._2 <= t)
+                       else atMin
+            val t0 = side.map(_._2).min // backward side has ONE time (t-d0)
+            Some(side.filter(_._2 == t0).maxBy(_._3))
+          }
+      }
+      cand match {
+        case Some(b) => (id, k, t, Some(b._2), Some(b._4))
+        case None => (id, k, t, None: Option[Long], None: Option[Double])
+      }
+    }.toSeq
+  }
+
+  test("asof native forward: earliest at-or-after, tiebreak, tolerance") {
+    val l = left((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 999L), (4L, 8L, 10L))
+    val r = right((7L, 100L, 10L, 1.0), (7L, 100L, 12L, 5.0), (7L, 300L, 11L, 2.0),
+      (9L, 450L, 20L, 9.0))
+    val out = asofNativeDir(l, r, "forward")
+    assert(out(0) == ((1L, 7L, 100L, Some(100L), Some(5.0)))) // equal time, max tb
+    assert(out(1) == ((2L, 7L, 250L, Some(300L), Some(2.0)))) // earliest after
+    assert(out(2) == ((3L, 7L, 999L, None, None)))            // nothing later
+    assert(out(3) == ((4L, 8L, 10L, None, None)))             // user 9 invisible
+    // tolerance bounds rightTime - leftTime
+    val tolOut = asofNativeDir(l, r, "forward", tol = Some(40L))
+    assert(tolOut(0)._4.contains(100L) && tolOut(1)._4.isEmpty)
+  }
+
+  test("asof native nearest: min distance, ties to backward, tolerance") {
+    val l = left((1L, 7L, 150L), (2L, 7L, 201L), (3L, 7L, 199L), (4L, 7L, 100L))
+    val r = right((7L, 100L, 10L, 1.0), (7L, 300L, 11L, 2.0))
+    val out = asofNativeDir(l, r, "nearest")
+    assert(out(0) == ((1L, 7L, 150L, Some(100L), Some(1.0)))) // Δ50 vs Δ150
+    assert(out(1) == ((2L, 7L, 201L, Some(300L), Some(2.0)))) // Δ101 vs Δ99
+    assert(out(2) == ((3L, 7L, 199L, Some(100L), Some(1.0)))) // Δ99 vs Δ101
+    assert(out(3) == ((4L, 7L, 100L, Some(100L), Some(1.0)))) // exact hit, Δ0
+    // equidistant: backward wins
+    val eq = asofNativeDir(left((9L, 7L, 200L)), r, "nearest")
+    assert(eq.head == ((9L, 7L, 200L, Some(100L), Some(1.0))))
+    // tolerance bounds |Δ|
+    val tolOut = asofNativeDir(l, r, "nearest", tol = Some(60L))
+    assert(tolOut(0)._4.contains(100L) && tolOut(1)._4.isEmpty)
+  }
+
+  test("asof native forward/nearest: parity with naive on random multi-partition data") {
+    val rnd = new scala.util.Random(31)
+    val l = left((1 to 400).map(i =>
+      (i.toLong, (i % 9).toLong, rnd.nextInt(4000).toLong)): _*).repartition(7)
+    val r = right((1 to 1200).map(i =>
+      ((i % 9).toLong, rnd.nextInt(4000).toLong, i.toLong, rnd.nextInt(100).toDouble)): _*)
+      .repartition(5)
+    for (d <- Seq("forward", "nearest"); tol <- Seq(None, Some(250L))) {
+      assert(asofNativeDir(l, r, d, tol) == asofNaive(l, r, d, tol),
+        s"direction=$d tol=$tol")
+    }
+    // backward through the same harness (regression for the refactor)
+    assert(asofNativeDir(l, r, "backward") == asofNaive(l, r, "backward"))
+  }
+
   test("asof native: output-name collisions with the left side fail fast") {
     val l = left((1L, 7L, 100L)).withColumn(
       "click_value", org.apache.spark.sql.functions.lit(0.0))

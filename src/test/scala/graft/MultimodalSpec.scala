@@ -40,4 +40,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .getAs[scala.collection.Seq[Float]]("features")
     assert(f.length == 8 && f.head == 'a'.toFloat)
   }
+
+  test("png codec: real imageio decode matches the closed-form pixel stats") {
+    val codec = new Multimodal.PngCodec
+    for (id <- Seq(0L, 1L, 42L, 255L, 256L, 9999L)) {
+      val bytes = Multimodal.syntheticPng(id)
+      // a real PNG container, not a stand-in
+      assert(bytes.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+      val f = codec.decode(bytes).get
+      val a = Array.tabulate(3)(c => ((id * (3 + 2 * c) + 11 + 17 * c) % 256).toDouble)
+      val b = Array.tabulate(3)(c => ((id * (7 + 4 * c) + 5 + 23 * c) % 256).toDouble)
+      assert(f(0) == 8f && f(1) == 8f)
+      for (c <- 0 until 3) {
+        assert(f(2 + c).toDouble == (a(c) + b(c)) / 2, s"mean ch$c id$id")
+        assert(f(5 + c).toDouble == math.abs(a(c) - b(c)) / 2, s"std ch$c id$id")
+      }
+    }
+    // garbage bytes are undecodable, not a crash
+    assert(codec.decode("not a png".getBytes).isEmpty)
+    assert(codec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("png payload attach + batched decode end-to-end") {
+    val df = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.withPngMedia(df)
+    assert(media.select("media_meta.mime").head().getString(0) == "image/png")
+    val feats = Multimodal.decodeBatches(media, new Multimodal.PngCodec)
+      .orderBy("doc_id").collect()
+    assert(feats.length == 2)
+    val f7 = feats.head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f7.length == 8 && f7(2) == ((7 * 3 + 11) % 256 + (7 * 7 + 5) % 256) / 2f)
+  }
 }

@@ -89,4 +89,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect().toSet
     assert(got === adhoc)
   }
+
+  test("indexed probe past the maxProbe cap fails loudly, not OOM") {
+    val q = corpus.limit(20)
+    // 20 queries × 9 masks (radius 1) = 180 exploded rows > 100
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshIndexedTopK(spark, "lsh_idx", q, k = 5, probeDist = 1,
+        maxProbe = 100)
+    }
+    assert(e.getMessage.contains("maxProbe"))
+  }
+
+  test("persisted IVF index: partition-pruned probe, identical rows to ivfTopK") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-idx"
+    Similarity.buildIvfIndex(corpus, dir, nlist = 8)
+    val q = corpus.filter(col("vec_id") < 10)
+    val indexed = Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 3)
+    // the scan must prune to the probed cell directories
+    val scan = indexed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"no partition pruning on cell in plan:\n$scan")
+    // full parity with the ad-hoc path (shared cell assignment + rerank)
+    val adhoc = Similarity.ivfTopK(q, corpus, k = 5, nlist = 8, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = indexed.as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === adhoc)
+    // planted duplicate still surfaces through the index
+    val top = indexed.filter(col("q_id") === 0 && col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L &&
+      top.getAs[Double]("cosine") == 1.0)
+  }
 }
