@@ -51,11 +51,20 @@ object KlineIngest {
   def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .option("failOnDataLoss", "false")
+      .options(kafkaSourceOptions(bootstrapServers, topic))
       .load()
+
+  /** The exact option map [[fromKafka]] hands the connector — exposed
+    * so `IngestSpec` golden-asserts the keys/values (the connector jar
+    * is absent in this container, so `.load()` itself can't run; a
+    * typo in an option NAME would otherwise be silently ignored by
+    * Kafka's permissive option parsing and ship). */
+  private[graft] def kafkaSourceOptions(
+      bootstrapServers: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> "latest",
+    "failOnDataLoss" -> "false")
 
   /** In-engine replacement for the reference's REST pollers
     * (§2.1 `src_rest_poll`): the built-in rate source dressed as the

@@ -85,6 +85,52 @@ class CdcStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.toSeq === Seq((1L, 1L, 10.0)))
   }
 
+  test("crash between the swap renames: the parked bucket is restored, no key loss") {
+    val dir = Files.createTempDirectory("cdcsnap5").toString
+    val path = s"$dir/snap"
+    val nB = 8
+    def merge(rows: Seq[(Long, Long, String, Double)]): Unit =
+      Cdc.mergeBatch(rows.toDF("key", "seq", "op", "v"), path,
+        col("key"), col("seq"), col("op"), "D", Seq("v" -> col("v")), nB)
+    def bucket(k: Long): Int =
+      Seq(k).toDF("k").select(pmod(hash(col("k")), lit(nB))).head().getInt(0)
+    assume(bucket(1L) != bucket(2L), "fixture keys must hash to different buckets")
+
+    merge(Seq((1L, 1L, "U", 10.0), (2L, 1L, "U", 20.0)))
+    // crash injection: a previous run parked key 1's bucket (first swap
+    // rename done) and died before promoting the fresh copy — the live
+    // dir is gone, only the ._stale twin remains
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/_bucket=${bucket(1L)}")
+    val staleRoot = new org.apache.hadoop.fs.Path(s"$path._stale")
+    fs.mkdirs(staleRoot)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(
+      staleRoot, s"_bucket=${bucket(1L)}")))
+    assert(!fs.exists(live))
+
+    // the next merge (touching a DIFFERENT key) must first repair:
+    // restore the parked bucket so key 1 does not silently vanish
+    merge(Seq((2L, 2L, "U", 25.0)))
+    val snap = Cdc.snapshot(spark, path)
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1)
+    assert(snap.toSeq === Seq((1L, 10.0), (2L, 25.0)))
+    assert(!fs.exists(staleRoot), "repair must clear the parking lot")
+
+    // other crash window: promote done, parked copy left behind — the
+    // repair pass must PREFER the live (newer) bucket and just clean up
+    fs.mkdirs(staleRoot)
+    val live2 = new org.apache.hadoop.fs.Path(s"$path/_bucket=${bucket(2L)}")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staleRoot, s"_bucket=${bucket(2L)}"))
+    assert(fs.exists(live2))
+    merge(Seq((1L, 2L, "U", 11.0)))
+    val snap2 = Cdc.snapshot(spark, path)
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1)
+    assert(snap2.toSeq === Seq((1L, 11.0), (2L, 25.0)),
+      "stale leftover must not clobber the promoted bucket")
+    assert(!fs.exists(staleRoot))
+  }
+
   test("a delete-only batch can empty the snapshot without breaking reads") {
     val dir = Files.createTempDirectory("cdcsnap4").toString
     val path = s"$dir/snap"

@@ -49,4 +49,16 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getString(0) == "2024-01-01 00:00:00") // UTC session
     assert(row.getInt(1) == 2024 && row.getInt(2) == 1)
   }
+
+  test("kafka source options match the reference's golden values exactly") {
+    // the connector jar is absent, so .load() can't execute here —
+    // golden-pin the option map fromKafka passes to it. Kafka's option
+    // parsing ignores unknown keys, so a typo ("subscribes",
+    // "startingOffset") would ship silently without this.
+    assert(KlineIngest.kafkaSourceOptions("broker:9092", "klines") == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "klines",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false"))
+  }
 }

@@ -395,6 +395,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(back.select("coin").distinct().count() == 2)
   }
 
+  test("crash before engine commit: replayed batch is skipped by its marker") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val out = tmp("crash-out"); val cp = tmp("crash-cp")
+    val t0 = 1704067200000L
+    def writer = Routing.routedParquet(
+      KlineIngest.enrich(KlineIngest.parse(
+        ms.toDF().select(col("value").cast("binary").as("value")))),
+      out, cp)
+
+    ms.addData(klineJson("BTC", "1m", t0))
+    val q1 = writer.start()
+    try q1.awaitTermination(60000) finally q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // crash injection: the sink wrote batch 0 AND its marker, but the
+    // engine "died" before recording the commit — delete the engine's
+    // commit entry so the restart is forced to REPLAY batch 0 (via the
+    // Hadoop FS so the checksum twin goes too; a stray .crc trips the
+    // commit log's concurrent-writer fencing)
+    val cpFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cp), spark.sparkContext.hadoopConfiguration)
+    val commit0 = new org.apache.hadoop.fs.Path(s"$cp/commits/0")
+    assert(cpFs.exists(commit0), "engine commit log layout changed?")
+    assert(cpFs.delete(commit0, false))
+
+    ms.addData(klineJson("ETH", "1m", t0))
+    val q2 = writer.start()
+    try q2.awaitTermination(60000) finally q2.stop()
+    val back = spark.read.parquet(out)
+    // batch 0 replayed but marker-skipped (no duplicate), batch 1 new
+    assert(back.count() == 2, "replayed batch 0 must be a marker no-op")
+    assert(back.select("coin").distinct().count() == 2)
+  }
+
   test("simulated rate-source kline feed parses through the full pipeline") {
     val q = KlineIngest.enrich(KlineIngest.parse(
         KlineIngest.simulatedStream(spark, rowsPerSecond = 500)))
