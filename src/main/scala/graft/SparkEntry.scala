@@ -1343,6 +1343,83 @@ object SparkEntry {
       (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 16)
         .withColumn("hamming", col("hamming").cast("long"))),
 
+    QueryDef("ext_dedup_substring",
+      // Exact substring-level duplication (the unit Lee et al.-style
+      // training-data dedup deletes on): per-doc share of 40-char
+      // stride-8 windows that occur verbatim in ANOTHER document.
+      // The oracle replicates the window fingerprint (FNV-1a 64 over
+      // the window's chars, HUGEINT wrap arithmetic re-signed to
+      // BIGINT) and the same support>1 rollup — exact match, no
+      // tolerance. No pair join on either side: cost is linear.
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |pos AS (
+             |  SELECT doc_id, text, unnest(range(0, n - 40 + 1, 8)) AS i
+             |  FROM t WHERE n >= 40),
+             |w AS (
+             |  SELECT doc_id,
+             |         CAST((list_reduce(list_prepend(14695981039346656037::HUGEINT,
+             |                 list_transform(range(i, i + 40),
+             |                   j -> ascii(substring(text, j + 1, 1))::HUGEINT)),
+             |               (acc,c) -> (xor(acc,c) * 1099511628211::HUGEINT)
+             |                           % 18446744073709551616::HUGEINT)
+             |               + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+             |              - 9223372036854775808::HUGEINT AS BIGINT) AS h
+             |  FROM pos),
+             |wd AS (SELECT doc_id, h, count(*) AS reps FROM w GROUP BY 1, 2),
+             |sup AS (SELECT h, count(*) AS docs FROM wd GROUP BY 1),
+             |st AS (
+             |  SELECT wd.doc_id,
+             |         sum(wd.reps) AS n_windows,
+             |         sum(CASE WHEN sup.docs > 1 THEN wd.reps ELSE 0 END) AS dup_windows
+             |  FROM wd JOIN sup USING (h) GROUP BY 1)
+             |SELECT t.doc_id,
+             |       CAST(coalesce(st.n_windows, 0) AS BIGINT) AS n_windows,
+             |       CAST(coalesce(st.dup_windows, 0) AS BIGINT) AS dup_windows,
+             |       round(CASE WHEN coalesce(st.n_windows, 0) = 0 THEN 0.0
+             |             ELSE st.dup_windows / CAST(st.n_windows AS DOUBLE) END,
+             |             6) AS dup_frac
+             |FROM t LEFT JOIN st ON t.doc_id = st.doc_id""".stripMargin),
+      (s, dir) => Dedup.substringDupStats(Tables.documents(s, dir),
+        win = 40, stride = 8)),
+
+    QueryDef("ext_dedup_substring_spans",
+      // The deletion unit: maximal merged [start, end) runs of text
+      // covered by cross-doc duplicated windows. Oracle replicates the
+      // fingerprint + the same gaps-and-islands interval merge.
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |pos AS (
+             |  SELECT doc_id, text, unnest(range(0, n - 40 + 1, 8)) AS i
+             |  FROM t WHERE n >= 40),
+             |w AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |         CAST((list_reduce(list_prepend(14695981039346656037::HUGEINT,
+             |                 list_transform(range(i, i + 40),
+             |                   j -> ascii(substring(text, j + 1, 1))::HUGEINT)),
+             |               (acc,c) -> (xor(acc,c) * 1099511628211::HUGEINT)
+             |                           % 18446744073709551616::HUGEINT)
+             |               + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+             |              - 9223372036854775808::HUGEINT AS BIGINT) AS h
+             |  FROM pos),
+             |sup AS (SELECT h, count(DISTINCT doc_id) AS docs FROM w GROUP BY 1),
+             |dup AS (
+             |  SELECT w.doc_id, w.pos, w.pos + 40 AS e
+             |  FROM w JOIN sup ON w.h = sup.h WHERE sup.docs > 1),
+             |g AS (
+             |  SELECT doc_id, pos, e,
+             |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+             |  FROM dup),
+             |s AS (
+             |  SELECT doc_id, pos, e,
+             |         sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+             |  FROM g)
+             |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+             |FROM s GROUP BY doc_id, span""".stripMargin),
+      (s, dir) => Dedup.substringDupSpans(Tables.documents(s, dir),
+        win = 40, stride = 8)),
+
     QueryDef("ext_dedup_groups",
       // pair → group resolution: connected components over the n-gram
       // near-dup graph; every member labeled with the component min

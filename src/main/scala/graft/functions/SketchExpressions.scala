@@ -162,6 +162,26 @@ object Sketches {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** FNV-1a 64 of every `win`-byte window at stride-aligned offsets
+    * (0, stride, 2·stride, …). Character-level (not token-level)
+    * fingerprints, the unit of exact substring-duplication detection:
+    * two documents sharing any `win`-char run at aligned offsets
+    * collide on a window hash. Texts shorter than `win` yield no
+    * windows. Byte windows equal character windows for ASCII corpora
+    * (the fixture contract shared with the DuckDB oracle).
+    */
+  def windowHashes(text: UTF8String, win: Int, stride: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < win) return Array.emptyLongArray
+    val m = (n - win) / stride + 1
+    val out = new Array[Long](m)
+    var t = 0
+    var i = 0
+    while (t < m) { out(t) = fnv1a(bytes, i, i + win); t += 1; i += stride }
+    out
+  }
+
   /** 64-bit SimHash: sign of per-bit ±1 sums over token hashes. */
   def simhash(text: UTF8String): Long = {
     val th = tokenHashes(text)
@@ -224,6 +244,28 @@ case class ShingleCodesExpr(child: Expression, shingleSize: Int, distinct: Boole
     nullSafeCodeGen(ctx, ev, t =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.Sketches.shingleCodes($t, $shingleSize, $distinct));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text → array<long> of stride-aligned window fingerprints
+  * ([[Sketches.windowHashes]]).
+  */
+case class WindowHashesExpr(child: Expression, win: Int, stride: Int)
+    extends TextSketchExpr {
+  require(win > 0 && stride > 0, "win and stride must be positive")
+  override def prettyName: String = "graft_window_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      Sketches.windowHashes(v.asInstanceOf[UTF8String], win, stride))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Sketches.windowHashes($t, $win, $stride));
        """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -169,6 +169,88 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- //
+  // Exact substring duplication (character-window fingerprints)      //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document exact-substring duplication stats: the share of each
+    * document whose character windows also occur verbatim in ANOTHER
+    * document. Near-dup operators above score whole documents; this
+    * catches partial duplication — boilerplate headers, license
+    * blocks, quoted passages — that whole-doc Jaccard dilutes away,
+    * the signal substring-level training-data dedup deletes on.
+    *
+    * Mechanics: every `win`-char window at stride-aligned offsets is
+    * fingerprinted scan-side in one codegen pass per row
+    * (functions.WindowHashesExpr — FNV-1a 64, engine-neutral), then
+    *   (doc, hash) distinct-count  → per-window cross-doc support
+    *   support > 1                 → window is duplicated elsewhere
+    *   per-doc rollup              → n_windows / dup_windows / dup_frac
+    * Documents shorter than `win` surface with zero windows (left
+    * join), so the output covers the whole corpus.
+    *
+    * Scale: no pair join at all — cost is linear in corpus size. The
+    * exploded window table is rows × (len/stride) entries of 16 bytes;
+    * all three aggregations are partial-agg (map-side combine)
+    * shuffles on (doc_id, h), h, doc_id. A boilerplate window shared
+    * by millions of docs is ONE hot reduce key ((h) count), not a
+    * quadratic pair blow-up — the shape survives 100 TB where any
+    * pair-emitting variant would not.
+    */
+  def substringDupStats(docs: DataFrame, win: Int = 40, stride: Int = 8): DataFrame = {
+    val wins = docs.select(col("doc_id"),
+      explode(toCol(graft.functions.WindowHashesExpr(
+        toExpr(col("text")), win, stride))).as("h"))
+    // windows deduped within doc first: support = #distinct docs
+    val wd = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("reps"))
+    val sup = wd.groupBy("h").agg(count(lit(1)).as("docs"))
+    val st = wd.join(sup, "h").groupBy("doc_id").agg(
+      sum("reps").as("n_windows"),
+      sum(when(col("docs") > 1, col("reps")).otherwise(0L)).as("dup_windows"))
+    docs.select(col("doc_id")).join(st, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+      coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+      round(when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+        .otherwise(col("dup_windows").cast("double") / col("n_windows")), 6)
+        .as("dup_frac"))
+  }
+
+  /** Merged duplicated character spans per document — the deletion
+    * unit of substring-level dedup: each output row is a maximal
+    * `[span_start, span_end)` run of `docs.text` every byte of which
+    * lies under some stride-aligned `win`-char window that also occurs
+    * verbatim in another document.
+    *
+    * Overlapping/adjacent duplicated windows are merged with the
+    * classic gaps-and-islands window pass: a window starts a new span
+    * iff its offset exceeds the running max end of all earlier
+    * windows (no shuffle beyond the per-doc sort the window function
+    * needs — at scale the sort is per-partition after hash
+    * partitioning on doc_id, never global).
+    */
+  def substringDupSpans(docs: DataFrame, win: Int = 40, stride: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(col("doc_id"),
+      posexplode(toCol(graft.functions.WindowHashesExpr(
+        toExpr(col("text")), win, stride))).as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") * stride).cast("long").as("pos"), col("h"))
+    val sup = wins.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("docs"))
+    val dup = wins.join(sup.filter(col("docs") > 1), "h")
+      .select(col("doc_id"), col("pos"), (col("pos") + win).as("end"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("_maxEnd", max(col("end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_newSpan",
+        when(col("_maxEnd").isNull || col("pos") > col("_maxEnd"), 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_newSpan")).over(byDoc))
+      .groupBy(col("doc_id"), col("_span"))
+      .agg(min("pos").as("span_start"), max("end").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Pair → group resolution (connected components)                   //
   // ---------------------------------------------------------------- //
 

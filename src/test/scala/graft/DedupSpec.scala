@@ -104,6 +104,74 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(loop == expect)
   }
 
+  test("substring dup stats: exact dups fully duplicated, unrelated at zero") {
+    val short = "tiny" // below the 40-char window: zero windows, still present
+    val d = docs.union(Seq((4L, short, "en", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars"))
+    val out = Dedup.substringDupStats(d, win = 40, stride = 8)
+      .select("doc_id", "n_windows", "dup_windows", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "every doc surfaces")
+    // docs 0 and 3 are byte-identical: every window duplicated
+    assert(out(0L)._4 == 1.0 && out(3L)._4 == 1.0)
+    // doc 1 shares base's prefix verbatim (stride-aligned) but diverges
+    // after the edit: partially duplicated, strictly between 0 and 1
+    assert(out(1L)._3 > 0 && out(1L)._3 < out(1L)._2,
+      s"near dup should be partially duplicated, got ${out(1L)}")
+    // unrelated doc shares no 40-char run; short doc has no windows
+    assert(out(2L)._3 == 0L)
+    assert(out(4L) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("substring dup stats match a naive in-memory computation") {
+    def fnv(bytes: Seq[Byte]): Long =
+      bytes.foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xff)) * 0x100000001b3L)
+    val win = 40
+    val stride = 8
+    val texts = Map(0L -> base, 1L -> nearDup, 2L -> other, 3L -> base)
+    val wins = texts.toSeq.flatMap { case (id, t) =>
+      val bs = t.getBytes("UTF-8")
+      (0 to bs.length - win by stride).map(i => id -> fnv(bs.slice(i, i + win)))
+    }
+    val support = wins.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = texts.keys.map { id =>
+      val hs = wins.filter(_._1 == id).map(_._2)
+      val dup = hs.count(h => support(h) > 1)
+      (id, hs.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / hs.size).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Dedup.substringDupStats(docs, win, stride)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("substring dup spans merge overlapping windows into maximal runs") {
+    val spans = Dedup.substringDupSpans(docs, win = 40, stride = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sortBy(_._1).toSeq).toMap
+    // docs 0 and 3 are identical: their windows tile the whole text,
+    // so the merge must collapse to ONE span starting at 0 and covering
+    // through the final stride-aligned window's end
+    val bs = base.getBytes("UTF-8").length
+    val lastStart = ((bs - 40) / 8) * 8
+    assert(spans(0L) == Seq((0L, (lastStart + 40).toLong)))
+    assert(spans(3L) == spans(0L))
+    // doc 1 shares only the pre-edit prefix: exactly one span, from 0,
+    // ending strictly before its text end
+    assert(spans(1L).size == 1 && spans(1L).head._1 == 0L)
+    assert(spans(1L).head._2 < nearDup.getBytes("UTF-8").length)
+    // unrelated doc: no duplicated spans at all
+    assert(!spans.contains(2L))
+    // spans are disjoint and sorted per doc by construction
+    spans.values.foreach { ss =>
+      ss.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 < s2)
+        case _ =>
+      }
+    }
+  }
+
   test("embedding near-dups: duplicate vector pairs at cosine 1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 2.0f), 0),

@@ -55,7 +55,12 @@ def main(sf, outdir):
     n_part = int(200_000 * sf)
     n_supp = int(10_000 * sf)
     n_evt = int(1_000_000 * sf)
-    n_doc = max(500, int(50_000 * sf))
+    # documents scale sub-linearly, mirroring the driver's own fixtures
+    # (500 docs at BOTH sf0.001 and sf0.01): the block-quadratic DuckDB
+    # oracles (n-gram jaccard, simhash chunk-join) are O(docs²/blocks)
+    # on the ORACLE side and become the bottleneck long before the
+    # engine does — graft.Verify itself runs 50k docs in seconds.
+    n_doc = max(500, min(int(50_000 * sf), 15_000))
     n_emb = max(500, int(20_000 * sf))
 
     write(outdir, "region", pa.table({
