@@ -14,6 +14,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional args: only bench queries whose name contains any of the
+    // comma-separated substrings (driver passes none → full catalog)
+    val nameFilters = args.lift(0).getOrElse("").split(',').toSeq
+    def selected = SparkEntry.queries.filter(q => nameFilters.exists(q._1.contains))
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -28,13 +32,13 @@ object Bench {
     // JIT/codegen warm-up on the smallest fixture
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try execute(fn, warmDir) catch { case _: Throwable => () }
       }
 
     // best-of-2 per query: single runs show occasional 5-10× GC/IO
     // outliers on this box; the min reflects steady-state throughput
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try execute(fn, sfDir)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Cdc, Dedup, EventAnalytics, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
+import graft.ops.{AsOfJoin, Cdc, Dedup, EventAnalytics, FuzzyJoin, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
   * and — when ANSI-SQL-expressible — the DuckDB oracle that must
@@ -1180,17 +1180,20 @@ object SparkEntry {
         .crossJoin(broadcast(Tables.region(s, dir).select("r_name")))),
 
     QueryDef("join_fuzzy_levenshtein",
-      // fuzzy matching: name pairs within edit distance 2, blocked on
-      // (brand, name length) so the quadratic edit-distance only runs
-      // inside equi-join buckets — the same blocked-pair discipline as
-      // every near-dup operator (equal-length blocking is exact for
+      // fuzzy matching: name pairs within edit distance 2, same-brand
+      // and equal-length (equal-length blocking is exact for
       // substitution-only distance ≤ 2 candidates at this threshold's
       // recall target; widen to a length BAND for indel recall).
-      // Block-quadratic is the FASTER plan at bench scale (blocks of
-      // ~25 strings); once blocks grow with the data, the crossover
-      // goes to ops.FuzzyJoin.selfJoin — segment-indexed candidates
-      // (PassJoin pigeonhole), equi-join not pair-enumeration, proven
-      // result-identical in FuzzyJoinSpec.
+      // Runs ops.FuzzyJoin.selfJoinCollapsed: duplicate texts are
+      // collapsed BEFORE verification (corpus name columns repeat
+      // heavily — 64 distinct names across 200k parts at sf1), so
+      // Myers runs once per distinct (brand, length, name) pair and
+      // an equi-join expands back to key pairs. Result-identical to
+      // the pair-enumeration forms (FuzzyJoinSpec); at sf1 the
+      // enumeration forms measure 85.8 s (block-quadratic, 26M Myers)
+      // and 189 s (segment index — candidates duplicated per planted
+      // dup pair) while collapsed is output-bound (18.8M pairs),
+      // which is the floor. Numbers: tools.FuzzyProbe.
       Some("""SELECT l.p_partkey AS a_key, r.p_partkey AS b_key,
              |       CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
              |FROM part l JOIN part r
@@ -1199,22 +1202,8 @@ object SparkEntry {
              |WHERE levenshtein(l.p_name, r.p_name) <= 2""".stripMargin),
       (s, dir) => {
         val p = Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"), col("p_name"),
-            length(col("p_name")).as("_len"))
-        p.alias("l").join(p.alias("r"),
-            col("l.p_brand") === col("r.p_brand") &&
-              col("l._len") === col("r._len") &&
-              col("l.p_partkey") < col("r.p_partkey"))
-          // bit-parallel Myers verification: exact distance if ≤ 2
-          // else -1, same contract as levenshtein(l, r, 2) but O(n)
-          // word ops per pair instead of the banded DP (proven
-          // equivalent in EditDistanceSpec, ~2.4× on this query)
-          .withColumn("dist",
-            graft.functions.EditDistance.levWithin(
-              col("l.p_name"), col("r.p_name"), 2).cast("long"))
-          .filter(col("dist") >= 0 && col("dist") <= 2)
-          .select(col("l.p_partkey").as("a_key"), col("r.p_partkey").as("b_key"),
-            col("dist"))
+        FuzzyJoin.selfJoinCollapsed(p, col("p_partkey"), col("p_name"),
+          block = Seq(col("p_brand"), length(col("p_name"))), k = 2)
       }),
 
     // ---- north-star: dedup (§2.11) ---- //

@@ -33,7 +33,66 @@ object FuzzyJoin {
     * there are at most |alphabet|^k of them per block anyway).
     */
   def selfJoin(df: DataFrame, key: Column, text: Column,
-               block: Seq[Column], k: Int = 2): DataFrame = {
+               block: Seq[Column], k: Int = 2): DataFrame =
+    candidatePairs(df, key, text, block, k)
+      .distinct()
+      .withColumn("dist",
+        graft.functions.EditDistance.levWithin(col("a_txt"), col("b_txt"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(col("a_key"), col("b_key"), col("dist"))
+
+  /** Same contract as [[selfJoin]], collapsing duplicate texts FIRST:
+    * verification runs once per distinct (block, text) pair, and an
+    * equi-join expands verified text pairs back to key pairs. Corpus
+    * text columns repeat heavily (the bench fixture has 64 distinct
+    * names across 200k parts), so pair-enumeration forms re-verify
+    * the same text pair millions of times; collapsing makes the
+    * verify step quadratic in DISTINCT texts per block and leaves the
+    * output expansion as a broadcast/equi join that just streams —
+    * the query becomes output-bound, which at 18.8M result pairs (sf1)
+    * is the floor. Measured at sf1 (tools.FuzzyProbe): 4.3 s here vs
+    * 85.8 s block-quadratic (26M Myers calls) vs 164 s segment index
+    * (211M candidates — every planted dup pair collides on every
+    * segment). Never worse than enumeration (distinct ≤ rows; one
+    * extra linear shuffle). When distinct texts themselves outgrow
+    * block-quadratic, swap the text-pair step for the segment index
+    * ([[candidatePairs]]) — same expansion.
+    */
+  def selfJoinCollapsed(df: DataFrame, key: Column, text: Column,
+                        block: Seq[Column], k: Int = 2): DataFrame = {
+    val blockNames = block.indices.map(i => s"_b$i")
+    val base = df.select(
+      Seq(key.as("_key"), text.as("_txt")) ++
+        block.zip(blockNames).map { case (c, nm) => c.as(nm) }: _*)
+      .filter(col("_txt").isNotNull)
+    val d = base.select(blockNames.map(col) :+ col("_txt"): _*).distinct()
+    val bEq = blockNames.map(nm => col(s"dl.$nm") === col(s"dr.$nm"))
+      .reduce(_ && _)
+    val tp = d.alias("dl")
+      .join(d.alias("dr"), bEq && col("dl._txt") <= col("dr._txt"))
+      .withColumn("dist", graft.functions.EditDistance
+        .levWithin(col("dl._txt"), col("dr._txt"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(blockNames.map(nm => col(s"dl.$nm")) ++
+        Seq(col("dl._txt").as("_t1"), col("dr._txt").as("_t2"),
+          col("dist")): _*)
+    val e1 = base.select(blockNames.map(col) ++
+      Seq(col("_txt").as("_t1"), col("_key").as("_k1")): _*)
+    val e2 = base.select(blockNames.map(col) ++
+      Seq(col("_txt").as("_t2"), col("_key").as("_k2")): _*)
+    tp.join(e1, blockNames :+ "_t1")
+      .join(e2, blockNames :+ "_t2")
+      // same-text groups expand k1×k2 both ways: keep one orientation;
+      // distinct-text pairs appear once per (k1, k2) already
+      .filter(col("_t1") =!= col("_t2") || col("_k1") < col("_k2"))
+      .select(least(col("_k1"), col("_k2")).as("a_key"),
+        greatest(col("_k1"), col("_k2")).as("b_key"), col("dist"))
+  }
+
+  /** The pre-verification candidate stream (ordered pairs + texts),
+    * package-visible so probes can measure collision fan-out. */
+  private[graft] def candidatePairs(df: DataFrame, key: Column, text: Column,
+                                    block: Seq[Column], k: Int): DataFrame = {
     val n = k + 1
     val blockNames = block.indices.map(i => s"_b$i")
     val base = df.select(
@@ -74,10 +133,5 @@ object FuzzyJoin {
           .otherwise(col("r._txt")).as("a_txt"),
         when(col("l._key") < col("r._key"), col("r._txt"))
           .otherwise(col("l._txt")).as("b_txt"))
-      .distinct()
-      .withColumn("dist",
-        graft.functions.EditDistance.levWithin(col("a_txt"), col("b_txt"), k).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= k)
-      .select(col("a_key"), col("b_key"), col("dist"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -35,11 +34,13 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"))
+    // bounded-heap top-k (TopK.topKByLongKey): each map partition is
+    // reduced to ≤ k rows per query BEFORE the shuffle — the |corpus|
+    // × |queries| scored stream never shuffles or sorts, which is the
+    // difference between O(k·parts·queries) and O(n·queries) exchange
+    // rows at 100 TB.
+    TopK.topKByLongKey(scored, "q_id", "cosine", "c_id", k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
@@ -110,11 +111,11 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored.select(col("q_id"), col("c_id"), col("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k — map-side reduction, no candidate sort
+    // (see bruteForceTopK)
+    TopK.topKByLongKey(scored.select(col("q_id"), col("c_id"), col("cosine")),
+        "q_id", "cosine", "c_id", k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (MLlib KMeans,
@@ -222,12 +223,12 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored
-      .select(col("q_id"), col("c_id"), col("cosine")).distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // distinct first (multi-probe may score a pair once per probed
+    // bucket), then bounded-heap top-k (see bruteForceTopK)
+    TopK.topKByLongKey(
+        scored.select(col("q_id"), col("c_id"), col("cosine")).distinct(),
+        "q_id", "cosine", "c_id", k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,

@@ -80,4 +80,30 @@ object TopK {
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
         col("vk.v").as(valueCol), col("vk.id").as(idCol))
   }
+
+  /** Same bounded-buffer top-k keyed by a LONG group id (no string
+    * cast), for numeric-keyed rankers — the similarity operators rank
+    * millions of scored candidate rows per run, and this path reduces
+    * each map partition to ≤ k rows per key BEFORE the shuffle where
+    * the window form would shuffle and fully sort every candidate.
+    * Output flat rows `(group, id, value, rnk)` with rnk in 1..k,
+    * ordered (value DESC, id ASC) like [[topKPerGroup]].
+    */
+  private[graft] def topKByLongKey(df: DataFrame, groupCol: String,
+                                   valueCol: String, idCol: String,
+                                   k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val ds = df.select(col(groupCol).cast("long"),
+        col(valueCol).cast("double"), col(idCol).cast("long"))
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .as[(Long, Double, Long)]
+    val agg = new TopKAgg(k)
+    ds.groupByKey(_._1)
+      .mapValues(t => VK(t._2, t._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF(groupCol, "topk")
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "vk")))
+      .select(col(groupCol), col("vk.id").as(idCol),
+        col("vk.v").as(valueCol), (col("pos") + 1).cast("long").as("rnk"))
+  }
 }

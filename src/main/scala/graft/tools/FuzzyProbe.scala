@@ -8,11 +8,14 @@ import graft.{GraftSession, Tables}
   * enumeration (the blocked self-join) vs the threshold-DP pass, and
   * measures the char-count bag-distance prefilter (a per-pair O(26)
   * lower bound that must reject a pair before the O(k·n) DP runs).
-  * Usage: runMain graft.tools.FuzzyProbe [sfDir]
+  * Usage: runMain graft.tools.FuzzyProbe [sfDir] [enum]
+  * ("enum" re-times the pair-enumeration forms — minutes at sf1;
+  * without it only the segment/collapsed sections run).
   */
 object FuzzyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runEnum = args.lift(1).contains("enum")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // graft extensions OFF: with them on, ReplaceLevenshtein rewrites
     // the built-in threshold form into the Myers kernel and the probe
@@ -40,25 +43,48 @@ object FuzzyProbe {
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
 
-    println(s"candidate_pairs=${pairs.count()}")
+    if (runEnum) {
+      println(s"candidate_pairs=${pairs.count()}")
 
-    time("pair enumeration only") { pairs }
+      time("pair enumeration only") { pairs }
 
-    time("pairs + threshold DP") {
-      pairs.withColumn("dist",
-          levenshtein(col("l.p_name"), col("r.p_name"), 2).cast("long"))
-        .filter(col("dist") >= 0)
+      time("pairs + threshold DP") {
+        pairs.withColumn("dist",
+            levenshtein(col("l.p_name"), col("r.p_name"), 2).cast("long"))
+          .filter(col("dist") >= 0)
+      }
+
+      // rejected alternative, kept for the record: a bag-distance
+      // prefilter via higher-order functions (transform/zip_with/
+      // aggregate) measured 18 s — the lambdas run interpreted and
+      // allocate per pair, 10× WORSE than just running the DP.
+      time("pairs + bit-parallel Myers") {
+        pairs.withColumn("dist",
+            graft.functions.EditDistance.levWithin(
+              col("l.p_name"), col("r.p_name"), 2).cast("long"))
+          .filter(col("dist") >= 0)
+      }
     }
 
-    // rejected alternative, kept for the record: a bag-distance
-    // prefilter via higher-order functions (transform/zip_with/
-    // aggregate) measured 18 s — the lambdas run interpreted and
-    // allocate per pair, 10× WORSE than just running the DP.
-    time("pairs + bit-parallel Myers") {
-      pairs.withColumn("dist",
-          graft.functions.EditDistance.levWithin(
-            col("l.p_name"), col("r.p_name"), 2).cast("long"))
-        .filter(col("dist") >= 0)
+    // segment-index (PassJoin) decomposition: how many candidate
+    // pairs do segment collisions actually generate, and what does
+    // the end-to-end equi-join form cost vs the block-quadratic one?
+    val full = Tables.part(spark, sfDir)
+    val segBlock = Seq(col("p_brand"), length(col("p_name")))
+    val cand = graft.ops.FuzzyJoin.candidatePairs(
+      full, col("p_partkey"), col("p_name"), segBlock, 2)
+    println(s"segment_candidates=${cand.count()}")
+    println(s"segment_candidates_distinct=${cand.distinct().count()}")
+    time("segment index end-to-end") {
+      graft.ops.FuzzyJoin.selfJoin(full, col("p_partkey"), col("p_name"),
+        block = segBlock, k = 2)
+    }
+
+    // collapsed form: verify once per distinct (block, text) pair,
+    // expand back by key — the winner when texts repeat
+    time("collapsed-distinct end-to-end") {
+      graft.ops.FuzzyJoin.selfJoinCollapsed(full, col("p_partkey"),
+        col("p_name"), block = segBlock, k = 2)
     }
 
     spark.stop()

@@ -44,4 +44,25 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
       Seq(col("len")), k = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
+
+  test("collapsed-distinct join is exactly the naive all-pairs result") {
+    // plant exact duplicate texts across keys (the case the collapse
+    // exploits: same-text groups must expand to C(n,2) dist-0 pairs)
+    val dups = (0 until 15).map(i => (300L + i, corpus.collect()(i % 10)
+      .getAs[String]("txt")))
+    val withDups = corpus.select("key", "txt")
+      .union(dups.toDF("key", "txt"))
+      .withColumn("len", length($"txt"))
+    val fast = FuzzyJoin.selfJoinCollapsed(withDups, col("key"), col("txt"),
+        Seq(col("len")), k = 2)
+      .as[(Long, Long, Long)].collect()
+    val naive = withDups.alias("l").join(withDups.alias("r"),
+        col("l.len") === col("r.len") && col("l.key") < col("r.key"))
+      .select(col("l.key"), col("r.key"),
+        levenshtein(col("l.txt"), col("r.txt")).cast("long").as("d"))
+      .filter($"d" <= 2).as[(Long, Long, Long)].collect().toSet
+    assert(naive.exists(_._3 == 0L), "fixture must contain exact-dup pairs")
+    assert(fast.length == fast.toSet.size, "no duplicate output pairs")
+    assert(fast.toSet === naive)
+  }
 }

@@ -22,7 +22,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val res = Similarity.bruteForceTopK(
       corpus.filter(col("vec_id") === 0), corpus, k = 5).collect()
     assert(res.length == 5)
-    val top = res.find(_.getAs[Int]("rnk") == 1).get
+    val top = res.find(_.getAs[Long]("rnk") == 1L).get
     assert(top.getAs[Long]("c_id") == 100L)
     assert(top.getAs[Double]("cosine") == 1.0)
   }
@@ -111,8 +111,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"no partition pruning on cell in plan:\n$scan")
     // full parity with the ad-hoc path (shared cell assignment + rerank)
     val adhoc = Similarity.ivfTopK(q, corpus, k = 5, nlist = 8, nprobe = 3)
-      .as[(Long, Long, Double, Int)].collect().toSet
-    val got = indexed.as[(Long, Long, Double, Int)].collect().toSet
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val got = indexed.as[(Long, Long, Double, Long)].collect().toSet
     assert(got === adhoc)
     // planted duplicate still surfaces through the index
     val top = indexed.filter(col("q_id") === 0 && col("rnk") === 1).head()
