@@ -34,6 +34,13 @@ object GraftSession {
     // filter into the fact scan (cuts shuffle input before the join) —
     // free at this scale, decisive at 100 TB
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // ObjectHashAggregate (TypedImperativeAggregate: the top-k heap,
+    // KLL / HLL sketches) silently degrades to SORT-based aggregation
+    // past 128 distinct keys by default — that re-sorts the whole
+    // input stream the bounded-buffer design exists to avoid. Our
+    // object buffers are O(k)/O(sketch) small, so hold the hash path
+    // to far higher group counts (memory: ~buffer_size × keys/task).
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. Shuffle partitions = cores:

@@ -363,12 +363,30 @@ object Dedup {
     * coarse-quantizer cell). Norms are precomputed once per row so the
     * pair loop is a single fused dot product.
     */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Label-blocked exact pair scan. The build side (a label-blocked
+    * corpus comfortably under the broadcast threshold) broadcasts, so
+    * join parallelism is the STREAM side's partitioning — and a small
+    * parquet corpus scans as one partition, serializing the whole
+    * quadratic enumeration onto one core. The probe side is therefore
+    * round-robin repartitioned first: the enumeration spreads evenly
+    * over every core at the cost of shuffling only the (linear) probe
+    * rows. Measured at sf1: 12.6 s unrepartitioned → 1.4 s here. (A
+    * triangle/grid self-join decomposition was measured and rejected:
+    * under a broadcast join it replicates probe bytes ×buckets
+    * without adding any parallelism — spread still comes only from
+    * stream-side partitioning — and lands at 17.6 s. Grid
+    * decomposition is for the shuffle-join regime, where label
+    * blocks outgrow the broadcast threshold.)
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.5,
+                        parallelism: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
     val base = embeddings.select(
       col("vec_id"), col("label"), col("embedding"),
       normD(col("embedding")).as("nrm"))
-    base.alias("l")
+    val nParts = if (parallelism > 0) parallelism
+      else embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    base.repartition(nParts).alias("l")
       .join(base.alias("r"),
         col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
       .withColumn("cosine",

@@ -59,13 +59,44 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[VK]]()
   }
 
+  /** The native-expression top-k column ([[graft.functions.TopKPairsAgg]]):
+    * array<struct<v,id>> of the k largest (value, id) pairs. Both
+    * public entry points below plan THIS — the typed [[TopKAgg]]
+    * stays as the pure-Dataset-API reference implementation (its
+    * `AppendColumns` deserializes every row out of Tungsten; the
+    * native form reads inputs off the aggregate input row and keeps
+    * the producing stage in whole-stage codegen — tools.TopKProbe
+    * measures the two).
+    */
+  private def topKCol(value: org.apache.spark.sql.Column,
+                      id: org.apache.spark.sql.Column, k: Int) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TopKPairsAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(value.cast("double")),
+        org.apache.spark.sql.GraftColumnBridge.expression(id.cast("long")),
+        k).toAggregateExpression())
+
   /** Top-k `valueCol` rows per `groupCol`, exploded back to flat rows
     * `(group, rnk, value, tiebreak-id)` with rnk in 1..k. Rows with a
-    * null value or id are excluded (they cannot rank; letting them
-    * through would crash the non-nullable tuple encoder).
+    * null value or id rank nowhere and are dropped inside the
+    * aggregate — no pre-filter, so no predicate gets pushed back into
+    * the (possibly expensive) expression that computed `valueCol`.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
-                   idCol: String, k: Int): DataFrame = {
+                   idCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(topKCol(col(valueCol), col(idCol), k).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "vk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("vk.v").as(valueCol), col("vk.id").as(idCol))
+
+  /** The typed-Aggregator form of [[topKPerGroup]], kept ONLY as the
+    * measured alternative (tools.TopKProbe) and parity witness — it
+    * plans an `AppendColumns` serialization boundary per input row.
+    */
+  private[graft] def topKPerGroupTyped(df: DataFrame, groupCol: String,
+                                       valueCol: String, idCol: String,
+                                       k: Int): DataFrame = {
     import df.sparkSession.implicits._
     val ds = df.select(col(groupCol).cast("string"),
         col(valueCol).cast("double"), col(idCol).cast("long"))
@@ -81,29 +112,20 @@ object TopK {
         col("vk.v").as(valueCol), col("vk.id").as(idCol))
   }
 
-  /** Same bounded-buffer top-k keyed by a LONG group id (no string
-    * cast), for numeric-keyed rankers — the similarity operators rank
-    * millions of scored candidate rows per run, and this path reduces
-    * each map partition to ≤ k rows per key BEFORE the shuffle where
-    * the window form would shuffle and fully sort every candidate.
+  /** Same top-k keyed by a LONG group id (no string cast), for
+    * numeric-keyed rankers — the similarity operators rank millions
+    * of scored candidate rows per run, and this path reduces each map
+    * partition to ≤ k rows per key BEFORE the shuffle where the
+    * window form would shuffle and fully sort every candidate.
     * Output flat rows `(group, id, value, rnk)` with rnk in 1..k,
     * ordered (value DESC, id ASC) like [[topKPerGroup]].
     */
   private[graft] def topKByLongKey(df: DataFrame, groupCol: String,
                                    valueCol: String, idCol: String,
-                                   k: Int): DataFrame = {
-    import df.sparkSession.implicits._
-    val ds = df.select(col(groupCol).cast("long"),
-        col(valueCol).cast("double"), col(idCol).cast("long"))
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
-      .as[(Long, Double, Long)]
-    val agg = new TopKAgg(k)
-    ds.groupByKey(_._1)
-      .mapValues(t => VK(t._2, t._3))
-      .agg(agg.toColumn.name("topk"))
-      .toDF(groupCol, "topk")
+                                   k: Int): DataFrame =
+    df.groupBy(col(groupCol).cast("long").as(groupCol))
+      .agg(topKCol(col(valueCol), col(idCol), k).as("topk"))
       .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "vk")))
       .select(col(groupCol), col("vk.id").as(idCol),
         col("vk.v").as(valueCol), (col("pos") + 1).cast("long").as("rnk"))
-  }
 }

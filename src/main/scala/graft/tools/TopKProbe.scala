@@ -38,7 +38,10 @@ object TopKProbe {
             .orderBy(col("value").desc, col("event_id"))).cast("long"))
         .filter(col("rnk") <= 5)
     }
-    time("events: TopK aggregator  k=5") {
+    time("events: typed Aggregator k=5") {
+      TopK.topKPerGroupTyped(ev, "event_type", "value", "event_id", k = 5)
+    }
+    time("events: native TopKPairsAgg k=5") {
       TopK.topKPerGroup(ev, "event_type", "value", "event_id", k = 5)
     }
 
@@ -55,7 +58,10 @@ object TopKProbe {
             .orderBy(col("v").desc, col("id"))).cast("long"))
         .filter(col("rnk") <= 5)
     }
-    time("20M×8grp: TopK aggregator  k=5") {
+    time("20M×8grp: typed Aggregator k=5") {
+      TopK.topKPerGroupTyped(big, "g", "v", "id", k = 5)
+    }
+    time("20M×8grp: native TopKPairsAgg k=5") {
       TopK.topKPerGroup(big, "g", "v", "id", k = 5)
     }
     spark.stop()
