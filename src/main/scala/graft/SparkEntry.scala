@@ -1780,6 +1780,38 @@ object SparkEntry {
           .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)
       }),
 
+    QueryDef("ext_lm_quality_tiers",
+      // CCNet-style corpus-LM quality bucketing: add-1-smoothed bigram
+      // likelihood per document in integer micro-units, ntile'd into
+      // quality tiers (see TextStats.lmQualityTiers for why the score
+      // is log-free: IEEE ×/÷/floor are bit-identical cross-engine,
+      // libm ln is not). The oracle replicates count, smoothing, and
+      // tiering arithmetic exactly — all compared columns are
+      // integers.
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |raw AS (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS i FROM t0),
+             |tok AS (SELECT doc_id, i, t FROM raw WHERE t <> ''),
+             |big0 AS (SELECT doc_id, lag(t) OVER (PARTITION BY doc_id ORDER BY i) AS w1, t AS w2
+             |         FROM tok),
+             |bg AS (SELECT doc_id, w1, w2 FROM big0 WHERE w1 IS NOT NULL),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+             |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok),
+             |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |              CAST(sum(floor(1000000000.0 * (c2.c12 + 1) / (c1.c1 + v.v))) AS BIGINT)
+             |                AS like_micro
+             |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+             |       GROUP BY 1),
+             |d AS (SELECT t0.doc_id,
+             |             coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             |             coalesce(sc.like_micro, 0) AS like_micro
+             |      FROM t0 LEFT JOIN sc USING (doc_id))
+             |SELECT doc_id, n_bigrams, like_micro,
+             |       CAST(ntile(4) OVER (ORDER BY CAST(like_micro AS DOUBLE)
+             |              / greatest(n_bigrams, 1) DESC, doc_id) AS BIGINT) AS tier
+             |FROM d""".stripMargin),
+      (s, dir) => TextStats.lmQualityTiers(Tables.documents(s, dir), tiers = 4)),
+
     QueryDef("ext_tfidf",
       // term relevance per document: tf from one token aggregation,
       // document frequency from a second, joined back on the term (a

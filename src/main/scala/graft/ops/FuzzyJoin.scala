@@ -59,7 +59,14 @@ object FuzzyJoin {
     * ([[candidatePairs]]) — same expansion.
     */
   def selfJoinCollapsed(df: DataFrame, key: Column, text: Column,
-                        block: Seq[Column], k: Int = 2): DataFrame = {
+                        block: Seq[Column], k: Int = 2): DataFrame =
+    collapsedStages(df, key, text, block, k)._3
+
+  /** (distinct texts, verified text pairs, expanded result) — stages
+    * exposed package-private so probes can time each. */
+  private[graft] def collapsedStages(df: DataFrame, key: Column, text: Column,
+                                     block: Seq[Column], k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val blockNames = block.indices.map(i => s"_b$i")
     val base = df.select(
       Seq(key.as("_key"), text.as("_txt")) ++
@@ -80,13 +87,25 @@ object FuzzyJoin {
       Seq(col("_txt").as("_t1"), col("_key").as("_k1")): _*)
     val e2 = base.select(blockNames.map(col) ++
       Seq(col("_txt").as("_t2"), col("_key").as("_k2")): _*)
-    tp.join(e1, blockNames :+ "_t1")
+    // tp is the STREAM side of the expansion joins (e1/e2, being
+    // bigger, broadcast below the threshold), and the output fans out
+    // ~|group|² per tp row. AQE coalesces tp's post-distinct exchange
+    // to one partition on its byte size — blind to that fan-out — so
+    // the whole output would generate in ONE task. An explicit
+    // numbered repartition is preserved by AQE and spreads the
+    // generation; tp is the distinct-text pair set, always tiny, so
+    // the extra exchange costs nothing at any scale. (sf5: 469M
+    // output pairs, 95 s single-task → 10.2 s spread.)
+    val tpSpread = tp.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val out = tpSpread.join(e1, blockNames :+ "_t1")
       .join(e2, blockNames :+ "_t2")
       // same-text groups expand k1×k2 both ways: keep one orientation;
       // distinct-text pairs appear once per (k1, k2) already
       .filter(col("_t1") =!= col("_t2") || col("_k1") < col("_k2"))
       .select(least(col("_k1"), col("_k2")).as("a_key"),
         greatest(col("_k1"), col("_k2")).as("b_key"), col("dist"))
+    (d, tp, out)
   }
 
   /** The pre-verification candidate stream (ordered pairs + texts),

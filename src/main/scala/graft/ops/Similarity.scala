@@ -19,19 +19,11 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Under a broadcast join, scoring parallelism is the STREAM side's
-    * partitioning — and a small corpus scans as a single split, which
-    * serializes the whole |corpus|×|queries| enumeration onto one
-    * core. Spread the corpus to the session's shuffle parallelism
-    * when (and only when) its scan is narrower: a no-op at real
-    * corpus scale, an order-of-magnitude win on bench-sized files
+  /** Stream-side parallelism guard ([[Par.spread]]): a narrow corpus
+    * scan serializes the scoring enumeration under a broadcast join
     * (sf1: ext_sim_topk 8.4→0.7 s, ext_sim_ivf 9.5→1.6 s,
-    * ext_sim_lsh 3.6→1.2 s).
-    */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+    * ext_sim_lsh 3.6→1.2 s). */
+  private def spread(df: DataFrame): DataFrame = Par.spread(df)
 
   /** Exact top-k neighbors for each query row. `queries` is expected
     * to be small (it is broadcast); ranking ties are broken on vec_id

@@ -187,4 +187,60 @@ object TextStats {
         col("tok_start"),
         least(lit(size.toLong), col("n_tokens") - col("tok_start")).as("tok_len"))
   }
+
+  /** Corpus-LM quality tiers (the CCNet-style signal: score every
+    * document under a language model trained on the corpus itself,
+    * then bucket — fluent text lands in the head tier, gibberish in
+    * the tail). The model is an add-1-smoothed bigram LM; a document
+    * scores the MEAN smoothed bigram likelihood, accumulated in
+    * integer micro-units: `floor(1e9 · (c12+1)/(c1+V))` per bigram
+    * occurrence. Log-free on purpose — IEEE multiply/divide/floor are
+    * correctly rounded and bit-identical across engines, while libm
+    * `ln`/`log2` differ in the last ulp (the mean-likelihood score is
+    * a monotone quality proxy for per-doc perplexity under the
+    * mean↔geomean swap; integer accumulation makes the oracle exact
+    * and partition-order-free).
+    *
+    * Shape: bigram occurrences re-join their corpus counts on the
+    * (w1, w2) key — a shuffle join, as the bigram vocabulary outgrows
+    * any broadcast (same call as TF-IDF's term join); per-doc rollup
+    * is one partial-agg shuffle on doc_id. The final `ntile` runs
+    * over ONE ROW PER DOCUMENT (corpus-scale inputs reduced first);
+    * at 100 TB swap it for approx-quantile thresholds on like_micro —
+    * same tiers up to sketch error, no global sort.
+    *
+    * Output: (doc_id, n_bigrams, like_micro, tier 1..tiers) — docs
+    * with < 2 tokens surface with n_bigrams = 0 in the tail tier.
+    */
+  def lmQualityTiers(docs: DataFrame, tiers: Int = 4): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
+      .filter(col("t") =!= "")
+    val big = tok
+      .withColumn("w1", lag(col("t"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("i"))))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("t").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = tok.select(countDistinct(col("t")).as("v"))
+    val scored = big
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row aggregate
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(lit(1e9) * (col("c12") + 1) / (col("c1") + col("v")))
+          .cast("long")).as("like_micro"))
+    val perDoc = docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("like_micro"), lit(0L)).as("like_micro"))
+    perDoc.withColumn("tier",
+      ntile(tiers).over(org.apache.spark.sql.expressions.Window
+        .orderBy((col("like_micro").cast("double") /
+          greatest(col("n_bigrams"), lit(1L))).desc, col("doc_id")))
+        .cast("long"))
+  }
 }

@@ -66,22 +66,29 @@ object FuzzyProbe {
       }
     }
 
-    // segment-index (PassJoin) decomposition: how many candidate
-    // pairs do segment collisions actually generate, and what does
-    // the end-to-end equi-join form cost vs the block-quadratic one?
     val full = Tables.part(spark, sfDir)
     val segBlock = Seq(col("p_brand"), length(col("p_name")))
-    val cand = graft.ops.FuzzyJoin.candidatePairs(
-      full, col("p_partkey"), col("p_name"), segBlock, 2)
-    println(s"segment_candidates=${cand.count()}")
-    println(s"segment_candidates_distinct=${cand.distinct().count()}")
-    time("segment index end-to-end") {
-      graft.ops.FuzzyJoin.selfJoin(full, col("p_partkey"), col("p_name"),
-        block = segBlock, k = 2)
+    if (runEnum) {
+      // segment-index (PassJoin) decomposition: how many candidate
+      // pairs do segment collisions actually generate, and what does
+      // the end-to-end equi-join form cost vs the block-quadratic one?
+      val cand = graft.ops.FuzzyJoin.candidatePairs(
+        full, col("p_partkey"), col("p_name"), segBlock, 2)
+      println(s"segment_candidates=${cand.count()}")
+      println(s"segment_candidates_distinct=${cand.distinct().count()}")
+      time("segment index end-to-end") {
+        graft.ops.FuzzyJoin.selfJoin(full, col("p_partkey"), col("p_name"),
+          block = segBlock, k = 2)
+      }
     }
 
     // collapsed form: verify once per distinct (block, text) pair,
     // expand back by key — the winner when texts repeat
+    val (d, tp, out) = graft.ops.FuzzyJoin.collapsedStages(full,
+      col("p_partkey"), col("p_name"), segBlock, 2)
+    println(s"collapsed_distinct_texts=${d.count()}")
+    println(s"collapsed_text_pairs=${tp.count()}")
+    println(s"collapsed_output_pairs=${out.count()}")
     time("collapsed-distinct end-to-end") {
       graft.ops.FuzzyJoin.selfJoinCollapsed(full, col("p_partkey"),
         col("p_name"), block = segBlock, k = 2)

@@ -50,6 +50,37 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
       short.head.getAs[Long]("tok_len") == 2L)
   }
 
+  test("lmQualityTiers: fluent text outranks gibberish; tiers balanced; short docs tail") {
+    // docs 1-4 repeat the same fluent phrasing (high in-corpus bigram
+    // likelihood); docs 5-8 are unique gibberish (every bigram count 1,
+    // smoothed probability ~1/V); doc 9 is a single token (no bigrams)
+    val docs = (1L to 4L).map(i => (i, "the cat sat on the mat " * 3)) ++
+      (5L to 8L).map(i => (i, s"zz$i qq$i ww$i rr$i kk$i jj$i")) ++
+      Seq((9L, "lonely"))
+    val out = TextStats.lmQualityTiers(docs.toDF("doc_id", "text"), tiers = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("like_micro"),
+          r.getAs[Long]("tier"))).toMap
+    assert(out.size == 9, "every doc surfaces")
+    assert(out(9L)._1 == 0L && out(9L)._2 == 0L)
+    // every fluent doc scores a strictly higher mean likelihood than
+    // every gibberish doc, so no fluent doc lands in a worse tier
+    def avg(t: (Long, Long, Long)) = t._2.toDouble / math.max(t._1, 1L)
+    assert((1L to 4L).map(d => avg(out(d))).min >
+      (5L to 8L).map(d => avg(out(d))).max)
+    assert((1L to 4L).map(out(_)._3).max <= (5L to 8L).map(out(_)._3).min,
+      s"fluent tiers ${(1L to 4L).map(out(_)._3)} vs gibberish ${(5L to 8L).map(out(_)._3)}")
+    assert(out(9L)._3 == 3L)
+    // ntile(3) over 9 rows: exactly 3 docs per tier
+    assert(out.values.groupBy(_._3).view.mapValues(_.size).toMap ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3))
+    // per-bigram micro-unit score: each gibberish bigram is unseen-once
+    // (c12=1, c1=1) → floor(1e9 * 2 / (1 + V)); V = distinct tokens
+    val v = docs.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct.size
+    val perBigram = math.floor(1e9 * 2 / (1.0 + v)).toLong
+    assert(out(5L)._2 == 5L * perBigram, s"v=$v got=${out(5L)}")
+  }
+
   test("langId picks the language with most marker hits; ties go to max code") {
     val rows = TextStats.langId(Seq(
       (1L, "el la de y la el"),       // es markers
