@@ -137,8 +137,12 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   agg_heavy_hitters — the total-count scalar and the ≤(k-1)-entry
     //                   Misra–Gries sketch each join in as ONE
     //                   broadcast row against the heavy-hitter set.
+    //   ext_lm_quality_tiers — the vocabulary-size scalar V joins in
+    //                   as ONE broadcast row (same bounded shape as
+    //                   ext_tfidf's corpus-size N).
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
-      "ts_gap_fill", "ts_interpolate", "ext_tfidf", "agg_heavy_hitters")
+      "ts_gap_fill", "ts_interpolate", "ext_tfidf", "agg_heavy_hitters",
+      "ext_lm_quality_tiers")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
