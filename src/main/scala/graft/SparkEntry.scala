@@ -1409,6 +1409,69 @@ object SparkEntry {
       (s, dir) => Dedup.substringDupSpans(Tables.documents(s, dir),
         win = 40, stride = 8)),
 
+    QueryDef("ext_dedup_substring_apply",
+      // The pipeline's delete step: excise every duplicated span whose
+      // windows are not the corpus-first occurrence and emit cleaned
+      // text. The oracle rebuilds the exact same strings (fingerprint
+      // → first-occurrence rank → span merge → complement →
+      // ordered string_agg), so the compare is exact text equality —
+      // the strongest possible check for a string-surgery operator.
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |pos AS (
+             |  SELECT doc_id, text, unnest(range(0, n - 40 + 1, 8)) AS i
+             |  FROM t WHERE n >= 40),
+             |w AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |         CAST((list_reduce(list_prepend(14695981039346656037::HUGEINT,
+             |                 list_transform(range(i, i + 40),
+             |                   j -> ascii(substring(text, j + 1, 1))::HUGEINT)),
+             |               (acc,c) -> (xor(acc,c) * 1099511628211::HUGEINT)
+             |                           % 18446744073709551616::HUGEINT)
+             |               + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+             |              - 9223372036854775808::HUGEINT AS BIGINT) AS h
+             |  FROM pos),
+             |sup AS (SELECT h, count(DISTINCT doc_id) AS docs FROM w GROUP BY 1),
+             |dup AS (
+             |  SELECT doc_id, pos, pos + 40 AS e
+             |  FROM (SELECT w.doc_id, w.pos,
+             |               row_number() OVER (PARTITION BY w.h
+             |                 ORDER BY w.doc_id, w.pos) AS rk
+             |        FROM w JOIN sup USING (h) WHERE sup.docs > 1)
+             |  WHERE rk > 1),
+             |g AS (
+             |  SELECT doc_id, pos, e,
+             |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+             |  FROM dup),
+             |s AS (
+             |  SELECT doc_id, pos, e,
+             |         sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+             |  FROM g),
+             |sp AS (SELECT doc_id, min(pos) AS ss, max(e) AS se FROM s GROUP BY doc_id, span),
+             |seg AS (
+             |  SELECT doc_id,
+             |         coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) AS ks,
+             |         ss - coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) AS kl
+             |  FROM sp
+             |  UNION ALL
+             |  SELECT m.doc_id, m.mx AS ks, t.n - m.mx AS kl
+             |  FROM (SELECT doc_id, max(se) AS mx FROM sp GROUP BY 1) m
+             |  JOIN t USING (doc_id)),
+             |reb AS (
+             |  SELECT seg.doc_id,
+             |         string_agg(substring(t.text, CAST(ks + 1 AS INT), CAST(kl AS INT)),
+             |                    '' ORDER BY ks) AS clean
+             |  FROM seg JOIN t USING (doc_id) GROUP BY seg.doc_id)
+             |SELECT t.doc_id,
+             |       coalesce(reb.clean, t.text) AS clean_text,
+             |       CAST(length(t.text) - length(coalesce(reb.clean, t.text)) AS BIGINT)
+             |         AS n_removed
+             |FROM t LEFT JOIN reb USING (doc_id)""".stripMargin),
+      (s, dir) => Dedup.substringDedupApply(Tables.documents(s, dir),
+        win = 40, stride = 8)),
+
     QueryDef("ext_dedup_groups",
       // pair → group resolution: connected components over the n-gram
       // near-dup graph; every member labeled with the component min

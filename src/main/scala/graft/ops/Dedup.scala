@@ -229,15 +229,26 @@ object Dedup {
     * partitioning on doc_id, never global).
     */
   def substringDupSpans(docs: DataFrame, win: Int = 40, stride: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = docs.select(col("doc_id"),
-      posexplode(toCol(graft.functions.WindowHashesExpr(
-        toExpr(col("text")), win, stride))).as(Seq("idx", "h")))
-      .select(col("doc_id"), (col("idx") * stride).cast("long").as("pos"), col("h"))
+    val wins = windowOccurrences(docs, win, stride)
     val sup = wins.select(col("doc_id"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("docs"))
     val dup = wins.join(sup.filter(col("docs") > 1), "h")
       .select(col("doc_id"), col("pos"), (col("pos") + win).as("end"))
+    mergeSpans(dup)
+  }
+
+  /** (doc_id, pos, h) for every stride-aligned window. */
+  private def windowOccurrences(docs: DataFrame, win: Int, stride: Int): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(toCol(graft.functions.WindowHashesExpr(
+        toExpr(col("text")), win, stride))).as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") * stride).cast("long").as("pos"), col("h"))
+
+  /** Gaps-and-islands merge of (doc_id, pos, end) intervals into
+    * maximal disjoint (doc_id, span_start, span_end) rows. Per-doc
+    * window pass: no shuffle beyond hash partitioning on doc_id. */
+  private def mergeSpans(dup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     dup
       .withColumn("_maxEnd", max(col("end")).over(
@@ -248,6 +259,67 @@ object Dedup {
       .groupBy(col("doc_id"), col("_span"))
       .agg(min("pos").as("span_start"), max("end").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** APPLY substring-level dedup: excise every duplicated span whose
+    * windows are NOT the corpus-first occurrence, and emit the cleaned
+    * text — the final step of the Lee-et-al.-style pipeline
+    * ([[substringDupStats]] measures, [[substringDupSpans]] locates,
+    * this deletes). "First occurrence wins": for each duplicated
+    * window hash the canonical occurrence is the minimum (doc_id,
+    * pos) — computed with a partial-aggregatable `min(struct(...))`,
+    * NOT a per-hash window sort, so a boilerplate window shared by
+    * millions of docs is one hot reduce key, never a single-task
+    * sort. Non-canonical windows merge into spans (gaps-and-islands);
+    * the kept complement segments rebuild the text with one ordered
+    * concat per doc.
+    *
+    * Output: (doc_id, clean_text, n_removed) for EVERY corpus doc —
+    * untouched docs pass through with n_removed = 0. Offsets are
+    * byte-based (= chars on the ASCII fixture contract shared with
+    * the oracle).
+    */
+  def substringDedupApply(docs: DataFrame, win: Int = 40, stride: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = windowOccurrences(docs, win, stride)
+    val sup = wins.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("docs"))
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val dup = wins
+      .join(sup.filter(col("docs") > 1), "h")
+      .join(canon, "h")
+      .filter(!(col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + win).as("end"))
+    val spans = mergeSpans(dup)
+    // complement of the spans: the segment before each span, plus the
+    // tail after the last span — zero-length segments kept so fully
+    // deleted docs still produce a (empty) rebuilt row
+    val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
+    val before = spans
+      .withColumn("keep_start",
+        coalesce(lag(col("span_end"), 1).over(byDoc), lit(0L)))
+      .select(col("doc_id"), col("keep_start"),
+        (col("span_start") - col("keep_start")).as("keep_len"))
+    val tail = spans.groupBy("doc_id")
+      .agg(max(col("span_end")).as("keep_start"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("_n")), "doc_id")
+      .select(col("doc_id"), col("keep_start"),
+        (col("_n") - col("keep_start")).as("keep_len"))
+    val rebuilt = before.union(tail)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("keep_start"),
+        col("text").substr((col("keep_start") + 1).cast("int"),
+          col("keep_len").cast("int")).as("piece"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("keep_start"), col("piece")))),
+        s => s.getField("piece")), "").as("clean_text"))
+    docs.select(col("doc_id"), col("text")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), col("text")).as("clean_text"),
+        (length(col("text")) - length(coalesce(col("clean_text"), col("text"))))
+          .cast("long").as("n_removed"))
   }
 
   // ---------------------------------------------------------------- //

@@ -172,6 +172,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("substring dedup apply: first occurrence survives, copies excised") {
+    val out = Dedup.substringDedupApply(docs, win = 40, stride = 8)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    // doc 0 is the corpus-first occurrence of every shared window:
+    // untouched
+    assert(out(0L) == ((0L, base, 0L)))
+    // doc 3 is byte-identical to doc 0 but later: its duplicated
+    // tiling is excised — everything under the stride-aligned windows
+    val bs = base.getBytes("UTF-8").length
+    val lastEnd = ((bs - 40) / 8) * 8 + 40
+    assert(out(3L)._3 == lastEnd.toLong,
+      s"expected $lastEnd chars removed, got ${out(3L)}")
+    assert(out(3L)._2 == base.substring(lastEnd))
+    // doc 1 shares only the pre-edit prefix: a strict prefix removed,
+    // the tail (containing the edit) kept verbatim
+    assert(out(1L)._3 > 0 && out(1L)._2.nonEmpty)
+    assert(nearDup.endsWith(out(1L)._2))
+    // unrelated doc untouched
+    assert(out(2L) == ((2L, other, 0L)))
+    // removal accounting is exact
+    out.values.foreach { case (id, clean, removed) =>
+      val orig = Map(0L -> base, 1L -> nearDup, 2L -> other, 3L -> base)(id)
+      assert(clean.length + removed == orig.length)
+    }
+  }
+
   test("embedding near-dups: duplicate vector pairs at cosine 1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 2.0f), 0),
