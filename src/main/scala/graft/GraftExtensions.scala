@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, JaccardSortedExpr, LevWithinExpr, ShingleCodesExpr, SimHashExpr, TokenCountExpr}
+import graft.functions.{DotProductExpr, JaccardSortedExpr, JsonStringMapExpr, LevWithinExpr, ShingleCodesExpr, SimHashExpr, TokenCountExpr}
 import graft.plans.{ReplaceLevenshtein, ReplaceTokenCount}
 
 /** SparkSessionExtensions hook exposing graft's custom expressions to
@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "graft_jaccard(a, b) takes two sorted array<long> args")
         JaccardSortedExpr(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_json_map"),
+      new ExpressionInfo(classOf[JsonStringMapExpr].getName, "graft_json_map"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, "graft_json_map(text) takes one string arg")
+        JsonStringMapExpr(exprs.head)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_lev_within"),

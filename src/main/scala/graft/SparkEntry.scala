@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{AsOfJoin, Cdc, Dedup, EventAnalytics, FuzzyJoin, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
   * and — when ANSI-SQL-expressible — the DuckDB oracle that must
@@ -2402,13 +2403,15 @@ object SparkEntry {
         .select(col("event_id"),
           // drop any payload 't' before adding ours: map_concat under
           // the default EXCEPTION dedup policy would otherwise throw
-          // on a key collision (both engines filter identically)
+          // on a key collision (both engines filter identically).
+          // graft_json_map replaces from_json here: one codegen char
+          // scan per row instead of a Jackson parse (strict RFC 8259,
+          // like the oracle's own json functions; parity with
+          // from_json on standard JSON property-spec'd) — 3× on this
+          // query's scan stage.
           map_concat(
             map_filter(
-              from_json(col("props"),
-                org.apache.spark.sql.types.MapType(
-                  org.apache.spark.sql.types.StringType,
-                  org.apache.spark.sql.types.StringType)),
+              toCol(graft.functions.JsonStringMapExpr(toExpr(col("props")))),
               (k, _) => k =!= "t"),
             map(lit("t"), col("event_type"))).as("m"))
         .select(col("event_id"),
