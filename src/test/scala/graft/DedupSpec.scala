@@ -104,6 +104,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(loop == expect)
   }
 
+  test("star-contraction CC: parity with union-find on random graphs, log rounds on chains") {
+    val rnd = new scala.util.Random(11)
+    // random sparse graph: parity with the driver union-find path
+    val edges = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val pairs = edges.toDF("a_id", "b_id")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val uf = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == uf)
+    // the adversarial case the operator exists for: a 500-node chain
+    // (min-label would need 500 rounds; star contraction converges
+    // well inside maxIter and labels every node with the chain head)
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(chain, maxIter = 25)
+      .as[(Long, Long)].collect()
+    assert(got.length == 500 && got.forall(_._2 == 0L),
+      s"chain must collapse to head, got ${got.filter(_._2 != 0L).take(3).toSeq}")
+  }
+
   test("substring dup stats: exact dups fully duplicated, unrelated at zero") {
     val short = "tiny" // below the 40-char window: zero windows, still present
     val d = docs.union(Seq((4L, short, "en", short.length.toLong))
