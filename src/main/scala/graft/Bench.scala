@@ -37,22 +37,32 @@ object Bench {
       }
 
     // best-of-2 per query: single runs show occasional 5-10× GC/IO
-    // outliers on this box; the min reflects steady-state throughput
+    // outliers on this box; the min reflects steady-state throughput.
+    // A failed query is recorded under "errors", NOT as a (tiny) failure
+    // time — 30 instant analysis failures once read as a speedup
+    // (VERDICT r4 §What's wrong #2). Failures are excluded from "total".
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try execute(fn, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          err = Some(Option(e.getMessage).getOrElse(e.toString)
+            .linesIterator.take(3).mkString(" ").take(300))
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => JsonText.str(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      JsonText.str(k) + ":" + JsonText.str(e)
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${ok.size},"failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,10 +37,15 @@ object GraftSession {
     // ObjectHashAggregate (TypedImperativeAggregate: the top-k heap,
     // KLL / HLL sketches) silently degrades to SORT-based aggregation
     // past 128 distinct keys by default — that re-sorts the whole
-    // input stream the bounded-buffer design exists to avoid. Our
-    // object buffers are O(k)/O(sketch) small, so hold the hash path
-    // to far higher group counts (memory: ~buffer_size × keys/task).
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    // input stream the bounded-buffer design exists to avoid. Raise
+    // the fallback, but keep it MEMORY-BOUNDED: worst-case hash-map
+    // footprint ≈ threshold × largest object buffer. Our largest
+    // buffer is the KLL/HLL sketch at ~2 KiB ⇒ 65536 × 2 KiB ≈
+    // 128 MiB per task — safe on a 4 GiB-per-core executor. The old
+    // 4M global would have allowed ~8 GiB/task of sketch buffers
+    // (executor OOM at 100 TB card inalities, r3 ADVICE); past 64k
+    // groups the sort fallback is the correct spill-safe behavior.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. Shuffle partitions = cores:

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixtures
   * (`/root/testdata/sf*`, TESTDATA.md). All scans are plain parquet
@@ -33,13 +34,31 @@ object Tables {
     * GraftExtensions).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    All.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    All.foreach { n =>
+      val df = if (n == "events") eventsRaw(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
-  /** Raw events: `ts` is epoch-nanos LongType (see GraftSession's
-    * `nanosAsLong`). This is the kline-stream stand-in (FIXTURES.md §1).
+  /** Raw events with `ts` normalized to epoch-nanos LongType regardless of
+    * fixture vintage (FIXTURES.md §1, the kline-stream stand-in):
+    *
+    *  - older fixtures carry parquet TIMESTAMP(NANOS), which Spark cannot
+    *    represent as a timestamp — GraftSession's `nanosAsLong` surfaces
+    *    it as epoch-nanos BIGINT already (no-op here);
+    *  - current fixtures carry `timestamp[us]`, read natively as
+    *    TIMESTAMP_NTZ — convert with `unix_micros` (exact integer math;
+    *    NTZ→TIMESTAMP cast is identity under the UTC session timezone)
+    *    and scale to nanos so every downstream `ts div 1000000` /
+    *    `ts div 86400000000000` derivation is vintage-independent.
     */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
 
   /** Events with event-time materialized: epoch-ms long (`ts_ms`, exact
     * integer arithmetic — safe for oracle comparison) and a proper

@@ -450,12 +450,16 @@ object Dedup {
     * closure either way.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val raw = pairs.select(col("a_id").cast("long").as("u"),
+    // node set comes from the UNFILTERED pair list: a node whose only
+    // edge is a self-loop (a_id == b_id) is still a (singleton)
+    // component and must appear in the output labeled by itself —
+    // deriving nodes after the self-loop filter dropped them (r3
+    // ADVICE bug, regression-tested in DedupSpec).
+    val all = pairs.select(col("a_id").cast("long").as("u"),
         col("b_id").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .localCheckpoint()
-    val nodes = raw.select(col("u").as("doc_id"))
-      .union(raw.select(col("v").as("doc_id"))).distinct().localCheckpoint()
+    val raw = all.filter(col("u") =!= col("v")).localCheckpoint()
+    val nodes = all.select(col("u").as("doc_id"))
+      .union(all.select(col("v").as("doc_id"))).distinct().localCheckpoint()
     var edges = raw
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()

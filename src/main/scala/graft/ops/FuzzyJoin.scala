@@ -101,8 +101,12 @@ object FuzzyJoin {
     val out = tpSpread.join(e1, blockNames :+ "_t1")
       .join(e2, blockNames :+ "_t2")
       // same-text groups expand k1×k2 both ways: keep one orientation;
-      // distinct-text pairs appear once per (k1, k2) already
-      .filter(col("_t1") =!= col("_t2") || col("_k1") < col("_k2"))
+      // distinct-text pairs appear once per (k1, k2) already. A key
+      // carrying TWO near-dup texts would otherwise emit a (k,k)
+      // self-pair — meaningless for dedup grouping — so distinct keys
+      // are required outright (r3 ADVICE bug, regression-tested).
+      .filter(col("_k1") =!= col("_k2") &&
+        (col("_t1") =!= col("_t2") || col("_k1") < col("_k2")))
       .select(least(col("_k1"), col("_k2")).as("a_key"),
         greatest(col("_k1"), col("_k2")).as("b_key"), col("dist"))
     (d, tp, out)

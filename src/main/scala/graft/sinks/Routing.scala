@@ -303,12 +303,18 @@ object Routing {
       s"upsertJdbc: keys $keyCols must be a proper subset of $cols")
     val (mergeSql, bindOrder) = upsertStatement(jdbcUrl, table, schema, keyCols)
     // one row per key per batch (see scaladoc) — groupBy treats NULL
-    // keys as equal, matching the MERGE's IS-NOT-DISTINCT-FROM match
+    // keys as equal, matching the MERGE's IS-NOT-DISTINCT-FROM match.
+    // ONE max_by over the packed value struct (not one per column):
+    // per-column max_by could stitch the winner from DIFFERENT rows on
+    // ties, and a bare orderCol ordering left the winner partition-
+    // order-dependent — replay would not converge (r3 ADVICE bug).
+    // Appending the value columns to the ordering makes it total, so
+    // the tie-break is deterministic row content, never arrival order.
     import org.apache.spark.sql.functions.{col, max_by, struct}
-    val ord = orderCol.map(col).getOrElse(struct(valCols.map(col): _*))
+    val ord = struct(orderCol.map(col).toSeq ++ valCols.map(col): _*)
     val oneRow = df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(col(valCols.head), ord).as(valCols.head),
-        valCols.tail.map(c => max_by(col(c), ord).as(c)): _*)
+      .agg(max_by(struct(valCols.map(col): _*), ord).as("_v"))
+      .select(keyCols.map(col) ++ valCols.map(c => col(s"_v.$c").as(c)): _*)
       .select(cols.map(col): _*)
     // co-locate each key in ONE partition: concurrent per-partition
     // transactions merging the same key would race (nondeterministic

@@ -125,6 +125,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"chain must collapse to head, got ${got.filter(_._2 != 0L).take(3).toSeq}")
   }
 
+  test("star-contraction CC: self-loop-only nodes survive as singleton components") {
+    // r3 ADVICE regression: node 7's only edge is (7,7); node 9 has a
+    // self-loop AND a real edge. Both must appear in the output —
+    // the old node-set derivation (post self-loop filter) dropped 7.
+    val pairs = Seq((1L, 2L), (7L, 7L), (9L, 9L), (9L, 3L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 3L -> 3L, 9L -> 3L),
+      s"got $got")
+    // and parity with the union-find path on the same input
+    val uf = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(uf == got)
+  }
+
   test("substring dup stats: exact dups fully duplicated, unrelated at zero") {
     val short = "tiny" // below the 40-char window: zero windows, still present
     val d = docs.union(Seq((4L, short, "en", short.length.toLong))
