@@ -147,13 +147,15 @@ object SparkEntry {
 
     QueryDef("filt_ts_range",
       // the incremental-ETL watermark scan (src_jdbc_pushdown semantics,
-      // /root/reference/spark/streaming-longtime-raw.py:132-137): range
-      // predicate reaches the parquet scan as PushedFilters.
+      // /root/reference/spark/streaming-longtime-raw.py:132-137): the
+      // time bound is applied to the RAW ts via eventsRawSince so it
+      // reaches the parquet scan as PushedFilters (asserted in
+      // PlansSpec) — row-group min/max pruning instead of a full scan.
       Some("""SELECT event_id, epoch_ns(ts)//1000000 AS ts_ms, event_type, value
              |FROM events
              |WHERE epoch_ns(ts)//1000000 >= 1705276800000 AND value > 100.0""".stripMargin),
-      (s, dir) => Tables.eventsRaw(s, dir)
-        .filter(col("ts") >= lit(1705276800000L * 1000000L) && col("value") > 100.0)
+      (s, dir) => Tables.eventsRawSince(s, dir, 1705276800000L * 1000000L)
+        .filter(col("value") > 100.0)
         .select(col("event_id"), expr("ts div 1000000").as("ts_ms"),
           col("event_type"), col("value"))),
 

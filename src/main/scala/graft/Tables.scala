@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixtures
   * (`/root/testdata/sf*`, TESTDATA.md). All scans are plain parquet
@@ -51,13 +51,57 @@ object Tables {
     *    and scale to nanos so every downstream `ts div 1000000` /
     *    `ts div 86400000000000` derivation is vintage-independent.
     */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val df = table(spark, dir, "events")
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"))
+
+  /** The vintage normalization projection alone (no filter). Matches
+    * EXPLICITLY on the two known timestamp vintages and fails loudly
+    * on anything else — a string/double `ts` would otherwise cast to
+    * NULL silently at runtime, and the schema guard in
+    * `FixtureSchemaSpec` does not run in the Verify/Bench entry
+    * points.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df
-      case _ =>
+      case TimestampType | TimestampNTZType =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported dtype $other; expected BIGINT " +
+            "(epoch-nanos vintage) or TIMESTAMP/TIMESTAMP_NTZ (micros vintage)")
     }
+
+  /** [[eventsRaw]] with a lower time bound that REACHES THE PARQUET
+    * SCAN. The normalization projection rewrites `ts`, so a range
+    * predicate on the normalized column is evaluated post-scan — at
+    * 100 TB that is a full scan where row-group min/max pruning should
+    * have skipped nearly everything (the reference pushes the same
+    * watermark bound into its source,
+    * /root/reference/spark/streaming-longtime-raw.py:132-137). Here
+    * the CONSTANT is transposed instead of the column: the epoch-nanos
+    * bound is converted to the fixture's native dtype and applied to
+    * the raw column BEFORE the projection, so it lands in
+    * `PushedFilters` (asserted in PlansSpec). The conversion is exact
+    * and monotonic, so rows are identical to post-filtering.
+    */
+  def eventsRawSince(spark: SparkSession, dir: String, boundNs: Long): DataFrame = {
+    val df = table(spark, dir, "events")
+    val rawBound: Column = df.schema("ts").dataType match {
+      case LongType => lit(boundNs)
+      case TimestampType =>
+        lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(boundNs, 1000000000L), Math.floorMod(boundNs, 1000000000L)))
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(boundNs, 1000000000L), Math.floorMod(boundNs, 1000000000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported dtype $other; expected BIGINT " +
+            "(epoch-nanos vintage) or TIMESTAMP/TIMESTAMP_NTZ (micros vintage)")
+    }
+    normalizeTs(df.filter(col("ts") >= rawBound))
   }
 
   /** Events with event-time materialized: epoch-ms long (`ts_ms`, exact

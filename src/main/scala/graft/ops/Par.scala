@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Stream-side parallelism guard for broadcast-join pipelines.
   *
@@ -14,8 +16,30 @@ import org.apache.spark.sql.DataFrame
   * scoring 8.4→0.7 s, fuzzy-join expansion 85→? s — see call sites).
   */
 object Par {
+
+  /** Scan width estimated from the ANALYZED plan's leaves — no
+    * `df.rdd`, which would force full physical planning eagerly on
+    * every call site (planning each pipeline twice) and hide the
+    * exchange from AQE's view of the plan. A file relation splits
+    * into ~`ceil(bytes / maxPartitionBytes)` tasks (openCostInBytes
+    * makes many-small-files scans wider than this estimate, which
+    * only errs toward a harmless repartition); a LocalRelation is
+    * driver-local (width 1); any other leaf (RDD-backed plans,
+    * streaming sources) is assumed already wide so spread stays a
+    * no-op rather than injecting a shuffle into an unknown plan.
+    */
+  private def estimatedScanWidth(df: DataFrame, assumeWide: Int): Long =
+    df.queryExecution.analyzed.collectLeaves().map {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val maxSplit = math.max(1L, df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
+      case _: LocalRelation => 1L
+      case _ => assumeWide.toLong
+    }.sum
+
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (estimatedScanWidth(df, target) >= target) df else df.repartition(target)
   }
 }
