@@ -43,8 +43,12 @@ object GraftSession {
     // buffer is the KLL/HLL sketch at ~2 KiB ⇒ 65536 × 2 KiB ≈
     // 128 MiB per task — safe on a 4 GiB-per-core executor. The old
     // 4M global would have allowed ~8 GiB/task of sketch buffers
-    // (executor OOM at 100 TB card inalities, r3 ADVICE); past 64k
+    // (executor OOM at 100 TB cardinalities, r3 ADVICE); past 64k
     // groups the sort fallback is the correct spill-safe behavior.
+    // CONSTRAINT on future aggregates: the 128 MiB bound assumes no
+    // object buffer exceeds ~2 KiB — an aggregate carrying a larger
+    // buffer (e.g. a top-k heap with k in the tens of thousands) must
+    // lower this threshold or the bound silently breaks.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     .config("spark.ui.enabled", "false")
 

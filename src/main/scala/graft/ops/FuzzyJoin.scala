@@ -105,7 +105,13 @@ object FuzzyJoin {
       // carrying TWO near-dup texts would otherwise emit a (k,k)
       // self-pair — meaningless for dedup grouping — so distinct keys
       // are required outright (r3 ADVICE bug, regression-tested).
-      .filter(col("_k1") =!= col("_k2") &&
+      // Null-SAFE inequality: a plain =!= is NULL for NULL keys and
+      // would silently drop NULL-keyed pairs that previously survived
+      // via _t1 =!= _t2 (r5 ADVICE). NULL-keyed SAME-text pairs are
+      // still dropped (_k1 < _k2 is NULL) — orientation is undefined
+      // without a comparable key, so callers wanting those must
+      // pre-assign surrogate keys.
+      .filter(!(col("_k1") <=> col("_k2")) &&
         (col("_t1") =!= col("_t2") || col("_k1") < col("_k2")))
       .select(least(col("_k1"), col("_k2")).as("a_key"),
         greatest(col("_k1"), col("_k2")).as("b_key"), col("dist"))
