@@ -524,6 +524,72 @@ object Dedup {
     * decomposition is for the shuffle-join regime, where label
     * blocks outgrow the broadcast threshold.)
     */
+  /** Banded sign-LSH near-dup pairs — the SCALE path ([[embeddingNearDups]]
+    * is quadratic within its blocking key, VERDICT r5 #2: 15.9× time at
+    * 5× data). Candidate blocks here are LSH buckets bounded BY DESIGN:
+    * a 64-dim sign sketch (`bands` × `bitsPerBand` fixed random
+    * hyperplanes, deterministic given `seed`) is split into bands, and
+    * two vectors are candidates iff they collide in AT LEAST ONE band
+    * — the classic MinHash-LSH banding scheme transplanted to
+    * random-hyperplane signatures. Per-band bucket count is
+    * 2^bitsPerBand, so sizing `bitsPerBand ≈ log2(n / targetBucketRows)`
+    * keeps buckets ~constant as the corpus grows and total candidate
+    * work LINEAR in n; the defaults (8 bands × 4 bits) suit 10³–10⁴
+    * rows. Recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^bands —
+    * ≥ 99 % for cosine ≥ 0.9 at the defaults — and the rule is exactly
+    * replicable in SQL (the oracle recomputes signatures from the same
+    * hyperplane literals), so the catalog gate is a hash match, not a
+    * recall bound.
+    *
+    * Shape at 100 TB: one linear projection pass computes the
+    * signature (bands·bits·dim fused multiply-adds inside codegen),
+    * the explode emits `bands` small rows per vector (ids + sig, NOT
+    * the embedding — the vectors rejoin by id after the candidate set
+    * is deduped), and candidates come from a shuffle equi-join on the
+    * band key. No broadcast assumption, no per-label quadratic blocks.
+    */
+  def embeddingNearDupsAnn(embeddings: DataFrame, threshold: Double = 0.5,
+                           bands: Int = 8, bitsPerBand: Int = 4,
+                           seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(bands * bitsPerBand <= 62, s"signature must fit a BIGINT: $bands×$bitsPerBand")
+    val dim = 64
+    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim, seed)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(col("embedding"), array(p.map(lit): _*)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mask = (1L << bitsPerBand) - 1
+    // zero-norm vectors are excluded: cosine is 0/0 = NaN, and BOTH
+    // engines treat NaN as greater than any real in comparisons, so a
+    // garbage vector would pair with everything it collides with
+    val base = embeddings
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .withColumn("sig", sig)
+    // band id folded into the join key (high bits) so the candidate
+    // join is a single-column equi-join
+    val banded = base.select(col("vec_id"),
+      explode(array((0 until bands).map { b =>
+        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)) +
+          lit(b.toLong << bitsPerBand)
+      }: _*)).as("bkey"))
+    val cand = Par.spread(banded.select(col("vec_id").as("a_id"), col("bkey")))
+      .join(banded.select(col("vec_id").as("b_id"), col("bkey")), Seq("bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct() // a pair may collide in >1 band
+    val emb = base.select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), Seq("b_id"))
+      .withColumn("cosine",
+        dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.5,
                         parallelism: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._

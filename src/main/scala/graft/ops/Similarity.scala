@@ -257,6 +257,17 @@ object Similarity {
     */
   def buildLshIndex(corpus: DataFrame, table: String, nBits: Int = 8,
                     dim: Int = 64, seed: Long = 42L, buckets: Int = 32): Unit = {
+    // Rebuild must be idempotent across JVMs: a fresh session's
+    // metastore does not know the table, but the managed location may
+    // survive on disk from a previous run and saveAsTable refuses to
+    // adopt a non-empty location (LOCATION_ALREADY_EXISTS). Drop both
+    // the catalog entry and any orphaned directory first.
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"))

@@ -248,4 +248,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     assert(pairs.head._3 == 1.0)
   }
+
+  test("ANN embedding near-dups: recovers every planted dup, subset of exact") {
+    // 150 random 64-dim vectors + 30 perturbed copies (cosine ≈ 1).
+    // At threshold 0.9 no random pair qualifies (cosine ~ N(0, 1/64),
+    // 0.9 is >7σ), so the exact pair set IS the planted set — and the
+    // banded sign-LSH misses a cosine≈1 pair with probability ~1e-14
+    // per band^8, so ANN must recover all of them.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 150).map(i => (i.toLong, vec()))
+    val dups = (0 until 30).map { i =>
+      val (id, v) = bases(i)
+      (1000L + id, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val ann = Dedup.embeddingNearDupsAnn(emb, threshold = 0.9)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    val exact = Dedup.embeddingNearDups(
+      emb.withColumn("label", org.apache.spark.sql.functions.lit(0)),
+        threshold = 0.9)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    val annSet = ann.map(p => (p._1, p._2)).toSet
+    val exactSet = exact.map(p => (p._1, p._2)).toSet
+    assert(annSet.subsetOf(exactSet), "ANN emitted a pair brute force did not")
+    assert(exactSet == (0 until 30).map(i => (i.toLong, 1000L + i)).toSet)
+    assert(annSet == exactSet, "ANN missed a planted near-dup")
+    // verified cosines agree bit-for-bit with the exact path
+    assert(ann.toSet.subsetOf(exact.toSet))
+  }
 }

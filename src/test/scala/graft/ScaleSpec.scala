@@ -125,9 +125,12 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   ext_sim_topk  — brute-force ANN baseline IS all-pairs: the
     //                   query set broadcasts against the corpus (the
     //                   scale path is ext_sim_lsh / ext_sim_ivf);
-    //   ext_sim_ivf   — query→nearest-centroid assignment crosses
-    //                   |queries| × |centroids| (both small); corpus
-    //                   probing is the equi-join on cell id.
+    //   ext_sim_ivf / ext_sim_ivf_indexed — query→nearest-centroid
+    //                   assignment crosses |queries| × |centroids|
+    //                   (both small) and the recall gate embeds the
+    //                   brute-force baseline; corpus probing is the
+    //                   equi-join on cell id (indexed: partition-
+    //                   pruned scan).
     //   ts_gap_fill / ts_interpolate — spine construction crosses the
     //                   distinct key set with ONE broadcast min/max
     //                   bounds row;
@@ -141,8 +144,8 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //                   as ONE broadcast row (same bounded shape as
     //                   ext_tfidf's corpus-size N).
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
-      "ts_gap_fill", "ts_interpolate", "ext_tfidf", "agg_heavy_hitters",
-      "ext_lm_quality_tiers")
+      "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
+      "agg_heavy_hitters", "ext_lm_quality_tiers")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
