@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -188,7 +188,8 @@ private class KlineScan(options: CaseInsensitiveStringMap,
   * overlapping-fetch duplicates to scrub downstream.
   */
 private class KlineMicroBatchStream(options: CaseInsensitiveStringMap,
-    required: StructType) extends MicroBatchStream with SupportsAdmissionControl {
+    required: StructType) extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val coins = options.getOrDefault("coins", "BTC,ETH,BNB,SOL")
     .split(",").map(_.trim).filter(_.nonEmpty)
@@ -216,6 +217,18 @@ private class KlineMicroBatchStream(options: CaseInsensitiveStringMap,
     KlineOffset(math.min(maxRows, s + pollRows))
   }
   override def reportLatestOffset(): Offset = KlineOffset(maxRows)
+
+  // Trigger.AvailableNow: without this marker Spark silently falls
+  // back to SINGLE-batch execution ("does not support
+  // Trigger.AvailableNow" warning) — the admission-controlled
+  // micro-batch loop never runs. The drain target here is static
+  // (`rows`, fixed at construction), so prepare has nothing to
+  // snapshot; latestOffset keeps admitting pollRows per trigger until
+  // it reaches maxRows and the engine stops. A `rows`-unbounded
+  // stream must not use AvailableNow (it would never drain) — that is
+  // the poll-forever deployment shape, which runs the default
+  // processing-time trigger.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KlineOffset].idx

@@ -87,9 +87,9 @@ def main(sf, outdir):
     names = [f"{a} {n}" for a in ADJ for n in NOUN]
     write(outdir, "part", pa.table({
         "p_partkey": np.arange(n_part, dtype=np.int64),
-        "p_name": [names[i] for i in rng.randint(0, 64, n_part)],
-        "p_brand": [f"Brand#{i}" for i in rng.randint(0, 25, n_part)],
-        "p_type": [PTYPE[i] for i in rng.randint(0, 6, n_part)],
+        "p_name": np.array(names)[rng.randint(0, 64, n_part)],
+        "p_brand": np.array([f"Brand#{i}" for i in range(25)])[rng.randint(0, 25, n_part)],
+        "p_type": np.array(PTYPE)[rng.randint(0, 6, n_part)],
         "p_size": rng.randint(1, 51, n_part).astype(np.int32),
         "p_retailprice": 900.0 + (np.arange(n_part) % 1000) / 10.0}))
 
@@ -97,10 +97,10 @@ def main(sf, outdir):
     write(outdir, "orders", pa.table({
         "o_orderkey": np.arange(n_ord, dtype=np.int64),
         "o_custkey": rng.randint(0, n_cust, n_ord).astype(np.int64),
-        "o_orderstatus": [("O", "P", "F")[i] for i in rng.randint(0, 3, n_ord)],
+        "o_orderstatus": np.array(["O", "P", "F"])[rng.randint(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": pa.array(odate.astype("datetime64[ms]")),
-        "o_orderpriority": [PRIO[i] for i in rng.randint(0, 5, n_ord)]}))
+        "o_orderpriority": np.array(PRIO)[rng.randint(0, 5, n_ord)]}))
 
     sdate = (EPOCH_1995 + rng.randint(1, 2500, n_li).astype("timedelta64[D]"))
     write(outdir, "lineitem", pa.table({
@@ -112,8 +112,11 @@ def main(sf, outdir):
         "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
         "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
         "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
-        "l_returnflag": [("A", "N", "R")[i] for i in rng.randint(0, 3, n_li)],
-        "l_linestatus": [("O", "F")[i] for i in rng.randint(0, 2, n_li)],
+        # vectorized vocab indexing: list comprehensions at sf25's 150M
+        # rows cost minutes and gigabytes each; numpy fancy-indexing is
+        # draw-order-identical (same rng calls, same values)
+        "l_returnflag": np.array(["A", "N", "R"])[rng.randint(0, 3, n_li)],
+        "l_linestatus": np.array(["O", "F"])[rng.randint(0, 2, n_li)],
         "l_shipdate": pa.array(sdate.astype("datetime64[ms]"))}))
 
     n_users = max(15, int(round(n_evt * 0.015)))
@@ -123,9 +126,10 @@ def main(sf, outdir):
         "event_id": np.arange(n_evt, dtype=np.int64),
         "ts": pa.array(ts, type=pa.timestamp("ns")),
         "user_id": rng.randint(0, n_users, n_evt).astype(np.int64),
-        "event_type": [ETYPE[i] for i in rng.randint(0, 5, n_evt)],
+        "event_type": np.array(ETYPE)[rng.randint(0, 5, n_evt)],
         "value": np.round(rng.exponential(50.0, n_evt), 2),
-        "props": [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_evt)]}))
+        "props": np.array([json.dumps({"k": k}) for k in range(100)])[
+            rng.randint(0, 100, n_evt)]}))
 
     # documents: word salad over the 31-word vocab; 40% en / 15% each other
     lens = rng.randint(10, 101, n_doc)
