@@ -104,8 +104,13 @@ object SparkEntry {
     * signatures, and the exact-cosine verify matches
     * `ext_dedup_embedding`'s arithmetic. Deterministic end-to-end, so
     * the gate is a hash match. */
-  private lazy val EmbAnnOracleSql: String = {
-    val bands = 8; val bits = 4
+  private lazy val EmbAnnOracleSql: String = embAnnOracleSql(8, 4)
+
+  /** Parameterized so the scale sweeps (tools.AnnProbe) can emit the
+    * matching oracle for the adaptive choice at sf1/sf5 (7–10 bits),
+    * while the catalog pins the gate-scale choice (8 bands × 4 bits —
+    * what [[graft.ops.Dedup.annParams]] resolves to at ≤2000 rows). */
+  private[graft] def embAnnOracleSql(bands: Int, bits: Int): String = {
     val planes = Similarity.hyperplanes(bands * bits, 64, 42L)
     def dotSql(p: Array[Double]) =
       s"""list_reduce(list_prepend(0.0, list_transform(
@@ -1664,13 +1669,15 @@ object SparkEntry {
 
     QueryDef("ext_dedup_embedding_ann",
       // the scale path for embedding near-dup: banded sign-LSH
-      // blocking (buckets bounded by design — sizing bitsPerBand with
+      // blocking (buckets bounded by design — bitsPerBand sized from
       // log2(n) keeps candidate work linear) instead of the fixture
       // label. Exact-replication oracle: DuckDB recomputes the same
-      // signatures from the same hyperplane literals.
+      // signatures from the same hyperplane literals. The adaptive
+      // sizing resolves to the oracle's pinned (8 bands × 4 bits) at
+      // both gate scales (500 / 2000 rows; CatalogSpec asserts it).
       Some(EmbAnnOracleSql),
-      (s, dir) => Dedup.embeddingNearDupsAnn(Tables.embeddings(s, dir),
-        threshold = 0.35, bands = 8, bitsPerBand = 4)),
+      (s, dir) => Dedup.embeddingNearDupsAnnAdaptive(Tables.embeddings(s, dir),
+        threshold = 0.35)),
 
     // ---- north-star: similarity search (§2.11) ---- //
 

@@ -35,6 +35,13 @@ object VectorFunctions {
   /** ‖a‖₂ with double accumulation. */
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Random-hyperplane sign signature as a BIGINT (bit i ⇔
+    * planes(i)·a ≥ 0); fused codegen loop, see [[SignBandsExpr]]. */
+  def signBands(a: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SignBandsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(a), planes))
+
   /** cos(a,b) = a·b / (‖a‖·‖b‖). */
   def cosineD(a: Column, b: Column): Column =
     dotD(a, b) / (normD(a) * normD(b))

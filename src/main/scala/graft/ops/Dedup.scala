@@ -548,46 +548,98 @@ object Dedup {
     * is deduped), and candidates come from a shuffle equi-join on the
     * band key. No broadcast assumption, no per-label quadratic blocks.
     */
+  /** Adaptive parameter choice: per-band bucket count 2^bits sized so
+    * buckets hold ~`targetBucket` rows — the knob that keeps candidate
+    * work LINEAR as the corpus grows (bits ∝ log2 n ⇒ bucket size
+    * bounded ⇒ candidates ≈ bands·n·targetBucket/2). Bands shrink as
+    * bits grow to keep the signature inside a BIGINT; recall for a
+    * fixed cosine decays slowly with scale (p_band = p_bit^bits) — at
+    * 100 TB raise recall with several independent signatures (seeds)
+    * unioned, same shape. Deterministic from (n, targetBucket) so the
+    * SQL oracle can reproduce the exact choice.
+    */
+  private[graft] def annParams(n: Long, targetBucket: Int = 180): (Int, Int) = {
+    val bits = math.min(12, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    (math.min(8, 62 / bits), bits)
+  }
+
+  /** [[embeddingNearDupsAnn]] with bands/bits sized from the corpus
+    * row count (one metadata-cheap count pass; see [[annParams]]). At
+    * the correctness-gate scales (≤ 2000 rows) this resolves to the
+    * static (8 bands × 4 bits) the catalog oracle pins. */
+  def embeddingNearDupsAnnAdaptive(embeddings: DataFrame, threshold: Double = 0.5,
+                                   targetBucket: Int = 180,
+                                   seed: Long = 42L): DataFrame = {
+    val (bands, bits) = annParams(embeddings.count(), targetBucket)
+    embeddingNearDupsAnn(embeddings, threshold, bands, bits, seed)
+  }
+
   def embeddingNearDupsAnn(embeddings: DataFrame, threshold: Double = 0.5,
                            bands: Int = 8, bitsPerBand: Int = 4,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L, dedup: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions._
     require(bands * bitsPerBand <= 62, s"signature must fit a BIGINT: $bands×$bitsPerBand")
     val dim = 64
     val planes = Similarity.hyperplanes(bands * bitsPerBand, dim, seed)
-    val sig = planes.zipWithIndex.map { case (p, i) =>
-      when(dotD(col("embedding"), array(p.map(lit): _*)) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    // fused sign-signature expression (one primitive loop nest), NOT
+    // a sum of per-plane when(dotD(...)>=0) columns: the composed form
+    // walks a boxed constant array per plane and measured ~100× slower
+    // — the signature pass, not the candidate join, dominated the
+    // near-dup wall clock. Math is identical (left-to-right double
+    // dots), so the DuckDB oracle is unchanged.
+    val sig = graft.functions.VectorFunctions.signBands(col("embedding"), planes)
     val mask = (1L << bitsPerBand) - 1
     // zero-norm vectors are excluded: cosine is 0/0 = NaN, and BOTH
     // engines treat NaN as greater than any real in comparisons, so a
-    // garbage vector would pair with everything it collides with
-    val base = embeddings
+    // garbage vector would pair with everything it collides with.
+    // Par.spread first: the signature pass runs at scan width, and a
+    // bench-sized parquet corpus scans as 1-2 splits — at real scale
+    // the scan is already wide and spread is a no-op.
+    val base = Par.spread(embeddings)
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
       .withColumn("sig", sig)
     // band id folded into the join key (high bits) so the candidate
-    // join is a single-column equi-join
-    val banded = base.select(col("vec_id"),
+    // join is a single-column equi-join. Both sides CARRY their
+    // embedding through the join and every candidate is scored as it
+    // streams out of the join in codegen — total shuffle is
+    // O(bands·n) corpus-sized rows, independent of the candidate
+    // count. (The dedup-candidates-then-join-the-vectors-back shape
+    // was measured 6.9× slower at sf5: it shuffles the CANDIDATE
+    // stream twice — once for the pair distinct, twice to rejoin the
+    // vectors by id — and the rejoin falls off broadcast onto
+    // sort-merge exactly when the corpus outgrows the broadcast
+    // threshold, i.e. exactly when performance matters.)
+    val banded = base.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until bands).map { b =>
         shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)) +
           lit(b.toLong << bitsPerBand)
       }: _*)).as("bkey"))
-    val cand = Par.spread(banded.select(col("vec_id").as("a_id"), col("bkey")))
-      .join(banded.select(col("vec_id").as("b_id"), col("bkey")), Seq("bkey"))
+    // EXPLICIT numbered repartition on the join key, not Par.spread:
+    // AQE's coalescing sees only the (small, corpus-sized) exchange
+    // bytes and is blind to the ~bucket² pair fan-out INSIDE the join
+    // — it squeezed the whole enumeration onto 1-3 cores (the same
+    // failure mode as the fuzzy-join expansion, SCALE.md r3 #3). A
+    // numbered repartition is preserved by AQE, and hash-partitioning
+    // both sides on the join key means the join reuses these
+    // exchanges directly.
+    val nParts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    banded.select(col("bkey"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .repartition(nParts, col("bkey"))
+      .join(banded.select(col("bkey"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+        .repartition(nParts, col("bkey")), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct() // a pair may collide in >1 band
-    val emb = base.select(col("vec_id"), col("embedding"), col("nrm"))
-    cand
-      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("nrm").as("a_nrm")), Seq("a_id"))
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("nrm").as("b_nrm")), Seq("b_id"))
       .withColumn("cosine",
         dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine")) match {
+      // a pair collides in >1 band ~20% of the time: dedup AFTER the
+      // threshold filter, when the stream has already shrunk by ~30×
+      case out => if (dedup) out.distinct() else out
+    }
   }
 
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.5,

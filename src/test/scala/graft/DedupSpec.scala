@@ -277,4 +277,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // verified cosines agree bit-for-bit with the exact path
     assert(ann.toSet.subsetOf(exact.toSet))
   }
+
+  test("ANN adaptive sizing pins the gate-scale choice and scales bits with n") {
+    // the catalog oracle hardcodes (8 bands × 4 bits): the adaptive
+    // choice MUST resolve to exactly that at both driver gate scales
+    // (500 rows at sf0.01, 2000 at sf0.1) or the hash match breaks
+    assert(Dedup.annParams(500) == ((8, 4)))
+    assert(Dedup.annParams(2000) == ((8, 4)))
+    // scale path: buckets stay ~targetBucket-sized as n grows
+    assert(Dedup.annParams(20000) == ((8, 7)))   // sf1
+    assert(Dedup.annParams(100000) == ((6, 10))) // sf5
+    assert(Dedup.annParams(500000) == ((5, 12))) // sf25
+    // signature always fits a BIGINT
+    for (n <- Seq(1L, 100L, 10000L, 1000000L, 100000000L)) {
+      val (bands, bits) = Dedup.annParams(n)
+      assert(bands * bits <= 62)
+    }
+  }
 }

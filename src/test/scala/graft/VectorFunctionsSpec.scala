@@ -22,6 +22,27 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("signBands == the composed per-plane when(dot>=0) form, bit-exact") {
+    // the fused signature expression must agree with the formulation
+    // the DuckDB oracle replicates (Σᵢ CASE WHEN planeᵢ·x >= 0) on the
+    // real fixture — including zero vectors (dot 0 >= 0 sets the bit)
+    val planes = graft.ops.Similarity.hyperplanes(56, 64, 42L)
+    val composed = planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(col("embedding"), array(p.map(lit): _*)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val diff = emb.select(signBands(col("embedding"), planes).as("a"),
+        composed.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+    // interpreted eval path (LocalRelation folds eagerly) agrees too
+    val local = Seq(Tuple1(Array.fill(64)(0.25f))).toDF("embedding")
+    val row = local.select(signBands(col("embedding"), planes).as("a"),
+      composed.as("b")).head()
+    assert(row.getLong(0) == row.getLong(1))
+  }
+
   test("dot handles known values, null array, length mismatch") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
