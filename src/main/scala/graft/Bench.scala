@@ -14,6 +14,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // attempts per query (driver default 2 = best-of-2); the big
+    // scale sweeps (sf25) run 1 to keep the wall clock sane
+    val attempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
     // optional args: only bench queries whose name contains any of the
     // comma-separated substrings (driver passes none → full catalog)
     val nameFilters = args.lift(0).getOrElse("").split(',').toSeq
@@ -62,8 +65,8 @@ object Bench {
           None
         }
       }
-      var times = Seq(attempt(), attempt()).flatten
-      if (times.size == 2 && times.max / times.min > 3.0)
+      var times = (1 to attempts).flatMap(_ => attempt())
+      if (attempts > 1 && times.size == attempts && times.max / times.min > 3.0)
         times ++= attempt()
       (name, times.minOption, err)
     }

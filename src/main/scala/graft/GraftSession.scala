@@ -50,6 +50,13 @@ object GraftSession {
     // buffer (e.g. a top-k heap with k in the tens of thousands) must
     // lower this threshold or the bound silently breaks.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // Recursive-CTE working sets scale with the data: the 1M-row
+    // default safety valve fails sql_recursive_cte at sf25 (6-level
+    // order-chain expansion over 37.5M orders). 100M rows ≈ a few GiB
+    // of intermediate state — a deliberate engine-level ceiling, high
+    // enough for the catalog's recursions at any tested scale, still
+    // finite so a runaway recursion cannot eat the cluster.
+    .config("spark.sql.cteRecursionRowLimit", "100000000")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. Shuffle partitions = cores:

@@ -64,7 +64,15 @@ object SparkEntry {
     * the same left-to-right double dot product, and the multiprobe
     * rule "candidate shares bucket sig⊕m for some popcount(m)≤2"
     * reduces to hamming(q.sig, c.sig) ≤ 2. */
-  private lazy val LshTopkOracleSql: String = {
+  private lazy val LshTopkOracleSql: String = lshTopkOracleSql("q.vec_id % 50 = 0")
+
+  /** The indexed variant bounds its query set (`ext_sim_lsh_indexed`
+    * is the POINT-LOOKUP path — its probe set collects to the driver
+    * under the `maxProbe` contract, and an unbounded `% 50` slice
+    * outgrows that exactly at the scale where the guard matters; at
+    * sf25 the unbounded set tripped it, by design). The bound is a
+    * no-op at every gate scale (all vec_ids < 100000 below sf5). */
+  private def lshTopkOracleSql(queryPred: String): String = {
     val planes = Similarity.hyperplanes(nBits = 8, dim = 64, seed = 42L)
     def dotSql(p: Array[Double]) =
       s"""list_reduce(list_prepend(0.0, list_transform(
@@ -88,7 +96,7 @@ object SparkEntry {
        |                 list_transform(list_zip(q.emb, c.emb), p -> p[1]*p[2])),
        |               (a,b) -> a+b) / (q.nrm * c.nrm), 6) AS cosine
        |  FROM n q JOIN n c
-       |    ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+       |    ON $queryPred AND c.vec_id <> q.vec_id
        |   AND bit_count(xor(q.sig, c.sig)) <= 2)
        |SELECT * FROM (
        |  SELECT q_id, c_id, cosine,
@@ -1756,7 +1764,12 @@ object SparkEntry {
       // join-form ext_sim_lsh by construction, so it shares that
       // query's exact-replication oracle: the gate proves the indexed
       // read-back path agrees with DuckDB's from-scratch computation.
-      Some(LshTopkOracleSql),
+      // Query set additionally bounded to vec_id < 100000 (a no-op at
+      // gate scales): this is the point-lookup path whose probe set
+      // collects under the maxProbe contract — an unbounded query
+      // slice is lshTopK's job, and the guard correctly refused it at
+      // sf25.
+      Some(lshTopkOracleSql("q.vec_id % 50 = 0 AND q.vec_id < 100000")),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val table = "graft_lsh_idx_" + idxSuffix(dir)
@@ -1765,7 +1778,8 @@ object SparkEntry {
             seed = 42L, buckets = 32)
         }
         Similarity.lshIndexedTopK(s, table,
-            emb.filter(col("vec_id") % 50 === 0), k = 10)
+            emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 100000L),
+            k = 10)
           .withColumn("rnk", col("rnk").cast("long"))
       }),
 

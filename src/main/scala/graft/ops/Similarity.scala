@@ -191,12 +191,14 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-sketch signature of the embedding column as an int bucket id. */
+  /** Sign-sketch signature of the embedding column as an int bucket
+    * id — the fused [[graft.functions.SignBandsExpr]] loop (the
+    * composed per-plane `when(dot>=0)` spelling walks a boxed
+    * constant array per plane and measurably dominates corpus-side
+    * signing; the fused form is bit-identical, so the DuckDB
+    * hyperplane-literal oracles are unchanged). */
   private def signature(emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]) =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = dotD(emb, array(p.map(lit): _*))
-      when(proj >= 0, lit(1 << i)).otherwise(0)
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.signBands(emb, planes).cast("int")
 
   /** Approximate top-k: candidates share the query's LSH bucket
     * (multi-probed with every signature within `probeDist` bit flips
