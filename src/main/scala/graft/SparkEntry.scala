@@ -1682,7 +1682,7 @@ object SparkEntry {
       // label. Exact-replication oracle: DuckDB recomputes the same
       // signatures from the same hyperplane literals. The adaptive
       // sizing resolves to the oracle's pinned (8 bands × 4 bits) at
-      // both gate scales (500 / 2000 rows; CatalogSpec asserts it).
+      // both gate scales (500 / 2000 rows; DedupSpec pins the mapping).
       Some(EmbAnnOracleSql),
       (s, dir) => Dedup.embeddingNearDupsAnnAdaptive(Tables.embeddings(s, dir),
         threshold = 0.35)),

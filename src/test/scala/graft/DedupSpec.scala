@@ -278,6 +278,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ann.toSet.subsetOf(exact.toSet))
   }
 
+  test("multi-seed ANN union amplifies recall at high-bits banding") {
+    // at 5 bands × 12 bits a cosine≈0.92 pair survives a band only
+    // with p≈0.87^12≈0.19 → single-seed recall ≈ 0.65; three
+    // independent signatures → ≈ 0.96. Deterministic (fixed seeds),
+    // so the measured counts are stable.
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = (0 until 40).map { i =>
+      val (id, v) = bases(i)
+      (2000L + id, v.map(x => x + 0.43f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = (0 until 40).map(i => (i.toLong, 2000L + i)).toSet
+    val single = pairs(Dedup.embeddingNearDupsAnn(emb, 0.8, bands = 5, bitsPerBand = 12))
+    val multi = pairs(Dedup.embeddingNearDupsAnnMulti(emb, 0.8, bands = 5,
+      bitsPerBand = 12, nSeeds = 3))
+    val exact = pairs(Dedup.embeddingNearDups(
+      emb.withColumn("label", org.apache.spark.sql.functions.lit(0)), 0.8))
+    assert(single.subsetOf(multi), "union must contain every single-seed pair")
+    assert(multi.subsetOf(exact), "ANN must never emit a non-near-dup pair")
+    val (rs, rm) = ((single & planted).size, (multi & planted).size)
+    assert(rm > rs, s"multi-seed recall ($rm/40) must beat single-seed ($rs/40)")
+    assert(rm >= 35, s"3-seed recall too low: $rm/40")
+  }
+
   test("ANN adaptive sizing pins the gate-scale choice and scales bits with n") {
     // the catalog oracle hardcodes (8 bands × 4 bits): the adaptive
     // choice MUST resolve to exactly that at both driver gate scales
