@@ -18,9 +18,14 @@ object Bench {
     // scale sweeps (sf25) run 1 to keep the wall clock sane
     val attempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
     // optional args: only bench queries whose name contains any of the
-    // comma-separated substrings (driver passes none → full catalog)
+    // comma-separated substrings (driver passes none → full catalog);
+    // SPARK_GRAFT_BENCH_EXCLUDE drops exact names (scale sweeps skip
+    // the documented quadratic-by-contract queries already recorded)
     val nameFilters = args.lift(0).getOrElse("").split(',').toSeq
-    def selected = SparkEntry.queries.filter(q => nameFilters.exists(q._1.contains))
+    val excluded = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
+      .split(',').filter(_.nonEmpty).toSet
+    def selected = SparkEntry.queries.filter(q =>
+      nameFilters.exists(q._1.contains) && !excluded(q._1))
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
