@@ -36,6 +36,16 @@ class FixtureSchemaSpec extends AnyFunSuite with SparkTestBase {
     val ms = Tables.events(spark, tmp).select("ts_ms").as[Long](spark.implicits.newLongEncoder)
       .collect().sorted
     assert(ms.head == 1705276800000L && ms.length == 3)
+
+    // the BOUNDED loader (the pushdown-eligible watermark scan) agrees
+    // with post-filtering on BOTH vintages too — a vintage flip must
+    // not silently change which rows a time bound admits
+    val bound = 1705276800000L * 1000000L + 1500000000L // mid second row
+    for (d <- Seq(dir, tmp)) {
+      val got = Tables.eventsRawSince(spark, d, bound).count()
+      val want = Tables.eventsRaw(spark, d).filter(col("ts") >= bound).count()
+      assert(got == want, s"eventsRawSince drifted from post-filter in $d")
+    }
   }
 
   test("events derived columns analyze and agree: ts_ms, event_ts, day bucket") {
