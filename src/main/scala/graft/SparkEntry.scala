@@ -2253,6 +2253,46 @@ object SparkEntry {
         corpus.join(bad, Seq("doc_id"), "left_anti").select("doc_id", "source")
       }),
 
+    QueryDef("ext_decontaminate_bloom",
+      // the 100 TB shape of decontamination: when the held-out shingle
+      // SET outgrows broadcast, its BLOOM FILTER still broadcasts
+      // (~1.2 bytes/key at 1% FP vs ≥50 bytes/key for the string set).
+      // The bloom prunes ~99% of corpus shingles scan-side BEFORE the
+      // exact verify semi-join, so the join input is candidate
+      // survivors only; the exact join then removes bloom false
+      // positives, making the output bit-identical to the unfiltered
+      // plan — hence the oracle is the same SQL as ext_decontaminate.
+      Some("""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT doc_id, source, array_to_string(ts[i:i+4], ' ') AS g
+             |       FROM tok, unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)),
+             |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+             |bad AS (SELECT DISTINCT doc_id FROM sh
+             |        WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+             |SELECT doc_id, source FROM documents
+             |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def shingles(df: DataFrame) = df
+          .withColumn("ts", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            "transform(if(size(ts) >= 5, sequence(1, size(ts) - 4), array()), " +
+              "i -> concat_ws(' ', slice(ts, i, 5)))")).as("g"))
+        val bench = shingles(docs.filter(col("source") === "src0"))
+          .select("g").distinct()
+        // distributed bloom build over the shingle hashes; the count is
+        // one agg over the (small) held-out side and sizes the bitset
+        val benchHashes = bench.select(xxhash64(col("g")).as("h"))
+        val blob = graft.functions.Bloom.build(
+          benchHashes, "h", benchHashes.count(), fpp = 0.01)
+        val corpus = docs.filter(col("source") =!= "src0")
+        val candidates = shingles(corpus)
+          .filter(graft.functions.Bloom.mightContain(blob, xxhash64(col("g"))))
+        val bad = candidates
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        corpus.join(bad, Seq("doc_id"), "left_anti").select("doc_id", "source")
+      }),
+
     QueryDef("ext_expectations",
       // declarative data-quality expectations: each rule is a
       // conditional count folded into ONE scan (single agg row,
