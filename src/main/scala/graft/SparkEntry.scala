@@ -1328,6 +1328,29 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .select("keep_id", "n_dups", "text")),
 
+    QueryDef("ext_dedup_incremental",
+      // the production ingest shape: dedup an incoming batch (odd
+      // doc_ids stand in for it) against the standing corpus (even
+      // doc_ids) WITHOUT re-deduplicating the corpus — broadcast
+      // Bloom over the corpus fingerprints prunes the batch to
+      // candidates, an exact anti-join confirms; bit-identical to the
+      // naive anti-join this oracle states (Dedup.incrementalExact).
+      Some("""WITH batch AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1),
+             |firsts AS (SELECT doc_id, text, source FROM (
+             |  SELECT doc_id, text, source,
+             |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM batch) WHERE rn = 1)
+             |SELECT f.doc_id, f.source FROM firsts f
+             |WHERE f.text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "source")
+        Dedup.incrementalExact(corpus, batch, "text", "doc_id")
+          .select("doc_id", "source")
+      }),
+
     QueryDef("ext_dedup_ngram",
       Some("""WITH base AS (
              |  SELECT doc_id, lang, n_chars // 20 AS len_bkt,

@@ -38,6 +38,48 @@ object Dedup {
             org.apache.spark.sql.functions.xxhash64(df.columns.map(col): _*))))
       .filter(col("_rn") === 1).drop("_rn")
 
+  /** Incremental exact dedup: admit the rows of an incoming `batch`
+    * that are (a) the first occurrence of their key within the batch
+    * and (b) not already present in the standing `corpus` — WITHOUT
+    * re-deduplicating the corpus.
+    *
+    * This is the production shape at 100 TB: the corpus is not
+    * rescanned per ingest; a fingerprint index over it is maintained
+    * once (in deployment: persisted bucketed by fingerprint via
+    * `Routing.writeBucketed`, so the confirm join below is
+    * co-partitioned and shuffle-free on the corpus side; here it is
+    * derived inline from the corpus frame). The batch probes the
+    * corpus in two tiers:
+    *
+    *  1. a broadcast Bloom filter over the corpus fingerprints
+    *     (~1.2 bytes/key at 1% FP — broadcastable long after the
+    *     exact fingerprint set is not). No false negatives, so a
+    *     bloom-negative batch row is DEFINITELY new and skips the
+    *     join entirely;
+    *  2. bloom-positive rows (true dups + ~1% FP) anti-join the
+    *     corpus on (fingerprint, key) — exact, collision-proof, and
+    *     sized by the candidate set, not the batch.
+    *
+    * Output = definitely-new ∪ confirmed-new, bit-identical to the
+    * naive batch-anti-join-corpus plan.
+    */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame, key: String,
+                       tiebreaker: String, fpp: Double = 0.01): DataFrame = {
+    val fp = xxhash64(col(key))
+    // non-distinct build: the bloom dedups bit-wise, and corpus row
+    // count (cheap: parquet count-star) upper-bounds the sizing
+    val blob = graft.functions.Bloom.build(
+      corpus.select(fp.as("_fp")), "_fp", corpus.count(), fpp)
+    val firsts = exactKeepFirst(batch, Seq(key), tiebreaker)
+      .withColumn("_fp", fp)
+    val inBloom = graft.functions.Bloom.mightContain(blob, col("_fp"))
+    val definitelyNew = firsts.filter(!inBloom)
+    val confirmedNew = firsts.filter(inBloom)
+      .join(corpus.select(fp.as("_fp"), col(key)).distinct(),
+        Seq("_fp", key), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("_fp")
+  }
+
   // ---------------------------------------------------------------- //
   // MinHash + LSH                                                    //
   // ---------------------------------------------------------------- //

@@ -58,4 +58,34 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(!bloom.contains(1L), "doc sharing a 5-gram must be dropped")
     assert(bloom == Set(2L, 3L, 4L))
   }
+
+  test("incremental dedup == naive batch-anti-join-corpus plan") {
+    import graft.ops.Dedup
+    val corpus = Seq((0L, "seen before"), (2L, "also seen"), (4L, "old news"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "seen before"),  // dup of corpus → dropped
+      (3L, "brand new"),    // new → admitted
+      (5L, "brand new"),    // within-batch dup of 3 → dropped
+      (7L, "also seen"),    // dup of corpus → dropped
+      (9L, "another fresh") // new → admitted
+    ).toDF("doc_id", "text")
+
+    val admitted = Dedup.incrementalExact(corpus, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(3L, 9L))
+
+    // parity with the naive plan on a larger random corpus
+    val rnd = new scala.util.Random(7)
+    val corpusBig = (0L until 500L).map(i => (i, s"doc ${rnd.nextInt(300)}"))
+      .toDF("doc_id", "text")
+    val batchBig = (500L until 800L).map(i => (i, s"doc ${rnd.nextInt(400)}"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalExact(corpusBig, batchBig, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val naive = Dedup.exactKeepFirst(batchBig, Seq("text"), "doc_id")
+      .join(corpusBig.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc == naive, s"inc diff: ${inc.diff(naive)} / ${naive.diff(inc)}")
+  }
 }
