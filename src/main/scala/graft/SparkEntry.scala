@@ -1779,6 +1779,34 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_pq",
+      // Product quantization (Jégou et al. 2011): the corpus
+      // compresses to 8-byte codes (64-dim float32 = 256 B → 32×
+      // smaller), the similarity scan runs over CODES via per-query
+      // ADC lookup tables, and only the per-query top-100 ADC
+      // candidates are fetched back for exact rerank. Codebooks
+      // (sample k-means) aren't SQL-expressible, so the pinned
+      // contract is RECALL like ext_sim_ivf: PQ@(m=8, ksub=64,
+      // rerank=100) must recover ≥ 3 of the exact cosine top-10
+      // (measured per-query min: 9 at sf0.01, 5 at sf0.1; bound set
+      // below worst observed for drift headroom). Spark computes both
+      // sides and exports the per-query boolean.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val pq = Similarity.pqTopK(qs, emb, k = 10, m = 8, ksub = 64,
+            rerank = 100)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(pq, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_lsh_indexed",
       // The PERSISTED-index path — the 100 TB similarity story
       // (signatures precomputed once, corpus stored bucketed on the

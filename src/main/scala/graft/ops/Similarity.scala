@@ -183,6 +183,117 @@ object Similarity {
     ivfScoreRank(c, q, k)
   }
 
+  // ---------------------------------------------------------------- //
+  // Product quantization (PQ)                                        //
+  // ---------------------------------------------------------------- //
+
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), graft.functions.Pq.Codebooks]()
+
+  def clearPqCodebookCache(): Unit = pqCodebookCache.clear()
+
+  /** Per-subspace codebooks via deterministic Lloyd's k-means on a
+    * bounded corpus sample (10k vectors ≈ 2.5 MB — same sample-fit
+    * shape as [[ivfCentroids]]; production fits on a sample too).
+    * Init = evenly strided sample points (deterministic, no RNG);
+    * empty clusters keep their previous centroid. Cached per
+    * (corpus plan, m, ksub, seed) like the IVF index.
+    */
+  private def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                          seed: Long): graft.functions.Pq.Codebooks = {
+    val key = (corpus.queryExecution.analyzed.semanticHash(), m * 1000 + ksub, m, seed)
+    pqCodebookCache.computeIfAbsent(key, _ => {
+      val sample: Array[Array[Double]] = corpus.select(col("embedding"))
+        .limit(10000).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        .filter(_.exists(_ != 0.0))
+      require(sample.nonEmpty, "pq fit: empty corpus sample")
+      val dim = sample.map(_.length).max
+      require(dim % m == 0, s"pq fit: dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      Array.tabulate(m) { j =>
+        val sub = sample.map { v =>
+          Array.tabulate(dsub)(t =>
+            if (j * dsub + t < v.length) v(j * dsub + t) else 0.0)
+        }
+        val cents = Array.tabulate(ksub)(r =>
+          sub(((r.toLong * sub.length) / ksub).toInt).clone())
+        var it = 0
+        while (it < 10) {
+          val sums = Array.fill(ksub)(new Array[Double](dsub))
+          val counts = new Array[Long](ksub)
+          sub.foreach { v =>
+            var best = 0; var bestD = Double.MaxValue
+            var r = 0
+            while (r < ksub) {
+              var d = 0.0; var t = 0
+              while (t < dsub) { val x = v(t) - cents(r)(t); d += x * x; t += 1 }
+              if (d < bestD) { bestD = d; best = r }
+              r += 1
+            }
+            counts(best) += 1
+            var t = 0
+            while (t < dsub) { sums(best)(t) += v(t); t += 1 }
+          }
+          var r = 0
+          while (r < ksub) {
+            if (counts(r) > 0) {
+              var t = 0
+              while (t < dsub) { cents(r)(t) = sums(r)(t) / counts(r); t += 1 }
+            }
+            r += 1
+          }
+          it += 1
+        }
+        cents
+      }
+    })
+  }
+
+  /** PQ-ADC approximate top-k: the corpus compresses to m-byte codes
+    * (256 B float32 → 8 B at the defaults, dim 64), the similarity
+    * scan runs over CODES via per-query lookup tables
+    * ([[graft.functions.PqAdcExpr]] — m adds per candidate, raw
+    * vectors untouched), the per-query ADC top-`rerank` candidates
+    * are fetched back by id (a candidate-sized join, NOT a corpus
+    * scan) and reranked exactly. The 100 TB shape: 100 TB of vectors
+    * is ~3 TB of codes — the scan-everything tier shrinks 32×, and
+    * raw embeddings are only read for rerank·|queries| rows. Compose
+    * with the IVF cell partitioning ([[buildIvfIndex]]) to prune the
+    * code scan itself (classic IVF-PQ).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 50,
+             seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.{PqAdcExpr, PqEncodeExpr}
+    val cbs = pqCodebooks(corpus, m, ksub, seed)
+    // code table: (c_id, 8-byte code) — the only thing the scan reads
+    val codes = spread(corpus
+      .select(col("vec_id").as("c_id"),
+        toCol(PqEncodeExpr(toExpr(col("embedding")), cbs)).as("code"),
+        normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0).drop("c_nrm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
+    val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("adc", toCol(PqAdcExpr(toExpr(col("q_id")), toExpr(col("q_emb")),
+        toExpr(col("code")), cbs)))
+      .select(col("q_id"), col("c_id"), col("adc"))
+    val cands = TopK.topKByLongKey(scored, "q_id", "adc", "c_id", rerank)
+      .select("q_id", "c_id")
+    // exact rerank: candidates fetch their raw vectors by id
+    val fetched = cands
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm")), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .select(col("q_id"), col("c_id"), col("cosine"))
+    TopK.topKByLongKey(fetched, "q_id", "cosine", "c_id", k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+  }
+
   /** Fixed-seed random hyperplanes; deterministic across runs (also
     * embedded as literals in the DuckDB oracle SQL, so visibility is
     * package-wide). */

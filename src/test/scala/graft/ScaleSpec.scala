@@ -143,9 +143,14 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   ext_lm_quality_tiers — the vocabulary-size scalar V joins in
     //                   as ONE broadcast row (same bounded shape as
     //                   ext_tfidf's corpus-size N).
+    //   ext_sim_pq    — the ADC code scan crosses the broadcast query
+    //                   set against 8-BYTE CODES (not vectors): the
+    //                   all-pairs tier is the point of PQ, 32× lighter
+    //                   than ext_sim_topk's, and the recall gate
+    //                   embeds the brute-force baseline on top.
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
-      "agg_heavy_hitters", "ext_lm_quality_tiers")
+      "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

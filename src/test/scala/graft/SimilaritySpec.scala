@@ -51,6 +51,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, s"IVF recall $recall collapsed")
   }
 
+  test("PQ top-k finds the planted duplicate; recall is high with exact rerank") {
+    val res = Similarity.pqTopK(
+      corpus.filter(col("vec_id") === 0), corpus, k = 5)
+    val top = res.filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L,
+      "identical vector maximizes ADC and survives rerank")
+    assert(top.getAs[Double]("cosine") == 1.0)
+
+    // rerank=50 over a 200-vector corpus: the ADC tier only has to
+    // place true neighbors in its top quartile, so recall should be
+    // near-perfect even on unclustered gaussians
+    val q = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall collapsed")
+  }
+
+  test("PQ codes are m bytes and deterministic across runs") {
+    import graft.ops.Similarity
+    Similarity.clearPqCodebookCache()
+    val a = Similarity.pqTopK(corpus.filter(col("vec_id") === 0), corpus, k = 5)
+      .select("c_id", "cosine").as[(Long, Double)].collect().toSeq
+    Similarity.clearPqCodebookCache()
+    val b = Similarity.pqTopK(corpus.filter(col("vec_id") === 0), corpus, k = 5)
+      .select("c_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(a == b, "codebook fit / encode / ADC must be deterministic")
+  }
+
   test("LSH recall vs brute force is substantial on random data") {
     val q = corpus.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
