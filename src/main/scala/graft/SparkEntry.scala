@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Cdc, Dedup, EventAnalytics, FuzzyJoin, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
+import graft.ops.{AsOfJoin, Cdc, CorpusPipeline, Dedup, EventAnalytics, FuzzyJoin, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
 import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
@@ -664,6 +664,40 @@ object SparkEntry {
           keys = Seq("user_id"),
           leftTime = "ts_ms", rightTime = "ts_ms",
           windowMs = 3600000L)
+      }),
+
+    QueryDef("join_interval_overlap",
+      // interval×interval overlap join: pairs of the same customer's
+      // orders whose fulfillment windows [orderdate, orderdate +
+      // 1 + key%30 days] overlap (ops.RangeJoin.intervalOverlapSelfPairs
+      // — interval banding keeps it an equi-join on (key, bucket) with
+      // fan-out ≤ 2 at a 31-day bucket, each pair emitted once by the
+      // canonical-bucket rule, never a post-filtered nested loop). The
+      // oracle states the overlap theta-join directly; epoch-day
+      // integer math keeps both engines exact.
+      Some("""WITH iv AS (
+             |  SELECT o_custkey, o_orderkey,
+             |         epoch_us(o_orderdate) // 86400000000 AS s,
+             |         epoch_us(o_orderdate) // 86400000000 + 1 + o_orderkey % 30 AS e
+             |  FROM orders)
+             |SELECT l.o_custkey AS custkey,
+             |       l.o_orderkey AS a_key, r.o_orderkey AS b_key,
+             |       least(l.e, r.e) - greatest(l.s, r.s) AS overlap_days
+             |FROM iv l JOIN iv r
+             |  ON l.o_custkey = r.o_custkey AND l.o_orderkey < r.o_orderkey
+             | AND l.s <= r.e AND r.s <= l.e""".stripMargin),
+      (s, dir) => {
+        val iv = Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("s"),
+          (expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            + lit(1) + col("o_orderkey") % 30).as("e"))
+        RangeJoin.intervalOverlapSelfPairs(iv, keys = Seq("o_custkey"),
+            idCol = "o_orderkey", startCol = "s", endCol = "e",
+            bucketWidth = 31L)
+          .select(col("o_custkey").as("custkey"),
+            col("a_o_orderkey").as("a_key"), col("b_o_orderkey").as("b_key"),
+            col("overlap_len").as("overlap_days"))
       }),
 
     QueryDef("strm_window_session",
@@ -1710,6 +1744,63 @@ object SparkEntry {
       (s, dir) => Dedup.embeddingNearDupsAnnAdaptive(Tables.embeddings(s, dir),
         threshold = 0.35)),
 
+    QueryDef("ext_dedup_semantic",
+      // SemDeDup (Abbas et al. 2023): cluster with the IVF coarse
+      // quantizer (multi-assigned to the 3 nearest cells — boundary
+      // pairs co-block via the runner-up cell), dedup within cells —
+      // the kmeans twin of the sign-LSH scale path above. The
+      // quantizer isn't SQL-expressible, so the pinned contract is
+      // RECALL (same shape as ext_sim_ivf): per fixture label, the
+      // cell-blocked pass must recover ≥ 60 % of the label-blocked
+      // exact near-dup pairs at the same threshold — and the oracle
+      // ALSO hash-matches that exact per-label pair count (n_true IS
+      // SQL-expressible), so the baseline side of the contract is a
+      // full value match, not a literal. Measured per-label recall
+      // min: 1.0 at sf0.01, 0.82 at sf0.1, 0.99 at sf1 (planted
+      // 10-cluster fixture, nlist=16, nassign=3; nassign=1 collapses
+      // to ≤ 0.5 on boundary pairs at sf0.01 — tiny cells chop the
+      // tail pairs); bound set below worst observed for seed/refit
+      // drift headroom. Precision needs no contract —
+      // emitted pairs carry exact in-cell cosine.
+      Some("""WITH m AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, emb,
+             |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+             |                          (a,b) -> a+b)) AS nrm
+             |  FROM m),
+             |p AS (
+             |  SELECT l.label, count(*) AS n_true
+             |  FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
+             |  WHERE list_reduce(list_prepend(0.0,
+             |          list_transform(list_zip(l.emb, r.emb), q -> q[1]*q[2])),
+             |        (a,b) -> a+b) / (l.nrm * r.nrm) >= 0.35
+             |  GROUP BY l.label)
+             |SELECT d.label, CAST(coalesce(p.n_true, 0) AS BIGINT) AS n_true,
+             |       true AS recall_ok
+             |FROM (SELECT DISTINCT label FROM embeddings) d
+             |LEFT JOIN p ON d.label = p.label""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val truePairs = Dedup.embeddingNearDups(emb, threshold = 0.35)
+        val semPairs = Dedup.semanticNearDupPairs(emb, threshold = 0.35,
+            nlist = 16, nassign = 3)
+          .select(col("a_id"), col("b_id"), lit(1).as("hit"))
+        val labeled = truePairs
+          .join(emb.select(col("vec_id").as("a_id"), col("label")), "a_id")
+        val byLabel = labeled.join(semPairs, Seq("a_id", "b_id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_found"))
+        emb.select("label").distinct()
+          .join(byLabel, Seq("label"), "left")
+          .select(col("label"), coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_found") >= col("n_true") * 0.6, lit(true))
+              .as("recall_ok"))
+      }),
+
     // ---- north-star: similarity search (§2.11) ---- //
 
     QueryDef("ext_sim_topk",
@@ -2348,6 +2439,44 @@ object SparkEntry {
           .select("doc_id").distinct()
         corpus.join(bad, Seq("doc_id"), "left_anti").select("doc_id", "source")
       }),
+
+    QueryDef("ext_pipeline_e2e",
+      // the END-TO-END corpus admission pipeline
+      // (ops.CorpusPipeline.prep): quality gate → exact dedup
+      // (keep-first among survivors) → Bloom-prefiltered
+      // decontamination vs the held-out source → deterministic split,
+      // each stage the catalog's proven shape composed into one plan.
+      // The oracle composes the per-stage oracles as CTEs — every
+      // stage is exactly SQL-expressible, so the gate is a full hash
+      // match on the admitted set, not a contract.
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |q AS (SELECT doc_id, len(toks) AS n_tok,
+             |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr FROM s),
+             |r AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tokens
+             |      FROM (SELECT doc_id, tok, count(*) AS cnt
+             |            FROM (SELECT doc_id, unnest(toks) AS tok FROM s)
+             |            GROUP BY doc_id, tok)
+             |      GROUP BY doc_id),
+             |gated AS (SELECT q.doc_id, q.n_tok FROM q JOIN r ON q.doc_id = r.doc_id
+             |          WHERE q.n_tok >= 20 AND q.ttr > 0.3
+             |            AND CAST(r.top_cnt AS DOUBLE) / r.n_tokens <= 0.08),
+             |canon AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+             |          JOIN gated g ON d.doc_id = g.doc_id GROUP BY d.text),
+             |sh AS (SELECT doc_id, source, array_to_string(ts[i:i+4], ' ') AS g
+             |       FROM (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+             |            unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS t(i)),
+             |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+             |bad AS (SELECT DISTINCT doc_id FROM sh
+             |        WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+             |SELECT d.doc_id, d.lang, d.source, CAST(g.n_tok AS BIGINT) AS n_tok,
+             |       CASE WHEN (d.doc_id * 2654435761) % 100 < 90 THEN 'train'
+             |            ELSE 'eval' END AS split
+             |FROM documents d
+             |JOIN gated g ON d.doc_id = g.doc_id
+             |JOIN canon c ON d.doc_id = c.doc_id
+             |WHERE d.source <> 'src0'
+             |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      (s, dir) => CorpusPipeline.prep(Tables.documents(s, dir))),
 
     QueryDef("ext_expectations",
       // declarative data-quality expectations: each rule is a

@@ -705,6 +705,75 @@ object Dedup {
     }
   }
 
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): block by the COARSE-QUANTIZER CELL (the same
+    * deterministic sample-KMeans quantizer the IVF index uses —
+    * Similarity.ivfCentroids, so clustering cost is shared with the
+    * similarity index when both run) and scan exact cosine pairs
+    * within each cell. This is the cluster-then-dedup shape the
+    * SemDeDup paper runs at web scale: the quadratic is confined to a
+    * cell, and sizing `nlist ∝ n / targetCellRows` keeps cells ~constant
+    * as the corpus grows, so total candidate work stays linear — the
+    * kmeans twin of [[embeddingNearDupsAnn]]'s LSH banding, trading
+    * its probabilistic band-collision recall for the quantizer's
+    * geometric locality (near-dup pairs sit near each other, hence
+    * almost always in the same cell).
+    *
+    * Emitted pairs carry EXACT cosine (scored in-cell), so precision
+    * is exact by construction; only recall depends on the quantizer.
+    * The catalog gate (`ext_dedup_semantic`) pins per-label recall
+    * against the label-blocked exact pairs; `DedupSpec` pins planted
+    * near-dup recovery and determinism across refits.
+    */
+  def semanticNearDupPairs(embeddings: DataFrame, threshold: Double = 0.5,
+                           nlist: Int = 16, nassign: Int = 3,
+                           seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val centroids = Similarity.ivfCentroids(embeddings, nlist, seed)
+    // MULTI-ASSIGNMENT (the IVF-nprobe idea on the build side): each
+    // vector lands in its `nassign` nearest cells, so a pair whose
+    // members sit on opposite sides of a cell boundary is still
+    // co-blocked when either's cell is the other's runner-up —
+    // single-assignment recall on boundary pairs collapses (measured
+    // ≤ 0.5 per label on the fixture at nassign=1). Work scales by
+    // nassign (each vector appears in nassign cells), still linear.
+    val cells = Similarity.ivfProbeSide(embeddings, centroids, nassign)
+    // explicit numbered repartition on the cell key (see
+    // embeddingNearDupsAnn): AQE sees only the corpus-sized exchange,
+    // not the in-cell pair fan-out. Parallelism = live cells; nlist
+    // grows with the corpus so this widens exactly when it matters.
+    val nParts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    def side(p: String) = cells.select(col("cell"), col("q_id").as(s"${p}_id"),
+        col("q_emb").as(s"${p}_emb"), col("q_nrm").as(s"${p}_nrm"))
+      .repartition(nParts, col("cell"))
+    side("a").join(side("b"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+      // a pair can share up to `nassign` cells: dedup AFTER the
+      // threshold filter, when the stream has already shrunk
+      .distinct()
+  }
+
+  /** [[semanticNearDupPairs]] folded to a per-vector verdict:
+    * keep-first-wins — a vector is dropped iff a LOWER-id vector in
+    * its cell sits within the threshold, `canon_id` the smallest such
+    * neighbor (the greedy rule every other dedup surface here uses;
+    * transitive-closure grouping is [[connectedComponentsStar]]'s job
+    * when chains matter).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.5,
+                    nlist: Int = 16, nassign: Int = 3,
+                    seed: Long = 42L): DataFrame = {
+    val drops = semanticNearDupPairs(embeddings, threshold, nlist, nassign, seed)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("canon_id"))
+    embeddings.select(col("vec_id")).join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("canon_id").isNull.as("keep"), col("canon_id"))
+  }
+
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.5,
                         parallelism: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._

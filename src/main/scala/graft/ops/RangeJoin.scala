@@ -44,4 +44,54 @@ object RangeJoin {
       .agg(count(col("_rt")).as("n_in_window"))
       .drop("_lid")
   }
+
+  /** Same-key pairs of rows whose `[start, end]` intervals overlap
+    * (both bounds inclusive, integral units) — "which of this
+    * customer's orders had overlapping fulfillment windows".
+    *
+    * The banding that keeps [[countInWindow]] an equi-join extends to
+    * interval×interval: every interval emits the buckets it covers
+    * (fan-out `len/bucketWidth + 1`, so pick the width at or above the
+    * typical interval length), candidates join on (key, bucket), and
+    * a pair colliding in SEVERAL shared buckets is emitted exactly
+    * once by the canonical-bucket rule — only the bucket containing
+    * `max(a.start, b.start)` emits, a point that any overlapping pair
+    * shares by definition — rather than deduped with a second shuffle
+    * after the fact. Cost at 100 TB: shuffle `(len/W+1)·n` rows, pair
+    * work bounded per (key, bucket), never |n|² and never a
+    * post-filtered nested loop.
+    *
+    * `df` must carry `keys`, a unique integral `idCol` (pair order +
+    * self-pair exclusion), and integral `startCol`/`endCol`. Output:
+    * keys, `a_<id>`/`b_<id>` with a < b, both intervals, and the
+    * overlap length `min(end) - max(start)` (≥ 0).
+    */
+  def intervalOverlapSelfPairs(df: DataFrame, keys: Seq[String], idCol: String,
+                               startCol: String, endCol: String,
+                               bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = df.select(
+      keys.map(col) ++ Seq(col(idCol), col(startCol).as("_s"), col(endCol).as("_e")): _*)
+    val banded = base.withColumn("_bkt",
+      explode(sequence(expr(s"_s div $bucketWidth"), expr(s"_e div $bucketWidth"))))
+    def side(p: String) = banded.select(
+      keys.map(col) ++ Seq(col("_bkt"), col(idCol).as(s"${p}_$idCol"),
+        col("_s").as(s"${p}_s"), col("_e").as(s"${p}_e")): _*)
+    // explicit numbered repartition on the join key (see
+    // Dedup.embeddingNearDupsAnn): AQE sees only the banded exchange
+    // bytes, not the pair fan-out inside the join, and would coalesce
+    // the enumeration onto a few cores
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val joinKeys = keys :+ "_bkt"
+    side("a").repartition(nParts, joinKeys.map(col): _*)
+      .join(side("b").repartition(nParts, joinKeys.map(col): _*), joinKeys)
+      .filter(col(s"a_$idCol") < col(s"b_$idCol") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("_bkt") === expr(s"greatest(a_s, b_s) div $bucketWidth"))
+      .select(keys.map(col) ++ Seq(
+        col(s"a_$idCol"), col(s"b_$idCol"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_len")): _*)
+  }
 }

@@ -62,7 +62,7 @@ object Similarity {
 
   def clearIvfIndexCache(): Unit = ivfIndexCache.clear()
 
-  private def ivfCentroids(corpus: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def ivfCentroids(corpus: DataFrame, nlist: Int, seed: Long): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val key = (corpus.queryExecution.analyzed.semanticHash(), nlist, seed)
@@ -90,16 +90,16 @@ object Similarity {
 
   /** Corpus side of both IVF paths: nearest cell + norm, zero-norm
     * rows dropped (cosine would be NaN and NaN sorts above reals). */
-  private def ivfCorpusSide(corpus: DataFrame,
-                            centroids: Array[Array[Double]]): DataFrame =
+  private[graft] def ivfCorpusSide(corpus: DataFrame,
+                                   centroids: Array[Array[Double]]): DataFrame =
     corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"),
         rankedCells(col("embedding"), centroids).getItem(0).getField("cell").as("cell"))
       .filter(col("c_nrm") > 0)
 
   /** Query side of both IVF paths: one row per (query, probed cell). */
-  private def ivfProbeSide(queries: DataFrame, centroids: Array[Array[Double]],
-                           nprobe: Int): DataFrame =
+  private[graft] def ivfProbeSide(queries: DataFrame, centroids: Array[Array[Double]],
+                                  nprobe: Int): DataFrame =
     queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"),
         explode(transform(slice(rankedCells(col("embedding"), centroids), 1, nprobe),

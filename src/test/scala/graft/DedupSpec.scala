@@ -322,4 +322,67 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(bands * bits <= 62)
     }
   }
+
+  test("semantic dedup: planted tight clusters recovered, subset of exact") {
+    // 8 tight clusters of 20 vectors each (within-cluster cosine ≈ 1,
+    // cross-cluster ~ N(0, 1/64) ≈ 0): the cell-blocked pass must find
+    // every within-cluster pair at threshold 0.9 and nothing else —
+    // and every emitted pair must carry the exact cosine the
+    // label-blocked scan computes.
+    val rnd = new scala.util.Random(19)
+    def centre() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val centres = (0 until 8).map(_ => centre())
+    val emb = (0 until 160).map { i =>
+      val c = centres(i % 8)
+      (i.toLong, c.map(x => x + 0.01f * rnd.nextGaussian().toFloat), i % 8)
+    }.toDF("vec_id", "embedding", "label")
+    val sem = Dedup.semanticNearDupPairs(emb, threshold = 0.9, nlist = 8)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    val exact = Dedup.embeddingNearDups(emb, threshold = 0.9)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    val expected = (for {
+      a <- 0 until 160; b <- (a + 1) until 160; if a % 8 == b % 8
+    } yield (a.toLong, b.toLong)).toSet
+    assert(exact.map(p => (p._1, p._2)).toSet == expected,
+      "planted cluster geometry broken — exact pair set != within-cluster pairs")
+    assert(sem.map(p => (p._1, p._2)).toSet == expected,
+      "semantic dedup missed a within-cluster pair or emitted a cross-cluster one")
+    assert(sem.toSet == exact.toSet, "in-cell cosine must equal the exact cosine")
+  }
+
+  test("semantic dedup verdict: keep-first-wins, canon is smallest neighbor") {
+    val rnd = new scala.util.Random(23)
+    val c1 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val c2 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // ids 0,1,2 near-identical (cluster 1); ids 3,4 near-identical
+    // (cluster 2); id 5 isolated
+    def jig(c: Array[Float]) = c.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+    val emb = Seq(
+      (0L, jig(c1)), (1L, jig(c1)), (2L, jig(c1)),
+      (3L, jig(c2)), (4L, jig(c2)),
+      (5L, Array.fill(64)(rnd.nextGaussian().toFloat))
+    ).toDF("vec_id", "embedding")
+    val verdict = Dedup.semanticDedup(emb, threshold = 0.9, nlist = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(verdict(0L) == ((true, None)))
+    assert(verdict(1L) == ((false, Some(0L))))
+    assert(verdict(2L) == ((false, Some(0L))), "canon must be the SMALLEST neighbor")
+    assert(verdict(3L) == ((true, None)))
+    assert(verdict(4L) == ((false, Some(3L))))
+    assert(verdict(5L) == ((true, None)))
+  }
+
+  test("semantic dedup is deterministic across quantizer refits") {
+    val rnd = new scala.util.Random(29)
+    val emb = (0 until 120).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    graft.ops.Similarity.clearIvfIndexCache()
+    val a = Dedup.semanticNearDupPairs(emb, threshold = 0.2, nlist = 6)
+      .collect().map(_.toSeq).toSet
+    graft.ops.Similarity.clearIvfIndexCache()
+    val b = Dedup.semanticNearDupPairs(emb, threshold = 0.2, nlist = 6)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "pair set changed across KMeans refits at a fixed seed")
+  }
 }

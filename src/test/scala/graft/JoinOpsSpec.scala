@@ -68,6 +68,46 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == ((3L, 8L, 1000L, 0L))) // other user's clicks invisible
   }
 
+  test("interval overlap: inclusive bounds, no self/dup pairs, multi-bucket once") {
+    val iv = Seq(
+      // key 1: [0,10] vs [10,20] touch at a point (inclusive ⇒ pair,
+      // overlap 0); [0,10] vs [11,15] disjoint; [10,20] and [12,40]
+      // share TWO buckets (1 and 2 at width 10) — the canonical-bucket
+      // rule must emit that pair ONCE
+      (1L, 100L, 0L, 10L), (1L, 101L, 10L, 20L),
+      (1L, 102L, 11L, 15L), (1L, 103L, 12L, 40L),
+      // key 2: identical interval to key 1's first — keys never cross
+      (2L, 200L, 0L, 10L)
+    ).toDF("k", "id", "s", "e")
+    val out = RangeJoin.intervalOverlapSelfPairs(iv, Seq("k"), "id", "s", "e",
+        bucketWidth = 10L)
+      .select("k", "a_id", "b_id", "overlap_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 101L, 0L),   // touching endpoints, inclusive
+      (1L, 101L, 102L, 4L),
+      (1L, 101L, 103L, 8L),   // shares buckets 1 AND 2 — emitted once
+      (1L, 102L, 103L, 3L)))
+  }
+
+  test("interval overlap: parity with the naive theta-join on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(5).toLong, i.toLong, s, s + rnd.nextInt(80))
+    }
+    val iv = rows.toDF("k", "id", "s", "e").repartition(7)
+    val banded = RangeJoin.intervalOverlapSelfPairs(iv, Seq("k"), "id", "s", "e",
+        bucketWidth = 50L)
+      .select("k", "a_id", "b_id", "overlap_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val naive = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
+    assert(banded == naive)
+  }
+
   test("asof: matches the naive per-row argmax formulation on random data") {
     val rnd = new scala.util.Random(13)
     val l = left((1 to 300).map(i =>
