@@ -16,46 +16,40 @@ import org.apache.spark.sql.functions._
   *                      the gated set);
   *   3. decontamination — drop survivors sharing a 5-token shingle
   *                      with the held-out source, Bloom-prefiltered
-  *                      scan-side exactly like ext_decontaminate_bloom
-  *                      (bit-identical to the exact semi-join — FPs
-  *                      are removed by the verify join);
+  *                      like ext_decontaminate_bloom (bit-identical
+  *                      to the exact join — FPs are removed by the
+  *                      verify join, FNs are impossible);
   *   4. split         — deterministic multiplicative-hash train/eval
   *                      assignment (ext_data_split's hash).
   *
-  * Every stage is one of the catalog's proven shapes, so the composed
-  * plan inherits their 100 TB posture: the gate and dedup are
-  * hash-aggregations with map-side partials, decontamination
-  * broadcasts only a Bloom bitset (~1.2 bytes/shingle) plus the
-  * held-out shingle set for the exact verify, and the split is a
-  * stateless projection. Nothing collects to the driver; the
-  * composition adds NO shuffle beyond the stages' own.
+  * COMPOSITION SHAPE — single-consumption chain. Spark recomputes a
+  * DataFrame's whole subtree for every plan consumer (there is no
+  * automatic common-subexpression materialization), so the naive
+  * composition — each stage joining back against the previous stage's
+  * frame — scanned `documents` 26 times in the physical plan. This
+  * build references every derived frame EXACTLY ONCE:
+  *
+  *  - token stats (n_tok / ttr / top-token share) come from ONE
+  *    explode + two-level aggregation, not separate scans per metric;
+  *  - keep-first dedup is a window row_number over the gated rows
+  *    (one shuffle on text), not groupBy-min plus a semi-join back;
+  *  - decontamination consumes the surviving corpus ONCE:
+  *    `explode_outer` keeps every doc in the shingle stream, the
+  *    held-out match becomes a per-shingle flag (left join against
+  *    the broadcast bench set), and a groupBy on the doc's carried
+  *    columns folds the flags back to one row per doc — no
+  *    anti-join against a second reading of the corpus. The Bloom
+  *    prefilter nulls the join key of bloom-negative shingles
+  *    (no false negatives ⇒ harmless), so they never probe — and in
+  *    the shuffle-join regime where the bench set outgrows broadcast,
+  *    null keys skip matching entirely, which is the ~99 % shingle
+  *    pruning ext_decontaminate_bloom exists for.
+  *
+  * Result: THREE `documents` scans total (stats, payload join, bench
+  * side), no multi-consumed intermediates, no persist/cache needed.
+  * Nothing collects to the driver.
   */
 object CorpusPipeline {
-
-  /** Quality verdict per doc: (doc_id, keep). Thresholds are the
-    * catalog gate's: ≥ 20 tokens, type-token ratio > 0.3, top-token
-    * share ≤ 8 %.
-    */
-  private def qualityKeep(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val q = docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_tok"),
-      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
-    val r = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_tokens"))
-    val topShare = col("top_cnt").cast("double") / col("n_tokens")
-    q.join(r, "doc_id")
-      .filter(col("n_tok") >= 20 && col("ttr") > 0.3 && topShare <= 0.08)
-      .select(col("doc_id"), col("n_tok"))
-  }
-
-  private def shingles(df: DataFrame): DataFrame = df
-    .withColumn("_ts", split(col("text"), " "))
-    .select(col("doc_id"), explode(expr(
-      "transform(if(size(_ts) >= 5, sequence(1, size(_ts) - 4), array()), " +
-        "i -> concat_ws(' ', slice(_ts, i, 5)))")).as("g"))
 
   /** Run the pipeline. Output: one row per ADMITTED doc —
     * (doc_id, lang, source, n_tok, split). The held-out benchmark is
@@ -64,34 +58,56 @@ object CorpusPipeline {
     * part of the corpus.
     */
   def prep(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
-    // 1. quality gate
-    val gated = docs.join(qualityKeep(docs), "doc_id")
+    // 1. quality stats in ONE explode pass: per-(doc, token) counts,
+    //    then per-doc totals. n_tok = Σcnt, distinct = row count,
+    //    top_cnt = max cnt — all three metrics from the same
+    //    aggregation, map-side partials absorbing the explode.
+    val stats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+    val keep = stats.filter(
+      col("n_tok") >= 20 &&
+        col("n_distinct").cast("double") / col("n_tok") > 0.3 &&
+        col("top_cnt").cast("double") / col("n_tok") <= 0.08)
+      .select(col("doc_id"), col("n_tok"))
 
-    // 2. exact dedup among survivors: keep-first-wins per text.
-    //    min(doc_id) per text is a partial-agg shuffle of one row per
-    //    distinct text; the semi-join back keeps only canonicals.
-    val canon = gated.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val deduped = gated.join(canon, Seq("doc_id"), "left_semi")
+    // 2. payload join + keep-first exact dedup: one window pass on
+    //    text over the gated survivors
+    val gated = docs.join(keep, "doc_id")
+    val deduped = gated
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
 
-    // 3. decontamination of the surviving corpus against the held-out
-    //    source: Bloom prefilter scan-side, exact semi-join verify
-    //    (bit-identical to the unfiltered plan — see
-    //    ext_decontaminate_bloom).
-    val bench = shingles(docs.filter(col("source") === benchSource))
-      .select("g").distinct()
+    // 3. decontamination, corpus consumed ONCE. Bench shingles
+    //    broadcast for the exact verify; their Bloom nulls the join
+    //    key of definite non-matches first.
+    def shingleArr = expr(
+      "transform(if(size(_ts) >= 5, sequence(1, size(_ts) - 4), array()), " +
+        "i -> concat_ws(' ', slice(_ts, i, 5)))")
+    val bench = docs.filter(col("source") === benchSource)
+      .withColumn("_ts", split(col("text"), " "))
+      .select(explode(shingleArr).as("g")).distinct()
     val benchHashes = bench.select(xxhash64(col("g")).as("h"))
     val blob = graft.functions.Bloom.build(
       benchHashes, "h", benchHashes.count(), fpp = 0.01)
-    val corpus = deduped.filter(col("source") =!= benchSource)
-    val bad = shingles(corpus)
-      .filter(graft.functions.Bloom.mightContain(blob, xxhash64(col("g"))))
-      .join(broadcast(bench), Seq("g"), "left_semi")
-      .select("doc_id").distinct()
-    val clean = corpus.join(bad, Seq("doc_id"), "left_anti")
+    val flagged = deduped.filter(col("source") =!= benchSource)
+      .withColumn("_ts", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        explode_outer(shingleArr).as("g"))
+      .withColumn("g", when(
+        graft.functions.Bloom.mightContain(blob, xxhash64(col("g"))), col("g")))
+      .join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id", "lang", "source", "n_tok")
+      .agg(max(coalesce(col("_hit"), lit(0))).as("_contaminated"))
+      .filter(col("_contaminated") === 0)
 
     // 4. deterministic split
-    clean.select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+    flagged.select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
       when((col("doc_id") * 2654435761L) % 100 < 90, "train")
         .otherwise("eval").as("split"))
   }
