@@ -1755,12 +1755,15 @@ object SparkEntry {
       // exact near-dup pairs at the same threshold — and the oracle
       // ALSO hash-matches that exact per-label pair count (n_true IS
       // SQL-expressible), so the baseline side of the contract is a
-      // full value match, not a literal. Measured per-label recall
-      // min: 1.0 at sf0.01, 0.82 at sf0.1, 0.99 at sf1 (planted
-      // 10-cluster fixture, nlist=16, nassign=3; nassign=1 collapses
-      // to ≤ 0.5 on boundary pairs at sf0.01 — tiny cells chop the
-      // tail pairs); bound set below worst observed for seed/refit
-      // drift headroom. Precision needs no contract —
+      // full value match, not a literal. nlist is ADAPTIVE
+      // (Dedup.semParams: cells sized to ~250 rows, floor 16 — the
+      // knob that keeps in-cell quadratic work bounded as the corpus
+      // grows; resolves to 16 at both driver gate scales, pinned in
+      // DedupSpec). Measured per-label recall min: 1.0 at sf0.01,
+      // 0.82 at sf0.1 (both nlist=16), 0.84 at sf1 (adaptive
+      // nlist=80; nassign=1 collapses to ≤ 0.5 on boundary pairs at
+      // sf0.01 — tiny cells chop the tail pairs); bound set below
+      // worst observed for seed/refit drift headroom. Precision needs no contract —
       // emitted pairs carry exact in-cell cosine.
       Some("""WITH m AS (
              |  SELECT vec_id, label,
@@ -1785,8 +1788,8 @@ object SparkEntry {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val truePairs = Dedup.embeddingNearDups(emb, threshold = 0.35)
-        val semPairs = Dedup.semanticNearDupPairs(emb, threshold = 0.35,
-            nlist = 16, nassign = 3)
+        val semPairs = Dedup.semanticNearDupPairsAdaptive(emb, threshold = 0.35,
+            nassign = 3)
           .select(col("a_id"), col("b_id"), lit(1).as("hit"))
         val labeled = truePairs
           .join(emb.select(col("vec_id").as("a_id"), col("label")), "a_id")

@@ -725,6 +725,29 @@ object Dedup {
     * against the label-blocked exact pairs; `DedupSpec` pins planted
     * near-dup recovery and determinism across refits.
     */
+  /** Adaptive cluster count for [[semanticNearDupPairs]]: cells sized
+    * to ~`targetCell` rows (`nlist = n / targetCell`, floor 16), the
+    * knob that keeps the in-cell quadratic BOUNDED as the corpus
+    * grows — candidate work ≈ nassign²·n·targetCell/2, linear in n.
+    * Capped at 1024: past that the quantizer fit itself (sample
+    * 20·nlist rows) is the cost to watch, and a 1024-way split
+    * already holds cells to ~0.1 % of the corpus; at web scale the
+    * SemDeDup paper's regime, raise the cap together with a
+    * distributed fit. Deterministic from n so the gate's oracle
+    * measurements stay reproducible: resolves to 16 at BOTH driver
+    * gate scales (500 / 2000 rows — pinned in DedupSpec).
+    */
+  private[graft] def semParams(n: Long, targetCell: Int = 250): Int =
+    math.min(1024, math.max(16, (n / targetCell).toInt))
+
+  /** [[semanticNearDupPairs]] with nlist sized from the corpus row
+    * count (one metadata-cheap count pass; see [[semParams]]). */
+  def semanticNearDupPairsAdaptive(embeddings: DataFrame, threshold: Double = 0.5,
+                                   targetCell: Int = 250, nassign: Int = 3,
+                                   seed: Long = 42L): DataFrame =
+    semanticNearDupPairs(embeddings, threshold,
+      semParams(embeddings.count(), targetCell), nassign, seed)
+
   def semanticNearDupPairs(embeddings: DataFrame, threshold: Double = 0.5,
                            nlist: Int = 16, nassign: Int = 3,
                            seed: Long = 42L): DataFrame = {

@@ -67,10 +67,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val key = (corpus.queryExecution.analyzed.semanticHash(), nlist, seed)
     ivfIndexCache.computeIfAbsent(key, _ => {
-      // coarse quantizer quality needs only a sample; cap the fit input
+      // coarse quantizer quality needs only a sample; cap the fit
+      // input, but keep ≥ 20 rows per requested centroid so a large
+      // adaptive nlist (Dedup.semParams at big corpora) still trains
+      // meaningful cells instead of starving them
       val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
         .fit(corpus.select(array_to_vector(col("embedding")).as("features"))
-          .limit(10000))
+          .limit(math.max(10000, 20 * nlist)))
       model.clusterCenters.map(_.toArray)
     })
   }

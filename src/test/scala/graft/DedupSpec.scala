@@ -373,6 +373,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(verdict(5L) == ((true, None)))
   }
 
+  test("semantic adaptive sizing pins the gate-scale choice and scales with n") {
+    // the catalog's recall measurements were taken at nlist=16: the
+    // adaptive choice MUST resolve to exactly that at both driver
+    // gate scales (500 rows at sf0.01, 2000 at sf0.1)
+    assert(Dedup.semParams(500) == 16)
+    assert(Dedup.semParams(2000) == 16)
+    // scale path: cells stay ~250 rows as n grows, capped at 1024
+    assert(Dedup.semParams(20000) == 80)     // sf1
+    assert(Dedup.semParams(100000) == 400)   // sf5
+    assert(Dedup.semParams(500000) == 1024)  // sf25 — cap
+    assert(Dedup.semParams(100000000) == 1024)
+  }
+
   test("semantic dedup is deterministic across quantizer refits") {
     val rnd = new scala.util.Random(29)
     val emb = (0 until 120).map(i =>
