@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.DedupIngest
+
+/** Streaming dedup ingest (etl.DedupIngest): cross-batch admission
+  * against the growing corpus, exactly-once BY ADMISSION (a replayed
+  * batch admits nothing), bootstrap-corpus participation.
+  */
+class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private implicit def ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def drain(stream: MemoryStream[(Long, String)], dir: String,
+                    cp: String): Unit = {
+    val q = DedupIngest.start(
+      stream.toDF().toDF("doc_id", "text"), dir, cp,
+      key = "text", tiebreaker = "doc_id", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("cross-batch dedup: later batches admit only genuinely new keys") {
+    val dir = Files.createTempDirectory("dedup-ingest").toString + "/corpus"
+    val cp = Files.createTempDirectory("dedup-ingest-cp").toString
+    val stream = MemoryStream[(Long, String)]
+
+    // batch 1: a + b, with an in-batch dup of a (higher id loses)
+    stream.addData((0L, "a"), (1L, "b"), (2L, "a"))
+    drain(stream, dir, cp)
+    val after1 = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after1 == Set((0L, "a"), (1L, "b")))
+
+    // batch 2: all dups of the standing corpus → empty append
+    stream.addData((3L, "a"), (4L, "b"))
+    drain(stream, dir, cp)
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // batch 3: one new key among dups
+    stream.addData((5L, "a"), (6L, "c"))
+    drain(stream, dir, cp)
+    val after3 = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after3 == Set((0L, "a"), (1L, "b"), (6L, "c")))
+  }
+
+  test("bootstrapped corpus participates: backfilled keys block admission") {
+    val dir = Files.createTempDirectory("dedup-boot").toString + "/corpus"
+    val cp = Files.createTempDirectory("dedup-boot-cp").toString
+    // corpus written OUTSIDE the stream (backfill/migration)
+    Seq((100L, "x"), (101L, "y")).toDF("doc_id", "text")
+      .write.parquet(dir)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((0L, "x"), (1L, "z"))
+    drain(stream, dir, cp)
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((100L, "x"), (101L, "y"), (1L, "z")))
+  }
+
+  test("crash between append and checkpoint commit: replay is a no-op") {
+    val dir = Files.createTempDirectory("dedup-crash").toString + "/corpus"
+    val cp = Files.createTempDirectory("dedup-crash-cp").toString
+    val stream = MemoryStream[(Long, String)]
+
+    // leg 1: batch lands in the corpus, then the epoch "crashes" AFTER
+    // the parquet append but BEFORE the checkpoint commit — simulated
+    // by admitting the batch directly (the append succeeded) while the
+    // streaming checkpoint never saw the batch.
+    stream.addData((0L, "a"), (1L, "b"))
+    DedupIngest.admitBatch(spark,
+      Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"),
+      dir, "text", "doc_id")
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // leg 2: the stream (fresh checkpoint offset) REPLAYS the same
+    // rows — admission must add nothing and must not throw
+    drain(stream, dir, cp)
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == Set((0L, "a"), (1L, "b")), "replay duplicated rows")
+  }
+
+  test("admission matches the batch operator across an arrival sequence") {
+    // property: ingesting batches B1..Bn leaves exactly the rows that
+    // exactKeepFirst over (corpus-so-far ∪ batch) admits step by step
+    val rnd = new scala.util.Random(41)
+    val dir = Files.createTempDirectory("dedup-prop").toString + "/corpus"
+    val cp = Files.createTempDirectory("dedup-prop-cp").toString
+    val stream = MemoryStream[(Long, String)]
+    var id = 0L
+    var expected = Map.empty[String, Long] // key → admitted doc_id
+    for (_ <- 0 until 5) {
+      val batch = (0 until 40).map { _ =>
+        id += 1
+        (id, s"k${rnd.nextInt(30)}")
+      }
+      // reference admission: first-in-batch by min id, unless present
+      batch.groupBy(_._2).foreach { case (k, rows) =>
+        if (!expected.contains(k)) expected += k -> rows.map(_._1).min
+      }
+      stream.addData(batch: _*)
+      drain(stream, dir, cp)
+    }
+    val got = spark.read.parquet(dir).as[(Long, String)]
+      .collect().map(r => r._2 -> r._1).toMap
+    assert(got == expected)
+  }
+}
