@@ -53,12 +53,16 @@ object DedupIngest {
       if (bootstrap) Dedup.exactKeepFirst(batch, Seq(key), tiebreaker)
       else Dedup.incrementalExact(
         spark.read.parquet(corpusDir), batch, key, tiebreaker)
-    // count via a cheap pre-write action only when the caller's batch
-    // could be all-dups: an empty append is still a valid (no-op) job
-    val n = admitted.count()
-    if (n > 0)
-      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
-    n
+    // the admitted set is needed twice (count to skip empty appends,
+    // then the write); persist the BATCH-sized result so the second
+    // action does not re-run the confirm join's corpus scan
+    admitted.persist()
+    try {
+      val n = admitted.count()
+      if (n > 0)
+        admitted.write.mode(SaveMode.Append).parquet(corpusDir)
+      n
+    } finally admitted.unpersist()
   }
 
   /** Resident stream: checkpointed foreachBatch admitting every
