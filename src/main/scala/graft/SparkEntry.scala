@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOfJoin, Cdc, CorpusPipeline, Dedup, EventAnalytics, FuzzyJoin, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
+import graft.ops.{AsOfJoin, Bpe, Cdc, CorpusPipeline, Dedup, EventAnalytics, FuzzyJoin, Multimodal, RangeJoin, Similarity, TextStats, TimeSeries, TopK}
 import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
 /** One catalog entry: query name (SURVEY.md §2 key), the Spark plan,
@@ -2089,6 +2089,20 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
           .cast("long").as("re_tokens"))),
+
+    QueryDef("ext_bpe_segment",
+      // subword segmentation with a FIXED BPE merge table
+      // (ops.Bpe.FixtureMerges — the table Bpe.learn produces on this
+      // fixture, frozen so the oracle is scale-independent; BpeSpec
+      // re-learns it to pin the literal). Application is a string-
+      // accumulator fold per merge — exact reference BPE semantics,
+      // replicated verbatim in DuckDB (list_reduce with prepended
+      // init), so the gate is a full hash match on the rendered
+      // segmentation. The LEARNER itself is distributed but iterative
+      // (argmax per round) — not single-statement SQL — and is gated
+      // by BpeSpec against a naive reference trainer.
+      Some(Bpe.segmentOracleSql(Bpe.FixtureMerges)),
+      (s, dir) => Bpe.segment(Tables.documents(s, dir), Bpe.FixtureMerges)),
 
     QueryDef("ext_wordcount",
       // the canonical corpus profile: explode → count → global top-k
