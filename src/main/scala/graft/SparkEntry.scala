@@ -1906,6 +1906,33 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_ivfpq",
+      // classic IVF-PQ: the coarse quantizer prunes the scan to
+      // nprobe/nlist of the CODE table and the ADC lookup scores
+      // 8-byte codes — the two 100 TB pruning tiers composed
+      // (Similarity.ivfPqTopK). Recall contract like ext_sim_ivf /
+      // ext_sim_pq: >= 3 of the exact cosine top-10 per query, with
+      // the same corpus-scaled rerank budget as ext_sim_pq; measured
+      // per-query min hits 7 at sf0.01, 4 at sf0.1, 4 at sf1 (the
+      // composed pruning compounds both tiers' misses — bound kept at
+      // 3 with headroom below worst observed).
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L, emb.count() / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val ivfpq = Similarity.ivfPqTopK(qs, emb, k = 10, nlist = 16,
+            nprobe = 6, m = 8, ksub = 64, rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(ivfpq, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_lsh_indexed",
       // The PERSISTED-index path — the 100 TB similarity story
       // (signatures precomputed once, corpus stored bucketed on the

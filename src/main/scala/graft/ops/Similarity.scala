@@ -297,6 +297,49 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
+  /** Classic IVF-PQ (Jégou et al. 2011, the composition [[pqTopK]]'s
+    * doc promises): the coarse quantizer assigns every code to a cell
+    * and a query's ADC scan reads ONLY its `nprobe` probed cells —
+    * the two pruning tiers multiply. At 100 TB: the cell filter skips
+    * (nlist − nprobe)/nlist of the data, the PQ codes shrink what
+    * remains 32×, and raw vectors surface only for the per-query
+    * rerank candidates. Shares cell assignment with [[ivfTopK]] and
+    * codebooks/ADC with [[pqTopK]], so each tier's recall behavior is
+    * the one its own gate already pins; the composed recall compounds
+    * them (measured against the exact top-10 in `ext_sim_ivfpq`).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
+                rerank: Int = 50, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.{PqAdcExpr, PqEncodeExpr}
+    val centroids = ivfCentroids(corpus, nlist, seed)
+    val cbs = pqCodebooks(corpus, m, ksub, seed)
+    // cell-tagged code table: (cell, c_id, code) — the scan tier
+    val codes = spread(ivfCorpusSide(corpus, centroids)
+      .select(col("cell"), col("c_id"),
+        toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)).as("code")))
+    val probes = ivfProbeSide(queries, centroids, nprobe)
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc", toCol(PqAdcExpr(toExpr(col("q_id")), toExpr(col("q_emb")),
+        toExpr(col("code")), cbs)))
+      .select(col("q_id"), col("c_id"), col("adc"))
+    val cands = TopK.topKByLongKey(scored, "q_id", "adc", "c_id", rerank)
+      .select("q_id", "c_id")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
+    val fetched = cands
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm")), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine",
+        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .select(col("q_id"), col("c_id"), col("cosine"))
+    TopK.topKByLongKey(fetched, "q_id", "cosine", "c_id", k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+  }
+
   /** Fixed-seed random hyperplanes; deterministic across runs (also
     * embedded as literals in the DuckDB oracle SQL, so visibility is
     * package-wide). */

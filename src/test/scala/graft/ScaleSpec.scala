@@ -148,9 +148,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //                   all-pairs tier is the point of PQ, 32× lighter
     //                   than ext_sim_topk's, and the recall gate
     //                   embeds the brute-force baseline on top.
+    //   ext_sim_ivfpq — same two bounded shapes composed: centroid
+    //                   assignment crosses |rows| × |centroids| and
+    //                   the recall gate embeds the brute-force
+    //                   baseline; the scan tier itself is the
+    //                   cell-pruned code equi-join.
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
-      "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq")
+      "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
+      "ext_sim_ivfpq")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -71,6 +71,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"PQ recall $recall collapsed")
   }
 
+  test("IVF-PQ composition finds the planted duplicate; recall compounds sanely") {
+    val res = Similarity.ivfPqTopK(
+      corpus.filter(col("vec_id") === 0), corpus, k = 5, nlist = 8, nprobe = 3)
+    val top = res.filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L,
+      "identical vector shares its cell, maximizes ADC, survives rerank")
+    assert(top.getAs[Double]("cosine") == 1.0)
+
+    // composed recall can only lose what the IVF cell pruning loses on
+    // top of PQ's candidate tier: both measured above, the composition
+    // must stay within the coarser (IVF) tier's floor
+    val q = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(q, corpus, k = 5, nlist = 8, nprobe = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall collapsed")
+    // every returned neighbor carries its EXACT cosine (rerank tier)
+    val cos = Similarity.ivfPqTopK(q, corpus, k = 5, nlist = 8, nprobe = 3)
+      .join(Similarity.bruteForceTopK(q, corpus, k = 200)
+        .select(col("q_id"), col("c_id"), col("cosine").as("exact_cos")),
+        Seq("q_id", "c_id"))
+    assert(cos.filter(col("cosine") =!= col("exact_cos")).isEmpty)
+  }
+
   test("PQ codes are m bytes and deterministic across runs") {
     import graft.ops.Similarity
     Similarity.clearPqCodebookCache()
