@@ -940,6 +940,48 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)),
 
+    QueryDef("sql_q5_local_supplier",
+      // TPC-H Q5 shape: the 6-table join-order workout. The region
+      // filter reduces through nation into supplier FIRST (broadcast
+      // chain prunes the fact join's supplier side to one region
+      // before any shuffle), lineitem⋈orders carries the selective
+      // date range, and the customer join closes the same-nation
+      // cycle (c_nationkey = s_nationkey) — the predicate that makes
+      // Q5's join graph a cycle rather than a star. Micro-unit
+      // revenue sum for cross-engine exactness.
+      Some("""SELECT n_name,
+             |       CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name""".stripMargin),
+      (s, dir) => {
+        val asiaNations = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+              col("o_orderdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      }),
+
     QueryDef("agg_conditional_share",
       // TPC-H Q14 shape: conditional aggregation — promo revenue share,
       // both sums micro-unit-accumulated before one double division.
