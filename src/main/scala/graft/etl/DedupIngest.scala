@@ -79,4 +79,116 @@ object DedupIngest {
         ()
       }
       .start()
+
+  // ---------------------------------------------------------------- //
+  // NEAR-dup admission (MinHash-banded)                              //
+  // ---------------------------------------------------------------- //
+
+  /** Admit one batch with NEAR-duplicate rejection: a batch doc is
+    * admitted iff it is (a) not a near-dup (MinHash-LSH candidate +
+    * exact Jaccard ≥ threshold) of any doc admitted by an EARLIER
+    * batch, and (b) not a near-dup of a lower-`idCol` doc admitted
+    * from the same batch (keep-first within the batch; exact dups
+    * included — Jaccard(x, x) = 1).
+    *
+    * State: the corpus docs and a PERSISTED BAND INDEX (`<dir>_bands`:
+    * doc id, band, key, shingle code set), both PARTITIONED BY the
+    * ingest batch id. Each batch probes the index with a band
+    * equi-join sized by the BATCH's bands — corpus text is never
+    * rescanned (at 100 TB the index is the bucketed table the batch
+    * join co-partitions against).
+    *
+    * Exactly-once under crash/replay — and NOT by admission alone:
+    * with two state stores, append-on-admit has a crash window either
+    * way around (docs landed + bands missing ⇒ replay re-admits and
+    * duplicates; bands landed + docs missing ⇒ replay self-rejects
+    * and LOSES the batch). Instead both writes are per-batch
+    * PARTITION OVERWRITES keyed by `batchId`, and the probe EXCLUDES
+    * the batch's own partition: a replay recomputes the identical
+    * admission decision (prior-batch state cannot have changed) and
+    * overwrites its own two partitions — idempotent at any crash
+    * point. Returns the admitted count.
+    */
+  def admitBatchNearDup(spark: SparkSession, batch: DataFrame, corpusDir: String,
+                        batchId: Long, idCol: String, textCol: String,
+                        threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, seed: Long = 42L): Long = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.functions._
+    import graft.functions.{JaccardSortedExpr, MinHashBandsExpr, ShingleCodesExpr}
+    val bandsDir = corpusDir.stripSuffix("/") + "_bands"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(bandsDir))
+
+    val b = batch
+      .withColumn("_sh", toCol(ShingleCodesExpr(toExpr(col(textCol)),
+        shingleSize, distinct = true)))
+      .withColumn("_bands", toCol(MinHashBandsExpr(toExpr(col(textCol)),
+        k, bands, shingleSize, seed)))
+      .persist()
+    try {
+      // (1) near-dups vs batches admitted BEFORE this one: band-join
+      // the persisted index (own partition excluded — replay safety),
+      // verify with exact Jaccard over the stored code sets
+      val corpusDups: DataFrame =
+        if (bootstrap) b.select(col(idCol)).limit(0)
+        else {
+          val idx = spark.read.parquet(bandsDir)
+            .filter(col("_ingest_batch") =!= batchId)
+          b.select(col(idCol), col("_sh"),
+              posexplode(col("_bands")).as(Seq("_band", "_key")))
+            .join(idx, Seq("_band", "_key"))
+            .filter(toCol(JaccardSortedExpr(toExpr(col("_sh")),
+              toExpr(col("_c_sh")))) >= threshold)
+            .select(col(idCol)).distinct()
+        }
+      val survivors = b.join(corpusDups, Seq(idCol), "left_anti")
+      // (2) keep-first within the batch: drop any survivor near-dup of
+      // a lower-id survivor (exact dups collide in every band)
+      val bandRows = survivors.select(col(idCol), col("_sh"),
+        posexplode(col("_bands")).as(Seq("_band", "_key")))
+      val inBatchDrops = bandRows.alias("l")
+        .join(bandRows.alias("r"),
+          col("l._band") === col("r._band") && col("l._key") === col("r._key") &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+        .filter(toCol(JaccardSortedExpr(toExpr(col("l._sh")),
+          toExpr(col("r._sh")))) >= threshold)
+        .select(col(s"r.$idCol").as(idCol)).distinct()
+      val admitted = survivors.join(inBatchDrops, Seq(idCol), "left_anti").persist()
+      try {
+        val n = admitted.count()
+        if (n > 0) {
+          admitted.drop("_sh", "_bands")
+            .withColumn("_ingest_batch", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_batch").parquet(corpusDir)
+          // the admitted docs' bands + code sets extend the index —
+          // the ONLY state future batches probe
+          admitted.select(col(idCol).as("_c_id"), col("_sh").as("_c_sh"),
+              posexplode(col("_bands")).as(Seq("_band", "_key")))
+            .withColumn("_ingest_batch", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_batch").parquet(bandsDir)
+        }
+        n
+      } finally admitted.unpersist()
+    } finally b.unpersist()
+  }
+
+  /** Resident stream for [[admitBatchNearDup]]. */
+  def startNearDup(stream: DataFrame, corpusDir: String, checkpointDir: String,
+                   idCol: String, textCol: String, threshold: Double = 0.7,
+                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatchNearDup(batch.sparkSession, batch, corpusDir, batchId,
+          idCol, textCol, threshold)
+        ()
+      }
+      .start()
 }

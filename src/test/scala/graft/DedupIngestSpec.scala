@@ -83,6 +83,75 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((0L, "a"), (1L, "b")), "replay duplicated rows")
   }
 
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "seventeen astronauts carefully measure gravitational anomalies near " +
+    "the ancient observatory during a long cold winter night in montana"
+  private val nearDup = base.replace("cold winter", "cold snowy winter")
+  private val unrelated = "completely unrelated content about cooking pasta " +
+    "with garlic butter sauce and fresh basil leaves from the garden " +
+    "served alongside a crisp white wine on a warm summer evening"
+
+  private def drainNear(stream: MemoryStream[(Long, String)], dir: String,
+                        cp: String): Unit = {
+    val q = etl.DedupIngest.startNearDup(
+      stream.toDF().toDF("doc_id", "text"), dir, cp,
+      idCol = "doc_id", textCol = "text", threshold = 0.7,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  private def corpusIds(dir: String): Set[Long] =
+    spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+
+  test("near-dup admission: cross-batch and in-batch keep-first") {
+    val dir = Files.createTempDirectory("neardup-ingest").toString + "/corpus"
+    val cp = Files.createTempDirectory("neardup-ingest-cp").toString
+    val stream = MemoryStream[(Long, String)]
+
+    // batch 1: base + its near-dup (keep-first drops id 1) + unrelated
+    stream.addData((0L, base), (1L, nearDup), (2L, unrelated))
+    drainNear(stream, dir, cp)
+    assert(corpusIds(dir) == Set(0L, 2L))
+
+    // batch 2: another near-dup of base (rejected vs corpus), an exact
+    // dup of unrelated (Jaccard 1, rejected), and a genuinely new doc
+    stream.addData((3L, base.replace("montana", "wyoming")),
+      (4L, unrelated), (5L, base.split(' ').reverse.mkString(" ") + " xyz"))
+    drainNear(stream, dir, cp)
+    // id 5 shares base's SHINGLE VOCAB? no — reversed word order
+    // changes every 3-shingle, so it must be admitted
+    assert(corpusIds(dir) == Set(0L, 2L, 5L))
+
+    // the band index only carries admitted docs
+    val idx = spark.read.parquet(dir + "_bands")
+    assert(idx.select("_c_id").distinct().as[Long].collect().toSet == Set(0L, 2L, 5L))
+  }
+
+  test("near-dup admission: crash between state writes and checkpoint replays clean") {
+    val dir = Files.createTempDirectory("neardup-crash").toString + "/corpus"
+    val cp = Files.createTempDirectory("neardup-crash-cp").toString
+    val stream = MemoryStream[(Long, String)]
+
+    // simulate batch 0 fully writing BOTH state stores, then crashing
+    // before the streaming checkpoint commits
+    etl.DedupIngest.admitBatchNearDup(spark,
+      Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text"),
+      dir, batchId = 0L, idCol = "doc_id", textCol = "text", threshold = 0.7)
+    assert(corpusIds(dir) == Set(0L, 2L))
+
+    // the stream replays the same rows as batch 0: the probe excludes
+    // its own partition, recomputes the identical admission, and
+    // overwrites its own partitions — no dupes, no loss
+    stream.addData((0L, base), (1L, nearDup), (2L, unrelated))
+    drainNear(stream, dir, cp)
+    assert(corpusIds(dir) == Set(0L, 2L))
+    assert(spark.read.parquet(dir).count() == 2, "replay duplicated corpus rows")
+    // follow-up batch still dedups against the replayed state
+    stream.addData((6L, base + " extra"), (7L, unrelated.toUpperCase))
+    drainNear(stream, dir, cp)
+    assert(corpusIds(dir) == Set(0L, 2L, 7L))
+  }
+
   test("admission matches the batch operator across an arrival sequence") {
     // property: ingesting batches B1..Bn leaves exactly the rows that
     // exactKeepFirst over (corpus-so-far ∪ batch) admits step by step
