@@ -41,6 +41,32 @@ import graft.ops.Dedup
   */
 object DedupIngest {
 
+  /** True iff `dir` holds at least one COMMITTED data file. Directory
+    * existence alone is the wrong bootstrap signal: a crash mid-write
+    * leaves the directory created with only `_temporary`/staging
+    * content, and a replay that trusted `fs.exists` would try to read
+    * an empty parquet dir and fail permanently instead of
+    * re-admitting. Hidden entries (`_`/`.` prefixes — Spark's own
+    * read-path convention) are skipped at every level.
+    */
+  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String): Boolean = {
+    // Spark's own hidden-path rule: `_`/`.` prefixes are skipped
+    // EXCEPT names containing "=" (partition directories like
+    // `_ingest_batch=0` must stay visible)
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !(n.startsWith("_") && !n.contains("=")) && !n.startsWith(".")
+    }
+    def scan(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        visible(st.getPath) &&
+          (if (st.isDirectory) scan(st.getPath) else st.getLen > 0)
+      }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && scan(p)
+  }
+
   /** Admit one batch into the corpus directory (also usable from a
     * caller's own foreachBatch). Returns the number of admitted rows.
     */
@@ -48,7 +74,7 @@ object DedupIngest {
                  key: String, tiebreaker: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    val bootstrap = !hasCommittedData(fs, corpusDir)
     val admitted =
       if (bootstrap) Dedup.exactKeepFirst(batch, Seq(key), tiebreaker)
       else Dedup.incrementalExact(
@@ -87,9 +113,14 @@ object DedupIngest {
   /** Admit one batch with NEAR-duplicate rejection: a batch doc is
     * admitted iff it is (a) not a near-dup (MinHash-LSH candidate +
     * exact Jaccard ≥ threshold) of any doc admitted by an EARLIER
-    * batch, and (b) not a near-dup of a lower-`idCol` doc admitted
-    * from the same batch (keep-first within the batch; exact dups
-    * included — Jaccard(x, x) = 1).
+    * batch, and (b) not a near-dup of ANY lower-`idCol` doc that
+    * survived (a) from the same batch — the keep-first rule every
+    * dedup surface here uses (`Dedup.semanticDedup`'s verdict form):
+    * a chain A~B~C with A≁C keeps only A, because C's lower near-dup
+    * B needs no admission of its own to disqualify C (exact dups
+    * included — Jaccard(x, x) = 1; group-transitive closure is
+    * `Dedup.connectedComponentsStar`'s job when cluster semantics
+    * matter).
     *
     * State: the corpus docs and a PERSISTED BAND INDEX (`<dir>_bands`:
     * doc id, band, key, shingle code set), both PARTITIONED BY the
@@ -119,7 +150,7 @@ object DedupIngest {
     val bandsDir = corpusDir.stripSuffix("/") + "_bands"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
-    val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(bandsDir))
+    val bootstrap = !hasCommittedData(fs, bandsDir)
 
     val b = batch
       .withColumn("_sh", toCol(ShingleCodesExpr(toExpr(col(textCol)),

@@ -44,10 +44,14 @@ final case class BpeSegmentExpr(merges: Seq[(String, String)], child: Expression
     var wi = 0
     while (wi < words.length) {
       if (wi > 0) out.append(" | ")
-      // symbols start as single chars; each merge is one left-to-right
-      // pass — the exact fold ops.Bpe documents (a fused symbol never
-      // re-matches within its own round)
-      var syms: Array[String] = words(wi).map(_.toString).toArray
+      // symbols start as single CODE POINTS (not UTF-16 units — a
+      // char-level split would break a surrogate pair into two lone
+      // symbols and diverge from the fold twin and the DuckDB oracle,
+      // both of which split by code point); each merge is one
+      // left-to-right pass — the exact fold ops.Bpe documents (a
+      // fused symbol never re-matches within its own round)
+      var syms: Array[String] = words(wi).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
       var mi = 0
       while (mi < table.length) {
         val a = table(mi)._1

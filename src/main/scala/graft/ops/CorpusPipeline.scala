@@ -45,9 +45,13 @@ import org.apache.spark.sql.functions._
   *    null keys skip matching entirely, which is the ~99 % shingle
   *    pruning ext_decontaminate_bloom exists for.
   *
-  * Result: THREE `documents` scans total (stats, payload join, bench
-  * side), no multi-consumed intermediates, no persist/cache needed.
-  * Nothing collects to the driver.
+  * Result: the corpus chain (stats → gate → dedup → decontaminate →
+  * split) consumes each derived frame once across two `documents`
+  * scans; the held-out side adds three bounded-by-the-bench-source
+  * scans (a narrow token-sum aggregate sizing the Bloom, the Bloom
+  * build, and the broadcast verify set). No multi-consumed
+  * intermediates, no persist/cache; nothing but the Bloom blob and
+  * two scalar counts reaches the driver.
   */
 object CorpusPipeline {
 
@@ -75,13 +79,11 @@ object CorpusPipeline {
       .select(col("doc_id"), col("n_tok"))
 
     // 2. payload join + keep-first exact dedup: one window pass on
-    //    text over the gated survivors
+    //    text over the gated survivors (the canonical operator —
+    //    doc_id is unique, so its deterministic tiebreak reduces to
+    //    min-doc_id-per-text, exactly the oracle's rule)
     val gated = docs.join(keep, "doc_id")
-    val deduped = gated
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("text")).orderBy(col("doc_id"))))
-      .filter(col("_rn") === 1)
+    val deduped = Dedup.exactKeepFirst(gated, Seq("text"), "doc_id")
 
     // 3. decontamination, corpus consumed ONCE. Bench shingles
     //    broadcast for the exact verify; their Bloom nulls the join
@@ -93,8 +95,16 @@ object CorpusPipeline {
       .withColumn("_ts", split(col("text"), " "))
       .select(explode(shingleArr).as("g")).distinct()
     val benchHashes = bench.select(xxhash64(col("g")).as("h"))
+    // Bloom sizing from a NARROW token-sum scan, not a count() of the
+    // explode+distinct subtree (which would evaluate the whole bench
+    // shingle pipeline a third time just to size its own prefilter).
+    // Token count upper-bounds shingle count; oversizing a Bloom only
+    // lowers its FP rate.
+    val expectedShingles = docs.filter(col("source") === benchSource)
+      .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))
+      .head.getLong(0)
     val blob = graft.functions.Bloom.build(
-      benchHashes, "h", benchHashes.count(), fpp = 0.01)
+      benchHashes, "h", expectedShingles, fpp = 0.01)
     val flagged = deduped.filter(col("source") =!= benchSource)
       .withColumn("_ts", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),

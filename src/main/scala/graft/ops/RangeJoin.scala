@@ -71,7 +71,15 @@ object RangeJoin {
                                bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val base = df.select(
-      keys.map(col) ++ Seq(col(idCol), col(startCol).as("_s"), col(endCol).as("_e")): _*)
+      keys.map(col) ++ Seq(col(idCol), col(startCol).as("_s"),
+        // a reversed interval must fail LOUDLY: sequence() would
+        // silently generate a DESCENDING bucket range, landing the row
+        // in buckets it never covers and emitting negative-overlap
+        // pairs in violation of the output contract
+        when(col(startCol) <= col(endCol), col(endCol))
+          .otherwise(raise_error(concat(
+            lit(s"intervalOverlapSelfPairs: end < start for $idCol="),
+            col(idCol).cast("string")))).as("_e")): _*)
     val banded = base.withColumn("_bkt",
       explode(sequence(expr(s"_s div $bucketWidth"), expr(s"_e div $bucketWidth"))))
     def side(p: String) = banded.select(

@@ -285,7 +285,16 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("adc"))
     val cands = TopK.topKByLongKey(scored, "q_id", "adc", "c_id", rerank)
       .select("q_id", "c_id")
-    // exact rerank: candidates fetch their raw vectors by id
+    exactRerank(cands, corpus, q, k)
+  }
+
+  /** Exact-rerank tier shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * candidates fetch their raw vectors by id (a candidate-sized
+    * join, not a corpus scan) and the final top-k ranks true cosine.
+    * One definition so the two PQ paths cannot drift.
+    */
+  private def exactRerank(cands: DataFrame, corpus: DataFrame,
+                          q: DataFrame, k: Int): DataFrame = {
     val fetched = cands
       .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm")), Seq("c_id"))
@@ -329,15 +338,7 @@ object Similarity {
       .select("q_id", "c_id")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
-    val fetched = cands
-      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        normD(col("embedding")).as("c_nrm")), Seq("c_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .withColumn("cosine",
-        round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
-      .select(col("q_id"), col("c_id"), col("cosine"))
-    TopK.topKByLongKey(fetched, "q_id", "cosine", "c_id", k)
-      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+    exactRerank(cands, corpus, q, k)
   }
 
   /** Fixed-seed random hyperplanes; deterministic across runs (also

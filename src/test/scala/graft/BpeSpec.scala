@@ -118,6 +118,14 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     val fast = Bpe.segment(docs, merges).orderBy("doc_id").collect().map(_.toSeq)
     val fold = Bpe.segmentFold(docs, merges).orderBy("doc_id").collect().map(_.toSeq)
     assert(fast.toSeq == fold.toSeq)
+    // non-BMP characters: both paths must split by CODE POINT — a
+    // UTF-16 split would shatter the surrogate pair into two symbols
+    val emoji = Seq((0L, "ab 😀ab c😀"))
+      .toDF("doc_id", "text")
+    val fastE = Bpe.segment(emoji, merges).select("bpe_text").as[String].head()
+    val foldE = Bpe.segmentFold(emoji, merges).select("bpe_text").as[String].head()
+    assert(fastE == foldE, s"surrogate divergence: '$fastE' vs '$foldE'")
+    assert(fastE == "ab | 😀 ab | c 😀")
   }
 
   test("FixtureMerges is exactly what learn produces on the sf0.01 fixture") {

@@ -90,6 +90,16 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       (1L, 102L, 103L, 3L)))
   }
 
+  test("interval overlap: reversed interval fails loudly, not silently") {
+    val iv = Seq((1L, 100L, 10L, 0L)).toDF("k", "id", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlapSelfPairs(iv, Seq("k"), "id", "s", "e", 10L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("end < start") ||
+      Option(ex.getCause).exists(_.getMessage.contains("end < start")))
+  }
+
   test("interval overlap: parity with the naive theta-join on random data") {
     val rnd = new scala.util.Random(31)
     val rows = (0 until 400).map { i =>
