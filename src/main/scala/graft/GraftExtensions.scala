@@ -72,6 +72,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         LevWithinExpr(exprs(0), exprs(1), k)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_segment"),
+      new ExpressionInfo(classOf[graft.functions.BpeSegmentExpr].getName, "graft_bpe_segment"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // merge table as a literal: pairs "a b" separated by commas,
+        // in learned order — e.g. graft_bpe_segment(text, 'e s,es t')
+        require(exprs.length == 2,
+          "graft_bpe_segment(text, merges) takes text and a literal merge table")
+        val spec = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_segment: merges must be a string literal 'a b,ab c', got $other")
+        }
+        val merges = spec.split(',').toSeq.filter(_.nonEmpty).map { p =>
+          p.split(' ') match {
+            case Array(a, b) => (a, b)
+            case _ => throw new IllegalArgumentException(
+              s"graft_bpe_segment: each merge must be 'left right', got '$p'")
+          }
+        }
+        graft.functions.BpeSegmentExpr(merges, exprs.head)
+      }))
     // optional trailing k: graft_kll_agg(v) or graft_kll_agg(v, 400)
     def kllK(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
              fn: String): Int = exprs match {

@@ -136,6 +136,23 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(Bpe.learn(docs, nMerges = 10) == Bpe.FixtureMerges)
   }
 
+  test("graft_bpe_segment is registered for SQL and agrees with the operator") {
+    Seq((0L, "lowest lower")).toDF("doc_id", "text").createOrReplaceTempView("bpe_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_bpe_segment(text, 'e s,es t,l o,lo w') AS s FROM bpe_docs")
+      .as[String].head()
+    val viaOp = Bpe.segment(Seq((0L, "lowest lower")).toDF("doc_id", "text"),
+        Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+      .select("bpe_text").as[String].head()
+    assert(viaSql == viaOp && viaSql == "low est | low e r")
+    // malformed merge table fails at analysis, not silently
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_segment(text, 'e') FROM bpe_docs").collect()
+    }
+    assert(ex.getMessage.contains("left right") ||
+      Option(ex.getCause).exists(_.getMessage.contains("left right")))
+  }
+
   test("learning is deterministic and respects minCount") {
     val docs = Seq((0L, "ab ab ab cd cd xy")).toDF("doc_id", "text")
     val m1 = Bpe.learn(docs, nMerges = 10, minCount = 2)
