@@ -88,7 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val merges = spec.split(',').toSeq.filter(_.nonEmpty).map { p =>
           p.split(' ') match {
-            case Array(a, b) => (a, b)
+            // empty symbols (a space-after-comma typo like 'e s, st')
+            // must fail loudly — an empty symbol never matches, so the
+            // merge would be silently inert
+            case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
             case _ => throw new IllegalArgumentException(
               s"graft_bpe_segment: each merge must be 'left right', got '$p'")
           }

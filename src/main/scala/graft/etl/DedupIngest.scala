@@ -110,17 +110,28 @@ object DedupIngest {
   // NEAR-dup admission (MinHash-banded)                              //
   // ---------------------------------------------------------------- //
 
-  /** Admit one batch with NEAR-duplicate rejection: a batch doc is
-    * admitted iff it is (a) not a near-dup (MinHash-LSH candidate +
-    * exact Jaccard ≥ threshold) of any doc admitted by an EARLIER
-    * batch, and (b) not a near-dup of ANY lower-`idCol` doc that
-    * survived (a) from the same batch — the keep-first rule every
-    * dedup surface here uses (`Dedup.semanticDedup`'s verdict form):
-    * a chain A~B~C with A≁C keeps only A, because C's lower near-dup
-    * B needs no admission of its own to disqualify C (exact dups
-    * included — Jaccard(x, x) = 1; group-transitive closure is
-    * `Dedup.connectedComponentsStar`'s job when cluster semantics
-    * matter).
+  /** Admit one batch with NEAR-duplicate rejection, with SEQUENTIAL
+    * semantics: the corpus is exactly what it would be had the docs
+    * arrived ONE AT A TIME in `idCol` order — a doc is admitted iff
+    * it is not a near-dup (MinHash-LSH candidate + exact Jaccard ≥
+    * threshold) of any ALREADY-ADMITTED doc, whether that doc was
+    * admitted by an earlier batch (probed via the persisted index) or
+    * earlier in the same batch (resolved as a greedy independent set
+    * over the in-batch candidate pairs, processed in id order). A
+    * chain A~B~C with A≁C therefore admits {A, C}: B is rejected
+    * against A, and C's only near-dup B is NOT in the corpus.
+    * Crucially this makes the outcome INVARIANT to micro-batch
+    * boundaries — the same stream split differently yields the same
+    * corpus (a "lower surviving doc disqualifies" rule would not be:
+    * in one batch B would kill C, across two batches it could not).
+    *
+    * The greedy resolution runs on the driver over the COLLECTED
+    * in-batch candidate pairs — inherently sequential, and bounded:
+    * pairs are capped at `maxInBatchPairs` with a loud failure past
+    * it (the same driver-side-bounded pattern as
+    * `Dedup.connectedComponents`; a micro-batch's near-dup pair count
+    * is batch-sized, not corpus-sized). Exact dups are included —
+    * Jaccard(x, x) = 1.
     *
     * State: the corpus docs and a PERSISTED BAND INDEX (`<dir>_bands`:
     * doc id, band, key, shingle code set), both PARTITIONED BY the
@@ -143,7 +154,8 @@ object DedupIngest {
   def admitBatchNearDup(spark: SparkSession, batch: DataFrame, corpusDir: String,
                         batchId: Long, idCol: String, textCol: String,
                         threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
-                        shingleSize: Int = 3, seed: Long = 42L): Long = {
+                        shingleSize: Int = 3, seed: Long = 42L,
+                        maxInBatchPairs: Int = 4000000): Long = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import org.apache.spark.sql.functions._
     import graft.functions.{JaccardSortedExpr, MinHashBandsExpr, ShingleCodesExpr}
@@ -161,7 +173,11 @@ object DedupIngest {
     try {
       // (1) near-dups vs batches admitted BEFORE this one: band-join
       // the persisted index (own partition excluded — replay safety),
-      // verify with exact Jaccard over the stored code sets
+      // collapse band collisions to DISTINCT candidate pairs, then
+      // verify each pair's exact Jaccard ONCE (an exact dup collides
+      // in every band; per-collision verification would re-walk both
+      // code sets `bands` times — the dedup-first shape
+      // Dedup.minhashNearDups already uses)
       val corpusDups: DataFrame =
         if (bootstrap) b.select(col(idCol)).limit(0)
         else {
@@ -170,23 +186,54 @@ object DedupIngest {
           b.select(col(idCol), col("_sh"),
               posexplode(col("_bands")).as(Seq("_band", "_key")))
             .join(idx, Seq("_band", "_key"))
+            .groupBy(col(idCol), col("_c_id"))
+            .agg(first(col("_sh")).as("_sh"), first(col("_c_sh")).as("_c_sh"))
             .filter(toCol(JaccardSortedExpr(toExpr(col("_sh")),
               toExpr(col("_c_sh")))) >= threshold)
             .select(col(idCol)).distinct()
         }
-      val survivors = b.join(corpusDups, Seq(idCol), "left_anti")
-      // (2) keep-first within the batch: drop any survivor near-dup of
-      // a lower-id survivor (exact dups collide in every band)
+      // persisted: consumed by the in-batch pair join (both sides) and
+      // the final admission anti-join — without this the whole index
+      // probe above would re-run per consumer (lesson #5)
+      val survivors = b.join(corpusDups, Seq(idCol), "left_anti").persist()
+      try {
+      // (2) in-batch candidate pairs among the survivors, verified
+      // once per distinct pair, then resolved SEQUENTIALLY (greedy by
+      // id) on the driver — see the scaladoc for why batch-boundary
+      // invariance requires "near-dup of an ADMITTED doc", which no
+      // one-shot join can express
       val bandRows = survivors.select(col(idCol), col("_sh"),
         posexplode(col("_bands")).as(Seq("_band", "_key")))
-      val inBatchDrops = bandRows.alias("l")
+      val pairRows = bandRows.alias("l")
         .join(bandRows.alias("r"),
           col("l._band") === col("r._band") && col("l._key") === col("r._key") &&
             col(s"l.$idCol") < col(s"r.$idCol"))
-        .filter(toCol(JaccardSortedExpr(toExpr(col("l._sh")),
-          toExpr(col("r._sh")))) >= threshold)
-        .select(col(s"r.$idCol").as(idCol)).distinct()
-      val admitted = survivors.join(inBatchDrops, Seq(idCol), "left_anti").persist()
+        .groupBy(col(s"l.$idCol").as("_a"), col(s"r.$idCol").as("_b"))
+        .agg(first(col("l._sh")).as("_ash"), first(col("r._sh")).as("_bsh"))
+        .filter(toCol(JaccardSortedExpr(toExpr(col("_ash")),
+          toExpr(col("_bsh")))) >= threshold)
+        .select(col("_a").cast("long"), col("_b").cast("long"))
+      val pairs = pairRows.take(maxInBatchPairs + 1)
+      require(pairs.length <= maxInBatchPairs,
+        s"admitBatchNearDup: > $maxInBatchPairs in-batch near-dup pairs — " +
+          "batch too large for driver-side sequential resolution; " +
+          "shrink the trigger or raise maxInBatchPairs")
+      val neighbors = pairs.groupBy(_.getLong(1))
+        .map { case (b2, rs) => b2 -> rs.map(_.getLong(0)).toSet }
+      val inBatchIds = survivors.select(col(idCol).cast("long"))
+        .collect().map(_.getLong(0)).sorted
+      val admittedIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+      inBatchIds.foreach { id =>
+        if (!neighbors.getOrElse(id, Set.empty).exists(admittedIds)) admittedIds += id
+      }
+      val keepIds = b.sparkSession.createDataFrame(
+        b.sparkSession.sparkContext.parallelize(
+          admittedIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("_keep_id", org.apache.spark.sql.types.LongType))
+      val admitted = survivors
+        .join(broadcast(keepIds), col(idCol).cast("long") === col("_keep_id"))
+        .drop("_keep_id").persist()
       try {
         val n = admitted.count()
         if (n > 0) {
@@ -206,19 +253,27 @@ object DedupIngest {
         }
         n
       } finally admitted.unpersist()
+      } finally survivors.unpersist()
     } finally b.unpersist()
   }
 
-  /** Resident stream for [[admitBatchNearDup]]. */
+  /** Resident stream for [[admitBatchNearDup]]. The sketch parameters
+    * MUST match the ones the index was built with — a probe computing
+    * different band keys than the stored ones finds zero candidates
+    * and silently admits everything, so they are threaded through
+    * rather than fixed.
+    */
   def startNearDup(stream: DataFrame, corpusDir: String, checkpointDir: String,
                    idCol: String, textCol: String, threshold: Double = 0.7,
+                   k: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+                   seed: Long = 42L,
                    trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatchNearDup(batch.sparkSession, batch, corpusDir, batchId,
-          idCol, textCol, threshold)
+          idCol, textCol, threshold, k, bands, shingleSize, seed)
         ()
       }
       .start()

@@ -70,16 +70,22 @@ object RangeJoin {
                                startCol: String, endCol: String,
                                bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val base = df.select(
-      keys.map(col) ++ Seq(col(idCol), col(startCol).as("_s"),
-        // a reversed interval must fail LOUDLY: sequence() would
-        // silently generate a DESCENDING bucket range, landing the row
-        // in buckets it never covers and emitting negative-overlap
-        // pairs in violation of the output contract
-        when(col(startCol) <= col(endCol), col(endCol))
-          .otherwise(raise_error(concat(
-            lit(s"intervalOverlapSelfPairs: end < start for $idCol="),
-            col(idCol).cast("string")))).as("_e")): _*)
+    val base = df
+      // NULL-bounded rows never were intervals: drop them (the
+      // pre-guard behavior — sequence(NULL) yielded NULL and explode
+      // dropped the row), don't let them reach the reversed-interval
+      // guard and abort the job with a wrong diagnostic
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(col(idCol), col(startCol).as("_s"),
+          // a reversed interval must fail LOUDLY: sequence() would
+          // silently generate a DESCENDING bucket range, landing the
+          // row in buckets it never covers and emitting
+          // negative-overlap pairs in violation of the output contract
+          when(col(startCol) <= col(endCol), col(endCol))
+            .otherwise(raise_error(concat(
+              lit(s"intervalOverlapSelfPairs: end < start for $idCol="),
+              col(idCol).cast("string")))).as("_e")): _*)
     val banded = base.withColumn("_bkt",
       explode(sequence(expr(s"_s div $bucketWidth"), expr(s"_e div $bucketWidth"))))
     def side(p: String) = banded.select(

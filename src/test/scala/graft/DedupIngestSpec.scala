@@ -127,14 +127,15 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.select("_c_id").distinct().as[Long].collect().toSet == Set(0L, 2L, 5L))
   }
 
-  test("near-dup admission: chain A~B~C keeps only A (keep-first, not greedy)") {
-    // B (near-dup of A) and C (near-dup of B but NOT of A) — the
-    // documented keep-first rule drops BOTH B and C: a lower-id
-    // near-dup disqualifies regardless of its own admission (the
-    // same rule as Dedup.semanticDedup's verdict). Controlled
-    // shingle overlap: 30 distinct tokens, one edit at each end —
-    // J(A,B) = J(B,C) = 27/29 ≈ 0.93, J(A,C) = 26/30 ≈ 0.87, so a
-    // 0.9 threshold makes exactly a chain.
+  test("near-dup chain A~B~C admits {A, C}, invariant to batch boundaries") {
+    // B (near-dup of A) and C (near-dup of B but NOT of A): under
+    // SEQUENTIAL semantics B is rejected against A, and C's only
+    // near-dup B never entered the corpus — so C is admitted. The
+    // answer must be the SAME whether the three arrive in one
+    // micro-batch or split across two. Controlled shingle overlap:
+    // 30 distinct tokens, one edit at each end — J(A,B) = J(B,C) =
+    // 27/29 ≈ 0.93, J(A,C) = 26/30 ≈ 0.87, so a 0.9 threshold makes
+    // exactly a chain.
     val toks = (1 to 30).map(i => f"t$i%02d")
     val a = toks.mkString(" ")
     val bDoc = (toks.dropRight(1) :+ "zzz").mkString(" ")
@@ -146,17 +147,25 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
         (2L, cDoc, "en", cDoc.length.toLong)).toDF("doc_id", "text", "lang", "n_chars"),
       threshold = 0.9).select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (1L, 2L)), s"fixture drifted: $pairs")
-    val dir = Files.createTempDirectory("neardup-chain").toString + "/corpus"
-    val cp = Files.createTempDirectory("neardup-chain-cp").toString
-    val stream = MemoryStream[(Long, String)]
-    stream.addData((0L, a), (1L, bDoc), (2L, cDoc))
-    val q = etl.DedupIngest.startNearDup(
-      stream.toDF().toDF("doc_id", "text"), dir, cp,
-      idCol = "doc_id", textCol = "text", threshold = 0.9,
-      trigger = Trigger.AvailableNow())
-    q.awaitTermination()
-    assert(corpusIds(dir) == Set(0L),
-      s"keep-first chain must keep only A, got ${corpusIds(dir)}")
+
+    def run(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val dir = Files.createTempDirectory("neardup-chain").toString + "/corpus"
+      val cp = Files.createTempDirectory("neardup-chain-cp").toString
+      val stream = MemoryStream[(Long, String)]
+      batches.foreach { rows =>
+        stream.addData(rows: _*)
+        val q = etl.DedupIngest.startNearDup(
+          stream.toDF().toDF("doc_id", "text"), dir, cp,
+          idCol = "doc_id", textCol = "text", threshold = 0.9,
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      corpusIds(dir)
+    }
+    val oneBatch = run(Seq(Seq((0L, a), (1L, bDoc), (2L, cDoc))))
+    val split = run(Seq(Seq((0L, a), (1L, bDoc)), Seq((2L, cDoc))))
+    assert(oneBatch == Set(0L, 2L), s"sequential chain must admit {A, C}: $oneBatch")
+    assert(split == oneBatch, "admission depended on micro-batch boundaries")
   }
 
   test("near-dup admission: crash between state writes and checkpoint replays clean") {
