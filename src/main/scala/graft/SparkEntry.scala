@@ -700,6 +700,41 @@ object SparkEntry {
             col("overlap_len").as("overlap_days"))
       }),
 
+    QueryDef("join_point_in_interval",
+      // point-in-interval membership join: purchases landing inside a
+      // same-user error window [error_ts, error_ts + 1h]
+      // (ops.RangeJoin.pointsInIntervals — intervals band to covered
+      // buckets, points land in exactly one, the (key, bucket)
+      // equi-join meets every containing interval with no dedup
+      // needed). The oracle states the containment theta-join
+      // directly; integer-ms bounds keep both engines exact.
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ts_ms,
+             |                  event_type FROM events),
+             |win AS (SELECT event_id AS e_id, user_id, ts_ms AS w_start,
+             |               ts_ms + 3600000 AS w_end
+             |        FROM e WHERE event_type = 'error'),
+             |p AS (SELECT event_id AS p_id, user_id, ts_ms AS p_ts
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.p_id, p.p_ts, win.e_id, win.w_start, win.w_end
+             |FROM p JOIN win
+             |  ON p.user_id = win.user_id
+             | AND win.w_start <= p.p_ts AND p.p_ts <= win.w_end""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val wins = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), col("user_id"),
+            col("ts_ms").as("w_start"), (col("ts_ms") + 3600000L).as("w_end"))
+        val pts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts_ms").as("p_ts"))
+        RangeJoin.pointsInIntervals(pts, wins, keys = Seq("user_id"),
+            pointId = "p_id", pointTime = "p_ts",
+            intervalId = "e_id", startCol = "w_start", endCol = "w_end",
+            bucketWidth = 3600000L)
+          .select(col("user_id"), col("p_p_id").as("p_id"), col("p_ts"),
+            col("i_e_id").as("e_id"), col("w_start"), col("w_end"))
+      }),
+
     QueryDef("strm_window_session",
       // per-user sessionization (1h inactivity gap) via the native
       // session_window operator; oracle reproduces the merge rule

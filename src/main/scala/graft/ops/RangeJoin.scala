@@ -45,6 +45,55 @@ object RangeJoin {
       .drop("_lid")
   }
 
+  /** Point-in-interval membership join: pairs of (point row, interval
+    * row) of the same key where `start ≤ pointTime ≤ end` (inclusive)
+    * — "which error windows was this purchase inside". The third
+    * member of the banded range-join family: [[countInWindow]] anchors
+    * the interval at the point (trailing window),
+    * [[intervalOverlapSelfPairs]] joins intervals to intervals, this
+    * joins an interval TABLE to a point TABLE.
+    *
+    * Banding: intervals emit their covered buckets (fan-out
+    * `len/bucketWidth + 1`), points land in exactly ONE bucket, and
+    * the equi-join on (key, bucket) meets every containing interval
+    * there — a point lives in one bucket, so no pair can be emitted
+    * twice and no canonical-bucket rule is needed. Cost at 100 TB:
+    * shuffle `|points| + (len/W+1)·|intervals|` rows, never the
+    * nested-loop |points|·|intervals|.
+    *
+    * NULL-bounded intervals and NULL-time points are dropped (not
+    * intervals/points); a reversed interval fails loudly (see
+    * [[intervalOverlapSelfPairs]]). Output: keys, the point id/time,
+    * the interval id/bounds.
+    */
+  def pointsInIntervals(points: DataFrame, intervals: DataFrame,
+                        keys: Seq[String], pointId: String, pointTime: String,
+                        intervalId: String, startCol: String, endCol: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(keys.map(k => col(k).as(s"_i_$k")) ++ Seq(
+        col(intervalId).as(s"i_$intervalId"), col(startCol).as("_s"),
+        when(col(startCol) <= col(endCol), col(endCol))
+          .otherwise(raise_error(concat(
+            lit(s"pointsInIntervals: end < start for $intervalId="),
+            col(intervalId).cast("string")))).as("_e")): _*)
+      .withColumn("_ibkt",
+        explode(sequence(expr(s"_s div $bucketWidth"), expr(s"_e div $bucketWidth"))))
+    val pt = points
+      .filter(col(pointTime).isNotNull)
+      .select(keys.map(col) ++ Seq(col(pointId).as(s"p_$pointId"),
+        col(pointTime).as("_t")): _*)
+      .withColumn("_pbkt", expr(s"_t div $bucketWidth"))
+    val cond = keys.map(k => col(k) === col(s"_i_$k"))
+      .reduce(_ && _) && col("_pbkt") === col("_ibkt") &&
+      col("_s") <= col("_t") && col("_t") <= col("_e")
+    pt.join(iv, cond)
+      .select(keys.map(col) ++ Seq(col(s"p_$pointId"), col("_t").as(pointTime),
+        col(s"i_$intervalId"), col("_s").as(startCol), col("_e").as(endCol)): _*)
+  }
+
   /** Same-key pairs of rows whose `[start, end]` intervals overlap
     * (both bounds inclusive, integral units) — "which of this
     * customer's orders had overlapping fulfillment windows".

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, when}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{AsOfJoin, RangeJoin}
 
@@ -88,6 +89,44 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       (1L, 101L, 102L, 4L),
       (1L, 101L, 103L, 8L),   // shares buckets 1 AND 2 — emitted once
       (1L, 102L, 103L, 3L)))
+  }
+
+  test("point-in-interval: inclusive ends, keys isolated, nulls dropped") {
+    val pts = Seq((7L, 10L, 100L), (7L, 11L, 160L), (7L, 12L, 161L),
+      (8L, 13L, 100L), (7L, 14L, -1L))
+      .toDF("k", "pid", "t")
+      // null point time → dropped, not matched
+      .withColumn("t", when(col("t") >= 0, col("t")))
+    val iv = Seq((7L, 100L, 100L, 160L), (7L, 101L, 150L, 250L))
+      .toDF("k", "iid", "s", "e")
+    val out = RangeJoin.pointsInIntervals(pts, iv, Seq("k"), "pid", "t",
+        "iid", "s", "e", bucketWidth = 60L)
+      .select("p_pid", "i_iid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 100L),              // t=100 == start, inclusive
+      (11L, 100L), (11L, 101L), // t=160 == one end, inside the other
+      (12L, 101L)))             // t=161 just past 100's end
+    // key 8's point never crosses into key 7's windows; null-t absent
+  }
+
+  test("point-in-interval: parity with the naive theta-join on random data") {
+    val rnd = new scala.util.Random(53)
+    val pts = (0 until 300).map(i =>
+      (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(1000).toLong))
+    val ivs = (0 until 120).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4).toLong, 1000L + i, s, s + rnd.nextInt(150))
+    }
+    val out = RangeJoin.pointsInIntervals(
+        pts.toDF("k", "pid", "t").repartition(5),
+        ivs.toDF("k", "iid", "s", "e").repartition(3),
+        Seq("k"), "pid", "t", "iid", "s", "e", bucketWidth = 100L)
+      .select("p_pid", "i_iid").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      p <- pts; v <- ivs
+      if p._1 == v._1 && v._3 <= p._3 && p._3 <= v._4
+    } yield (p._2, v._2)).toSet
+    assert(out == naive)
   }
 
   test("interval overlap: reversed interval fails loudly, not silently") {
