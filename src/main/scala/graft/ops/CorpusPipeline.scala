@@ -61,64 +61,90 @@ object CorpusPipeline {
     * quality is irrelevant to contamination), and its docs are never
     * part of the corpus.
     */
-  def prep(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
-    // 1. quality stats in ONE explode pass: per-(doc, token) counts,
-    //    then per-doc totals. n_tok = Σcnt, distinct = row count,
-    //    top_cnt = max cnt — all three metrics from the same
-    //    aggregation, map-side partials absorbing the explode.
-    val stats = docs
+  /** Quality verdict: (doc_id, n_tok) for every doc passing the gate.
+    * ONE explode pass — per-(doc, token) counts, then per-doc totals;
+    * n_tok = Σcnt, distinct = row count, top_cnt = max cnt, all three
+    * metrics from the same aggregation with map-side partials
+    * absorbing the explode. Shared with the streaming builder
+    * (`etl.CorpusIngest`).
+    */
+  private[graft] def qualityKeep(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_distinct"),
         max(col("cnt")).as("top_cnt"))
-    val keep = stats.filter(
-      col("n_tok") >= 20 &&
-        col("n_distinct").cast("double") / col("n_tok") > 0.3 &&
-        col("top_cnt").cast("double") / col("n_tok") <= 0.08)
+      .filter(
+        col("n_tok") >= 20 &&
+          col("n_distinct").cast("double") / col("n_tok") > 0.3 &&
+          col("top_cnt").cast("double") / col("n_tok") <= 0.08)
       .select(col("doc_id"), col("n_tok"))
 
-    // 2. payload join + keep-first exact dedup: one window pass on
-    //    text over the gated survivors (the canonical operator —
-    //    doc_id is unique, so its deterministic tiebreak reduces to
-    //    min-doc_id-per-text, exactly the oracle's rule)
-    val gated = docs.join(keep, "doc_id")
+  private[graft] def shingleArr = expr(
+    "transform(if(size(_ts) >= 5, sequence(1, size(_ts) - 4), array()), " +
+      "i -> concat_ws(' ', slice(_ts, i, 5)))")
+
+  /** The decontamination stage, built ONCE from the held-out docs and
+    * reusable across calls/micro-batches: the distinct 5-gram shingle
+    * set (broadcast for the exact verify) plus its Bloom (sized by a
+    * narrow token-sum scan — token count upper-bounds shingle count,
+    * and oversizing a Bloom only lowers its FP rate).
+    */
+  private[graft] final case class Decontaminator(bench: DataFrame,
+                                                 blob: Array[Byte]) {
+    /** Drop every row of `df` (doc_id, …, text) sharing a shingle
+      * with the held-out set; `df` is consumed ONCE (explode_outer +
+      * per-doc flag aggregation — see the object doc), carrying
+      * `carryCols` through the group keys.
+      */
+    def clean(df: DataFrame, carryCols: Seq[String]): DataFrame = {
+      val keyCols = "doc_id" +: carryCols
+      df.withColumn("_ts", split(col("text"), " "))
+        .select((keyCols.map(col) :+ explode_outer(shingleArr).as("g")): _*)
+        .withColumn("g", when(
+          graft.functions.Bloom.mightContain(blob, xxhash64(col("g"))), col("g")))
+        .join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(coalesce(col("_hit"), lit(0))).as("_contaminated"))
+        .filter(col("_contaminated") === 0)
+        .drop("_contaminated")
+    }
+  }
+
+  private[graft] object Decontaminator {
+    def build(benchDocs: DataFrame): Decontaminator = {
+      val bench = benchDocs
+        .withColumn("_ts", split(col("text"), " "))
+        .select(explode(shingleArr).as("g")).distinct()
+      val benchHashes = bench.select(xxhash64(col("g")).as("h"))
+      val expectedShingles = benchDocs
+        .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))
+        .head.getLong(0)
+      Decontaminator(bench,
+        graft.functions.Bloom.build(benchHashes, "h", expectedShingles, fpp = 0.01))
+    }
+  }
+
+  /** Deterministic multiplicative-hash train/eval split column. */
+  private[graft] def splitCol: org.apache.spark.sql.Column =
+    when((col("doc_id") * 2654435761L) % 100 < 90, "train").otherwise("eval")
+
+  def prep(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
+    // 1. quality gate, 2. payload join + keep-first exact dedup (the
+    // canonical operator — doc_id is unique, so its deterministic
+    // tiebreak reduces to min-doc_id-per-text, the oracle's rule)
+    val gated = docs.join(qualityKeep(docs), "doc_id")
     val deduped = Dedup.exactKeepFirst(gated, Seq("text"), "doc_id")
 
-    // 3. decontamination, corpus consumed ONCE. Bench shingles
-    //    broadcast for the exact verify; their Bloom nulls the join
-    //    key of definite non-matches first.
-    def shingleArr = expr(
-      "transform(if(size(_ts) >= 5, sequence(1, size(_ts) - 4), array()), " +
-        "i -> concat_ws(' ', slice(_ts, i, 5)))")
-    val bench = docs.filter(col("source") === benchSource)
-      .withColumn("_ts", split(col("text"), " "))
-      .select(explode(shingleArr).as("g")).distinct()
-    val benchHashes = bench.select(xxhash64(col("g")).as("h"))
-    // Bloom sizing from a NARROW token-sum scan, not a count() of the
-    // explode+distinct subtree (which would evaluate the whole bench
-    // shingle pipeline a third time just to size its own prefilter).
-    // Token count upper-bounds shingle count; oversizing a Bloom only
-    // lowers its FP rate.
-    val expectedShingles = docs.filter(col("source") === benchSource)
-      .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))
-      .head.getLong(0)
-    val blob = graft.functions.Bloom.build(
-      benchHashes, "h", expectedShingles, fpp = 0.01)
-    val flagged = deduped.filter(col("source") =!= benchSource)
-      .withColumn("_ts", split(col("text"), " "))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
-        explode_outer(shingleArr).as("g"))
-      .withColumn("g", when(
-        graft.functions.Bloom.mightContain(blob, xxhash64(col("g"))), col("g")))
-      .join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
-      .groupBy("doc_id", "lang", "source", "n_tok")
-      .agg(max(coalesce(col("_hit"), lit(0))).as("_contaminated"))
-      .filter(col("_contaminated") === 0)
+    // 3. decontamination of the surviving corpus, consumed ONCE
+    val deco = Decontaminator.build(docs.filter(col("source") === benchSource))
+    val flagged = deco.clean(
+      deduped.filter(col("source") =!= benchSource),
+      carryCols = Seq("lang", "source", "n_tok"))
 
     // 4. deterministic split
     flagged.select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
-      when((col("doc_id") * 2654435761L) % 100 < 90, "train")
-        .otherwise("eval").as("split"))
+      splitCol.as("split"))
   }
 }
