@@ -130,7 +130,14 @@ object CorpusPipeline {
   private[graft] def splitCol: org.apache.spark.sql.Column =
     when((col("doc_id") * 2654435761L) % 100 < 90, "train").otherwise("eval")
 
-  def prep(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
+  /** Run the pipeline; `keepText = true` additionally carries the
+    * text column through — the shape a BACKFILL needs when a
+    * streaming ingest (`etl.CorpusIngest`) will continue on the
+    * produced corpus, whose admission keys on text. The catalog
+    * query uses the default (its oracle pins the narrower schema).
+    */
+  def prep(docs: DataFrame, benchSource: String = "src0",
+           keepText: Boolean = false): DataFrame = {
     // 1. quality gate, 2. payload join + keep-first exact dedup (the
     // canonical operator — doc_id is unique, so its deterministic
     // tiebreak reduces to min-doc_id-per-text, the oracle's rule)
@@ -139,12 +146,12 @@ object CorpusPipeline {
 
     // 3. decontamination of the surviving corpus, consumed ONCE
     val deco = Decontaminator.build(docs.filter(col("source") === benchSource))
+    val carry = (if (keepText) Seq("text") else Nil) ++
+      Seq("lang", "source", "n_tok")
     val flagged = deco.clean(
-      deduped.filter(col("source") =!= benchSource),
-      carryCols = Seq("lang", "source", "n_tok"))
+      deduped.filter(col("source") =!= benchSource), carryCols = carry)
 
     // 4. deterministic split
-    flagged.select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
-      splitCol.as("split"))
+    flagged.select((col("doc_id") +: carry.map(col)) :+ splitCol.as("split"): _*)
   }
 }

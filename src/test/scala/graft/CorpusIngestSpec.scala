@@ -64,6 +64,29 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestBase {
       == Set(0L, 5L, 6L))
   }
 
+  test("backfill-then-stream handoff: prep(keepText) seeds the streaming corpus") {
+    // the production sequence: a batch backfill builds the corpus,
+    // then the resident ingest continues on it — backfilled texts
+    // must block later streamed duplicates
+    val dir = Files.createTempDirectory("corpus-handoff").toString + "/corpus"
+    val cp = Files.createTempDirectory("corpus-handoff-cp").toString
+    val backfillDocs = Seq(
+      (0L, good, "en", "src1"), (1L, short5, "en", "src1"),
+      (6L, benchDoc, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    graft.ops.CorpusPipeline.prep(backfillDocs, keepText = true)
+      .write.parquet(dir)
+    assert(spark.read.parquet(dir).columns.contains("text"),
+      "backfill shape must carry the admission key")
+
+    val stream = MemoryStream[(Long, String, String, String)]
+    // a dup of the BACKFILLED doc plus a new one
+    stream.addData((10L, good, "en", "src2"), (11L, good2, "en", "src1"))
+    drain(stream, dir, cp)
+    val ids = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 11L), s"backfilled text failed to block its dup: $ids")
+  }
+
   test("streamed result equals the batch pipeline on the union of batches") {
     // the streaming builder is prep's resident twin: over the same
     // docs (no intra-stream ordering surprises: distinct texts), the
