@@ -101,7 +101,7 @@ object KlineIngest {
   def toKafkaFrame(df: DataFrame): DataFrame =
     df.select(
       col("coin").cast("binary").as("key"),
-      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+      to_json(struct(df.columns.toSeq.map(col): _*)).cast("binary").as("value"))
 
   /** The reference's per-batch schema guard
     * (streaming-longtime.py:115-117): driver-side metadata check, no

@@ -88,7 +88,7 @@ object AsOfJoin {
       case None => col("_m").isNotNull
     }
     val out = carried.withColumn("_m", when(inRange, col("_m")))
-    out.select(left.columns.map(col) ++
+    out.select(left.columns.toSeq.map(col) ++
       (matchedTime +: payload).map(c => col("_m")(c).as(c)): _*)
       .withColumnRenamed(matchedTime, "asof_time")
   }

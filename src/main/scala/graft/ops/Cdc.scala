@@ -113,7 +113,7 @@ object Cdc {
       val existing =
         if (fs.exists(root) && fs.listStatus(root).nonEmpty)
           spark.read.parquet(path)                      // partition pruning:
-            .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+            .filter(col("_bucket").isin(affected.toSeq.map(Integer.valueOf): _*))
             .withColumn("_op", lit("U"))                // only touched buckets read
             .select(names.map(col): _*)
         else picked.limit(0)

@@ -55,12 +55,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Run the pipeline. Output: one row per ADMITTED doc —
-    * (doc_id, lang, source, n_tok, split). The held-out benchmark is
-    * `benchSource` in its entirety (an eval set is external: its own
-    * quality is irrelevant to contamination), and its docs are never
-    * part of the corpus.
-    */
   /** Quality verdict: (doc_id, n_tok) for every doc passing the gate.
     * ONE explode pass — per-(doc, token) counts, then per-doc totals;
     * n_tok = Σcnt, distinct = row count, top_cnt = max cnt, all three
@@ -120,7 +114,7 @@ object CorpusPipeline {
       val benchHashes = bench.select(xxhash64(col("g")).as("h"))
       val expectedShingles = benchDocs
         .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       Decontaminator(bench,
         graft.functions.Bloom.build(benchHashes, "h", expectedShingles, fpp = 0.01))
     }
@@ -130,7 +124,11 @@ object CorpusPipeline {
   private[graft] def splitCol: org.apache.spark.sql.Column =
     when((col("doc_id") * 2654435761L) % 100 < 90, "train").otherwise("eval")
 
-  /** Run the pipeline; `keepText = true` additionally carries the
+  /** Run the pipeline. Output: one row per ADMITTED doc —
+    * (doc_id, lang, source, n_tok, split); the held-out benchmark is
+    * `benchSource` in its entirety (an eval set is external: its own
+    * quality is irrelevant to contamination) and its docs are never
+    * part of the corpus. `keepText = true` additionally carries the
     * text column through — the shape a BACKFILL needs when a
     * streaming ingest (`etl.CorpusIngest`) will continue on the
     * produced corpus, whose admission keys on text. The catalog

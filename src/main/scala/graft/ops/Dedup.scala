@@ -35,7 +35,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
           .orderBy(col(tiebreaker),
-            org.apache.spark.sql.functions.xxhash64(df.columns.map(col): _*))))
+            org.apache.spark.sql.functions.xxhash64(df.columns.toSeq.map(col): _*))))
       .filter(col("_rn") === 1).drop("_rn")
 
   /** Incremental exact dedup: admit the rows of an incoming `batch`

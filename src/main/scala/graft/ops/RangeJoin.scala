@@ -40,7 +40,7 @@ object RangeJoin {
       .reduce(_ && _) && col("_bkt") === col("_rbkt") &&
       col("_rt") > col(leftTime) - windowMs && col("_rt") <= col(leftTime)
     l.join(r, cond, "left_outer")
-      .groupBy(col("_lid") +: left.columns.map(col): _*)
+      .groupBy((col("_lid") +: left.columns.toSeq.map(col)): _*)
       .agg(count(col("_rt")).as("n_in_window"))
       .drop("_lid")
   }

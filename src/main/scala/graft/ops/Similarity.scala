@@ -85,8 +85,8 @@ object Similarity {
     */
   private def rankedCells(emb: org.apache.spark.sql.Column,
                           centroids: Array[Array[Double]]) =
-    array_sort(array(centroids.zipWithIndex.map { case (cArr, i) =>
-      val dot = dotD(emb, array(cArr.map(lit): _*))
+    array_sort(array(centroids.toSeq.zipWithIndex.map { case (cArr, i) =>
+      val dot = dotD(emb, array(cArr.toSeq.map(lit): _*))
       val norm2 = cArr.map(x => x * x).sum
       struct((lit(norm2 / 2) - dot).as("negscore"), lit(i).as("cell"))
     }: _*))
@@ -181,7 +181,7 @@ object Similarity {
     // of the query count
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(dir)
-      .filter(col("cell").isin(probed.map(Int.box): _*))
+      .filter(col("cell").isin(probed.toSeq.map(Int.box): _*))
       .select(col("c_id"), col("c_emb"), col("c_nrm"), col("cell"))
     ivfScoreRank(c, q, k)
   }
@@ -465,7 +465,7 @@ object Similarity {
     val q = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), probe.schema)
     val c = spark.table(table)
-      .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
+      .filter(col("bucket").isin(probeBuckets.toSeq.map(Int.box): _*))
     scoreAndRank(c, q, k)
   }
 }
