@@ -135,7 +135,9 @@ object DedupIngest {
     *
     * State: the corpus docs and a PERSISTED BAND INDEX (`<dir>_bands`:
     * doc id, band, key, shingle code set), both PARTITIONED BY the
-    * ingest batch id. Each batch probes the index with a band
+    * run-scoped ingest batch id (`runTag-batchId` — see the runTag
+    * param doc on why the tag exists). Each batch probes the index
+    * with a band
     * equi-join sized by the BATCH's bands — corpus text is never
     * rescanned (at 100 TB the index is the bucketed table the batch
     * join co-partitions against).
@@ -155,10 +157,30 @@ object DedupIngest {
                         batchId: Long, idCol: String, textCol: String,
                         threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, seed: Long = 42L,
-                        maxInBatchPairs: Int = 4000000): Long = {
+                        maxInBatchPairs: Int = 4000000,
+                        runTag: String = ""): Long = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     import graft.functions.{JaccardSortedExpr, MinHashBandsExpr, ShingleCodesExpr}
+    // the driver-side sequential resolution orders and collects ids as
+    // longs — a string/decimal id would cast to NULL (NPE at collect)
+    // or truncate (distinct ids colliding): refuse loudly instead
+    batch.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"admitBatchNearDup: $idCol must be an integral type " +
+          s"(sequential resolution orders ids as longs), got $other")
+    }
+    // the batch's state-partition value: scoped by `runTag` so a
+    // NEW stream (fresh checkpoint ⇒ batch ids restart at 0) over an
+    // EXISTING corpus cannot collide with — and dynamically OVERWRITE
+    // — a previous run's partitions. startNearDup derives the tag
+    // from the checkpoint location: stable across checkpoint resume
+    // (replay overwrites its own partition, as the exactly-once
+    // argument requires), distinct across fresh checkpoints (old
+    // partitions stay probed and untouched).
+    val partVal = if (runTag.isEmpty) batchId.toString else s"$runTag-$batchId"
     val bandsDir = corpusDir.stripSuffix("/") + "_bands"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
@@ -182,7 +204,11 @@ object DedupIngest {
         if (bootstrap) b.select(col(idCol)).limit(0)
         else {
           val idx = spark.read.parquet(bandsDir)
-            .filter(col("_ingest_batch") =!= batchId)
+            // compare as STRING: partition values are strings on disk
+            // but Spark's partition-type inference may read a purely
+            // numeric legacy partition as LONG, and a typed compare
+            // against the run-tagged value would fail the cast
+            .filter(col("_ingest_batch").cast("string") =!= partVal)
           b.select(col(idCol), col("_sh"),
               posexplode(col("_bands")).as(Seq("_band", "_key")))
             .join(idx, Seq("_band", "_key"))
@@ -218,27 +244,37 @@ object DedupIngest {
         s"admitBatchNearDup: > $maxInBatchPairs in-batch near-dup pairs — " +
           "batch too large for driver-side sequential resolution; " +
           "shrink the trigger or raise maxInBatchPairs")
+      // greedy over PAIR-ENDPOINT ids only: an id with no candidate
+      // pair is always admitted and appears in no neighbor set, so it
+      // cannot influence any endpoint's decision — the driver and the
+      // broadcast carry at most 2·maxInBatchPairs ids, never the
+      // batch (collecting every survivor id would make a dup-free
+      // 10M-row batch a driver OOM for nothing)
       val neighbors = pairs.groupBy(_.getLong(1))
         .map { case (b2, rs) => b2 -> rs.map(_.getLong(0)).toSet }
-      val inBatchIds = survivors.select(col(idCol).cast("long"))
-        .collect().map(_.getLong(0)).sorted
-      val admittedIds = scala.collection.mutable.LinkedHashSet.empty[Long]
-      inBatchIds.foreach { id =>
-        if (!neighbors.getOrElse(id, Set.empty).exists(admittedIds)) admittedIds += id
+      val endpoints = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .distinct.sorted
+      val admittedEndpoints = scala.collection.mutable.HashSet.empty[Long]
+      val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      endpoints.foreach { id =>
+        if (neighbors.getOrElse(id, Set.empty).exists(admittedEndpoints))
+          rejected += id
+        else admittedEndpoints += id
       }
-      val keepIds = b.sparkSession.createDataFrame(
+      val rejectedDf = b.sparkSession.createDataFrame(
         b.sparkSession.sparkContext.parallelize(
-          admittedIds.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+          rejected.toSeq.map(org.apache.spark.sql.Row(_)), 1),
         new org.apache.spark.sql.types.StructType()
-          .add("_keep_id", org.apache.spark.sql.types.LongType))
+          .add("_rej_id", org.apache.spark.sql.types.LongType))
       val admitted = survivors
-        .join(broadcast(keepIds), col(idCol).cast("long") === col("_keep_id"))
-        .drop("_keep_id").persist()
+        .join(broadcast(rejectedDf),
+          col(idCol).cast("long") === col("_rej_id"), "left_anti")
+        .persist()
       try {
         val n = admitted.count()
         if (n > 0) {
           admitted.drop("_sh", "_bands")
-            .withColumn("_ingest_batch", lit(batchId))
+            .withColumn("_ingest_batch", lit(partVal))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_ingest_batch").parquet(corpusDir)
@@ -246,7 +282,7 @@ object DedupIngest {
           // the ONLY state future batches probe
           admitted.select(col(idCol).as("_c_id"), col("_sh").as("_c_sh"),
               posexplode(col("_bands")).as(Seq("_band", "_key")))
-            .withColumn("_ingest_batch", lit(batchId))
+            .withColumn("_ingest_batch", lit(partVal))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_ingest_batch").parquet(bandsDir)
@@ -267,14 +303,23 @@ object DedupIngest {
                    idCol: String, textCol: String, threshold: Double = 0.7,
                    k: Int = 64, bands: Int = 16, shingleSize: Int = 3,
                    seed: Long = 42L,
-                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    // run tag = checkpoint identity: stable across checkpoint RESUME
+    // (same path ⇒ a replayed batch overwrites its own partitions),
+    // distinct for a FRESH checkpoint over the same corpus (batch ids
+    // restart at 0 there — without the tag, the new batch 0 would
+    // exclude-and-overwrite the original batch 0's admitted docs)
+    val tag = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(checkpointDir).hashCode().toLong & 0xffffffffL)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatchNearDup(batch.sparkSession, batch, corpusDir, batchId,
-          idCol, textCol, threshold, k, bands, shingleSize, seed)
+          idCol, textCol, threshold, k, bands, shingleSize, seed,
+          runTag = tag)
         ()
       }
       .start()
+  }
 }

@@ -108,9 +108,16 @@ object CorpusPipeline {
 
   private[graft] object Decontaminator {
     def build(benchDocs: DataFrame): Decontaminator = {
+      // persisted: the instance is reused across every clean() call
+      // (each micro-batch of a stream) — without this, only the Bloom
+      // blob is materialized once and the shingle set would re-scan,
+      // re-explode, re-distinct and re-broadcast per batch. Held for
+      // the instance's lifetime deliberately: it IS the fixed
+      // held-out set (broadcast-sized by contract).
       val bench = benchDocs
         .withColumn("_ts", split(col("text"), " "))
         .select(explode(shingleArr).as("g")).distinct()
+        .persist()
       val benchHashes = bench.select(xxhash64(col("g")).as("h"))
       val expectedShingles = benchDocs
         .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))

@@ -27,6 +27,7 @@ object RangeJoin {
   def countInWindow(left: DataFrame, right: DataFrame, keys: Seq[String],
                     leftTime: String, rightTime: String,
                     windowMs: Long): DataFrame = {
+    require(keys.nonEmpty, "countInWindow needs at least one join key")
     val rKeys = keys.map(k => col(k).as(s"_r_$k"))
     val r = right.select(rKeys :+ col(rightTime).as("_rt"): _*)
       .withColumn("_rbkt", expr(s"_rt div $windowMs"))
@@ -71,6 +72,9 @@ object RangeJoin {
                         intervalId: String, startCol: String, endCol: String,
                         bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(keys.nonEmpty,
+      "pointsInIntervals needs at least one join key (an un-keyed " +
+        "containment join would reduce over an empty predicate list)")
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull)
       .select(keys.map(k => col(k).as(s"_i_$k")) ++ Seq(

@@ -193,6 +193,37 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(corpusIds(dir) == Set(0L, 2L, 7L))
   }
 
+  test("near-dup: a FRESH checkpoint over an existing corpus neither overwrites nor re-admits") {
+    // batch ids restart at 0 under a new checkpoint; without the
+    // run-scoped partition tag, the new batch 0 would exclude the old
+    // batch 0 from its probe (re-admitting its near-dups) and then
+    // dynamically OVERWRITE its partitions — silent data loss
+    val dir = Files.createTempDirectory("neardup-fresh").toString + "/corpus"
+    val cp1 = Files.createTempDirectory("neardup-fresh-cp1").toString
+    val cp2 = Files.createTempDirectory("neardup-fresh-cp2").toString
+    val s1 = MemoryStream[(Long, String)]
+    s1.addData((0L, base), (1L, unrelated))
+    val q1 = etl.DedupIngest.startNearDup(
+      s1.toDF().toDF("doc_id", "text"), dir, cp1,
+      idCol = "doc_id", textCol = "text", threshold = 0.7,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(corpusIds(dir) == Set(0L, 1L))
+
+    // run 2: NEW checkpoint, same corpus; its batch 0 carries a
+    // near-dup of run 1's batch-0 doc plus a new doc
+    val s2 = MemoryStream[(Long, String)]
+    s2.addData((10L, nearDup), (11L, base.split(' ').reverse.mkString(" ") + " qqq"))
+    val q2 = etl.DedupIngest.startNearDup(
+      s2.toDF().toDF("doc_id", "text"), dir, cp2,
+      idCol = "doc_id", textCol = "text", threshold = 0.7,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    val ids = corpusIds(dir)
+    assert(ids == Set(0L, 1L, 11L),
+      s"run 1's docs must survive and still block near-dups: $ids")
+  }
+
   test("admission matches the batch operator across an arrival sequence") {
     // property: ingesting batches B1..Bn leaves exactly the rows that
     // exactKeepFirst over (corpus-so-far ∪ batch) admits step by step
