@@ -117,16 +117,21 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       val s = rnd.nextInt(1000).toLong
       (rnd.nextInt(4).toLong, 1000L + i, s, s + rnd.nextInt(150))
     }
-    val out = RangeJoin.pointsInIntervals(
-        pts.toDF("k", "pid", "t").repartition(5),
-        ivs.toDF("k", "iid", "s", "e").repartition(3),
-        Seq("k"), "pid", "t", "iid", "s", "e", bucketWidth = 100L)
-      .select("p_pid", "i_iid").as[(Long, Long)].collect().toSet
     val naive = (for {
       p <- pts; v <- ivs
       if p._1 == v._1 && v._3 <= p._3 && p._3 <= v._4
     } yield (p._2, v._2)).toSet
-    assert(out == naive)
+    // the bucket width is a pure performance knob: any positive width
+    // must yield identical pairs (1 = every unit its own bucket,
+    // 5000 = everything in one bucket)
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      val out = RangeJoin.pointsInIntervals(
+          pts.toDF("k", "pid", "t").repartition(5),
+          ivs.toDF("k", "iid", "s", "e").repartition(3),
+          Seq("k"), "pid", "t", "iid", "s", "e", bucketWidth = w)
+        .select("p_pid", "i_iid").as[(Long, Long)].collect().toSet
+      assert(out == naive, s"width $w diverged")
+    }
   }
 
   test("interval overlap: reversed interval fails loudly, not silently") {
@@ -146,15 +151,19 @@ class JoinOpsSpec extends AnyFunSuite with SparkTestBase {
       (rnd.nextInt(5).toLong, i.toLong, s, s + rnd.nextInt(80))
     }
     val iv = rows.toDF("k", "id", "s", "e").repartition(7)
-    val banded = RangeJoin.intervalOverlapSelfPairs(iv, Seq("k"), "id", "s", "e",
-        bucketWidth = 50L)
-      .select("k", "a_id", "b_id", "overlap_len")
-      .as[(Long, Long, Long, Long)].collect().toSet
     val naive = (for {
       a <- rows; b <- rows
       if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
     } yield (a._1, a._2, b._2, math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
-    assert(banded == naive)
+    // any positive width must yield identical pairs — the canonical-
+    // bucket single-emission rule must hold at every granularity
+    for (w <- Seq(3L, 50L, 400L, 5000L)) {
+      val banded = RangeJoin.intervalOverlapSelfPairs(iv, Seq("k"), "id", "s", "e",
+          bucketWidth = w)
+        .select("k", "a_id", "b_id", "overlap_len")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(banded == naive, s"width $w diverged")
+    }
   }
 
   test("asof: matches the naive per-row argmax formulation on random data") {

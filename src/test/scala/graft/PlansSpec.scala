@@ -62,6 +62,21 @@ class PlansSpec extends AnyFunSuite with SparkTestBase {
     assert(df.head().getInt(0) == 3)
   }
 
+  test("q5: date range pushed to the orders scan; dims broadcast, one fact shuffle join") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("sql_q5_local_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the selective year lands in row-group pruning territory
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"o_orderdate range not pushed:\n$plan")
+    // the intended join shape: dims broadcast, exactly one
+    // shuffle (sort-merge) join — lineitem⋈orders
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smj <= 1, s"more than one fact-fact shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "dim joins must broadcast")
+  }
+
   test("filt_ts_range pushes the ts bound into the parquet scan") {
     // the watermark-scan contract (VERDICT r5 #1): the time bound must
     // land in PushedFilters so row-group min/max stats prune at 100 TB
