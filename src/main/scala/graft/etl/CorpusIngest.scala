@@ -47,7 +47,7 @@ object CorpusIngest {
   def start(stream: DataFrame, benchDocs: DataFrame, corpusDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
-    val deco = CorpusPipeline.Decontaminator.build(benchDocs)
+    val deco = CorpusPipeline.Decontaminator.build(benchDocs, persistBench = true)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -193,6 +193,13 @@ object DedupIngest {
         k, bands, shingleSize, seed)))
       .persist()
     try {
+      // NULL ids would silently bypass EVERY tier below (a null key
+      // matches no anti-join, forms no pair, and is never caught by
+      // the rejected-ids anti-join) — refuse loudly instead of
+      // admitting undeduplicated rows
+      require(b.filter(col(idCol).isNull).isEmpty,
+        s"admitBatchNearDup: NULL $idCol in batch — null ids cannot be " +
+          "deduplicated and would be admitted unconditionally")
       // (1) near-dups vs batches admitted BEFORE this one: band-join
       // the persisted index (own partition excluded — replay safety),
       // collapse band collisions to DISTINCT candidate pairs, then
@@ -309,8 +316,14 @@ object DedupIngest {
     // distinct for a FRESH checkpoint over the same corpus (batch ids
     // restart at 0 there — without the tag, the new batch 0 would
     // exclude-and-overwrite the original batch 0's admitted docs)
-    val tag = java.lang.Long.toHexString(
-      org.apache.spark.unsafe.types.UTF8String.fromString(checkpointDir).hashCode().toLong & 0xffffffffL)
+    // SHA-256 prefix: stable across JVMs/Spark versions (a tag that
+    // drifted on upgrade would break a resumed run's own-partition
+    // exclusion), and 64 bits keeps cross-run collision negligible
+    // (a 32-bit tag would birthday-collide across a platform's runs
+    // and reproduce the exclude-and-overwrite loss it exists to stop)
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -107,17 +107,21 @@ object CorpusPipeline {
   }
 
   private[graft] object Decontaminator {
-    def build(benchDocs: DataFrame): Decontaminator = {
-      // persisted: the instance is reused across every clean() call
-      // (each micro-batch of a stream) — without this, only the Bloom
-      // blob is materialized once and the shingle set would re-scan,
-      // re-explode, re-distinct and re-broadcast per batch. Held for
-      // the instance's lifetime deliberately: it IS the fixed
-      // held-out set (broadcast-sized by contract).
-      val bench = benchDocs
+    /** `persistBench = true` caches the shingle set for instances
+      * reused across many clean() calls (a resident stream — without
+      * it, only the Bloom blob is materialized once and the shingle
+      * set would re-scan, re-explode, re-distinct and re-broadcast
+      * per micro-batch; held for the stream's lifetime deliberately,
+      * it IS the fixed held-out set, broadcast-sized by contract).
+      * One-shot callers (the batch `prep`) keep the default: a
+      * persist with no unpersist path would leak one cache entry per
+      * call for the application lifetime.
+      */
+    def build(benchDocs: DataFrame, persistBench: Boolean = false): Decontaminator = {
+      val benchRaw = benchDocs
         .withColumn("_ts", split(col("text"), " "))
         .select(explode(shingleArr).as("g")).distinct()
-        .persist()
+      val bench = if (persistBench) benchRaw.persist() else benchRaw
       val benchHashes = bench.select(xxhash64(col("g")).as("h"))
       val expectedShingles = benchDocs
         .agg(coalesce(sum(size(split(col("text"), " "))), lit(0L)))

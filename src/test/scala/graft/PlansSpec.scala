@@ -72,8 +72,10 @@ class PlansSpec extends AnyFunSuite with SparkTestBase {
       s"o_orderdate range not pushed:\n$plan")
     // the intended join shape: dims broadcast, exactly one
     // shuffle (sort-merge) join — lineitem⋈orders
-    val smj = "SortMergeJoin".r.findAllIn(plan).length
-    assert(smj <= 1, s"more than one fact-fact shuffle join:\n$plan")
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(shuffleJoins == 1,
+      s"expected exactly one fact-fact shuffle join, got $shuffleJoins:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), "dim joins must broadcast")
   }
 
