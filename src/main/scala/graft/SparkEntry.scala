@@ -2010,6 +2010,40 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_ivfpq_indexed",
+      // the persisted form of the IVF-PQ composition: ONE
+      // cell-partitioned table carrying (id, 8-byte code, vector) —
+      // the ADC scan reads ONLY (id, code) of the probed cells
+      // (partition pruning × column pruning: vectors stay on disk),
+      // the rerank re-reads those cells pruned to (id, vector) for
+      // the candidate ids; codebooks + centroids persist alongside so
+      // a query session needs nothing but the directory
+      // (Similarity.buildIvfPqIndex / ivfPqIndexedTopK). Same recall
+      // contract as ext_sim_ivfpq; measured per-query min hits 7 at
+      // sf0.01, 4 at sf0.1 (identical to the in-query path — shared
+      // cell/codebook assignment).
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L, emb.count() / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = "target/graft-indexes/ivfpq_" + idxSuffix(dir)
+        buildIndexOnce(s"ivfpq|$dir") {
+          Similarity.buildIvfPqIndex(emb, idxDir, nlist = 16, m = 8,
+            ksub = 64, seed = 42L)
+        }
+        val ivfpq = Similarity.ivfPqIndexedTopK(s, idxDir, qs, k = 10,
+            nprobe = 6, rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(ivfpq, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_lsh_indexed",
       // The PERSISTED-index path — the 100 TB similarity story
       // (signatures precomputed once, corpus stored bucketed on the

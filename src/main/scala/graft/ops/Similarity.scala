@@ -341,6 +341,86 @@ object Similarity {
     exactRerank(cands, corpus, q, k)
   }
 
+  /** Persist the corpus as an IVF-PQ index — the composition's
+    * index-once/query-many form. ONE cell-partitioned table carries
+    * (c_id, code, c_emb, c_nrm): the ADC scan tier reads ONLY
+    * (c_id, code) — parquet column pruning keeps the raw vectors on
+    * disk — and the rerank tier fetches (c_id, c_emb, c_nrm) for the
+    * candidate ids from the same probed cells. Codebooks persist
+    * alongside (`<dir>_codebooks`: one row per (sub, code) centroid)
+    * with the coarse centroids (`<dir>_centroids`), so a query session
+    * needs NOTHING but the directory.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+                      m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.PqEncodeExpr
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, nlist, seed)
+    val cbs = pqCodebooks(corpus, m, ksub, seed)
+    ivfCorpusSide(corpus, centroids)
+      .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
+    (for { j <- cbs.indices; r <- cbs(j).indices }
+      yield (j, r, cbs(j)(r).toSeq)).toDF("sub", "code", "vals")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_codebooks")
+  }
+
+  /** Top-k against a [[buildIvfPqIndex]] directory. Centroids and
+    * codebooks read back (tiny), probed cell ids pushed as a
+    * partition filter; the scan tier reads only the 8-byte codes of
+    * the probed cells, the rerank tier re-reads those cells pruned to
+    * (id, vector) and joined down to the candidate ids. Same
+    * cell/codebook assignment as [[ivfPqTopK]] by construction.
+    */
+  def ivfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, k: Int = 10, nprobe: Int = 3,
+                       rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.PqAdcExpr
+    val centroids = spark.read.parquet(dir.stripSuffix("/") + "_centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(dir.stripSuffix("/") + "_codebooks")
+      .select(col("sub"), col("code"), col("vals")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val cbs: graft.functions.Pq.Codebooks = {
+      val arr = Array.ofDim[Array[Double]](m, ksub)
+      cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      arr.map(_.toArray)
+    }
+    val probes = ivfProbeSide(queries, centroids, nprobe)
+    val probed = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // scan tier: codes only, probed cells only (partition pruning +
+    // column pruning — the vectors never leave disk here)
+    val codes = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+      .select(col("cell"), col("c_id"), col("code"))
+    val scored = spread(codes).join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adc", toCol(PqAdcExpr(toExpr(col("q_id")), toExpr(col("q_emb")),
+        toExpr(col("code")), cbs)))
+      .select(col("q_id"), col("c_id"), col("adc"))
+    val cands = TopK.topKByLongKey(scored, "q_id", "adc", "c_id", rerank)
+      .select("q_id", "c_id")
+    // rerank tier: vectors of the probed cells, joined down to the
+    // candidate ids
+    val vectors = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
+    exactRerank(cands, vectors, q, k)
+  }
+
   /** Fixed-seed random hyperplanes; deterministic across runs (also
     * embedded as literals in the DuckDB oracle SQL, so visibility is
     * package-wide). */

@@ -156,7 +156,7 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
-      "ext_sim_ivfpq")
+      "ext_sim_ivfpq", "ext_sim_ivfpq_indexed")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

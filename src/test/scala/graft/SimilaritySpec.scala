@@ -176,4 +176,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Long]("c_id") == 100L &&
       top.getAs[Double]("cosine") == 1.0)
   }
+
+  test("persisted IVF-PQ index: pruned two-tier reads, identical rows to ivfPqTopK") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-idx"
+    Similarity.buildIvfPqIndex(corpus, dir, nlist = 8, m = 8, ksub = 16)
+    val q = corpus.filter(col("vec_id") < 10)
+    val indexed = Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+      nprobe = 3, rerank = 50)
+    val plan = indexed.queryExecution.executedPlan.toString
+    // both tiers prune to the probed cell directories
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on cell in plan:\n$plan")
+    // the ADC tier reads codes WITHOUT the raw vectors: some scan's
+    // ReadSchema must carry `code` and not `c_emb`
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s => s.contains("code") && !s.contains("c_emb")),
+      s"code-tier scan not column-pruned:\n${readSchemas.mkString("\n")}")
+    // identical rows to the in-query composition (shared cell +
+    // codebook assignment; codebooks roundtrip exactly through parquet)
+    val adhoc = Similarity.ivfPqTopK(q, corpus, k = 5, nlist = 8, m = 8,
+        ksub = 16, rerank = 50, nprobe = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val got = indexed.as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === adhoc)
+    // planted duplicate surfaces through the persisted code scan
+    val top = indexed.filter(col("q_id") === 0 && col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L &&
+      top.getAs[Double]("cosine") == 1.0)
+  }
 }
