@@ -124,6 +124,14 @@ object DedupIngest {
     * boundaries — the same stream split differently yields the same
     * corpus (a "lower surviving doc disqualifies" rule would not be:
     * in one batch B would kill C, across two batches it could not).
+    * PRECONDITION for that invariance: doc ids must be MONOTONE with
+    * arrival order (later-arriving docs carry larger ids — true for
+    * sequence-assigned ids, Kafka offsets, time-ordered snowflakes).
+    * For an UNORDERED id source the corpus is still near-dup-free and
+    * exactly-once either way, but which member of a near-dup pair
+    * survives can depend on the batch split: for A~B arriving A-first
+    * with id(B) < id(A), one batch {A,B} admits B (greedy by id)
+    * while batches {A} then {B} admit A.
     *
     * The greedy resolution runs on the driver over the COLLECTED
     * in-batch candidate pairs — inherently sequential, and bounded:

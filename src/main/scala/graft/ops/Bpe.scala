@@ -56,11 +56,18 @@ object Bpe {
   private[graft] def resplit(sym: Column): Column =
     filter(split(sym, Sep), s => s =!= "")
 
+  /** Trim width of symbol `a` in CHARACTERS (code points): Spark's
+    * `length`/`substr` and DuckDB's `length`/`substr` both count code
+    * points, while `String.length` counts UTF-16 units — a merge
+    * symbol containing a supplementary (non-BMP) character would trim
+    * one character too many under `a.length`. */
+  private def charLen(a: String): Int = a.codePointCount(0, a.length)
+
   /** One merge as the accumulator fold described in the object doc. */
   private def foldMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, lit(Sep), (acc, x) =>
       when(x === lit(b) && endswith(acc, lit(Sep + a + Sep)),
-        concat(acc.substr(lit(1), length(acc) - (a.length + 1)),
+        concat(acc.substr(lit(1), length(acc) - (charLen(a) + 1)),
           lit(a + b + Sep)))
         .otherwise(concat(acc, x, lit(Sep))))
 
@@ -168,6 +175,11 @@ object Bpe {
     * generated SQL grows linearly in the merge count.
     */
   def segmentOracleSql(merges: Seq[(String, String)]): String = {
+    // merge symbols come from arbitrary corpus words — escape quotes
+    // so a symbol containing `'` cannot produce malformed SQL, and
+    // count trim widths in code points (DuckDB's length() counts
+    // characters; String.length counts UTF-16 units — see charLen)
+    def q(s: String): String = s.replace("'", "''")
     // sentinel STRING per round; a round wraps its predecessor into
     // (init :: symbols) and folds the merge over it
     val folded = merges.foldLeft(
@@ -175,8 +187,8 @@ object Bpe {
       case (prev, (a, b)) =>
         s"list_reduce(list_prepend(chr(1), " +
           s"list_filter(string_split($prev, chr(1)), s -> s <> '')), " +
-          s"(acc, x) -> CASE WHEN x = '$b' AND ends_with(acc, chr(1)||'$a'||chr(1)) " +
-          s"THEN substr(acc, 1, length(acc) - ${a.length + 1}) || '$a$b' || chr(1) " +
+          s"(acc, x) -> CASE WHEN x = '${q(b)}' AND ends_with(acc, chr(1)||'${q(a)}'||chr(1)) " +
+          s"THEN substr(acc, 1, length(acc) - ${charLen(a) + 1}) || '${q(a)}${q(b)}' || chr(1) " +
           s"ELSE acc || x || chr(1) END)"
     }
     s"""WITH seg AS (

@@ -70,10 +70,18 @@ object Similarity {
       // coarse quantizer quality needs only a sample; cap the fit
       // input, but keep ≥ 20 rows per requested centroid so a large
       // adaptive nlist (Dedup.semParams at big corpora) still trains
-      // meaningful cells instead of starving them
+      // meaningful cells instead of starving them. The sample is made
+      // DETERMINISTIC by ordering on vec_id before the limit (a bare
+      // limit takes whatever partitions schedule first, so centroids —
+      // and every recall measurement built on them — would drift
+      // across cluster configurations despite the fixed seed); the
+      // orderBy+limit pair plans as TakeOrderedAndProject (bounded
+      // per-partition heaps, no full sort materialization).
       val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-        .fit(corpus.select(array_to_vector(col("embedding")).as("features"))
-          .limit(math.max(10000, 20 * nlist)))
+        .fit(corpus.select(col("vec_id"),
+            array_to_vector(col("embedding")).as("features"))
+          .orderBy(col("vec_id")).limit(math.max(10000, 20 * nlist))
+          .select(col("features")))
       model.clusterCenters.map(_.toArray)
     })
   }
@@ -206,8 +214,13 @@ object Similarity {
                           seed: Long): graft.functions.Pq.Codebooks = {
     val key = (corpus.queryExecution.analyzed.semanticHash(), m * 1000 + ksub, m, seed)
     pqCodebookCache.computeIfAbsent(key, _ => {
-      val sample: Array[Array[Double]] = corpus.select(col("embedding"))
-        .limit(10000).collect()
+      // deterministic sample: orderBy before the limit (same rationale
+      // as ivfCentroids — a bare limit depends on partition scheduling
+      // and would let codebooks drift across cluster layouts)
+      val sample: Array[Array[Double]] = corpus
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(10000)
+        .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
         .filter(_.exists(_ != 0.0))
       require(sample.nonEmpty, "pq fit: empty corpus sample")
@@ -387,13 +400,27 @@ object Similarity {
       .select(col("cell"), col("centroid")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    val cbRows = spark.read.parquet(dir.stripSuffix("/") + "_codebooks")
+    val cbPath = dir.stripSuffix("/") + "_codebooks"
+    val cbRows = spark.read.parquet(cbPath)
       .select(col("sub"), col("code"), col("vals")).collect()
+    // loud failure on a missing or partially-written codebook table: an
+    // empty directory would otherwise surface as an opaque `empty.max`,
+    // and a sparse (sub, code) grid as an NPE deep in the ADC scan
+    require(cbRows.nonEmpty,
+      s"ivfPqIndexedTopK: no codebook rows at $cbPath — the index is " +
+        "missing or partially written; rebuild with buildIvfPqIndex")
     val m = cbRows.map(_.getInt(0)).max + 1
     val ksub = cbRows.map(_.getInt(1)).max + 1
     val cbs: graft.functions.Pq.Codebooks = {
       val arr = Array.ofDim[Array[Double]](m, ksub)
       cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val missing = for {
+        j <- 0 until m; r <- 0 until ksub if arr(j)(r) == null
+      } yield s"($j,$r)"
+      require(missing.isEmpty,
+        s"ivfPqIndexedTopK: codebook grid at $cbPath is sparse — missing " +
+          s"${missing.take(5).mkString(", ")} of ${m}x$ksub entries; " +
+          "the index is partially written, rebuild with buildIvfPqIndex")
       arr.map(_.toArray)
     }
     val probes = ivfProbeSide(queries, centroids, nprobe)
