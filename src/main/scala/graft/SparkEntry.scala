@@ -1916,11 +1916,16 @@ object SparkEntry {
       // bits after parse), signatures use the same left-to-right
       // double dot product, and the multiprobe rule "candidate shares
       // bucket sig⊕m for some popcount(m)≤2" reduces to
-      // hamming(q.sig, c.sig) ≤ 2.
+      // hamming(q.sig, c.sig) ≤ 2. nBits is ADAPTIVE
+      // (Similarity.lshBits: 2^bits buckets sized to ~80 rows — the
+      // knob that un-saturates the bucket space as the corpus grows;
+      // VERDICT r6 #1): deterministic from the corpus count, resolves
+      // to the oracle's pinned 8 bits at every gate scale
+      // (500/2000/20000 rows — SimilaritySpec pins the mapping).
       Some(LshTopkOracleSql),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+        Similarity.lshTopKAdaptive(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
           .withColumn("rnk", col("rnk").cast("long"))
       }),
 
@@ -2057,15 +2062,19 @@ object SparkEntry {
       // collects under the maxProbe contract — an unbounded query
       // slice is lshTopK's job, and the guard correctly refused it at
       // sf25.
+      // Build is ADAPTIVE (Similarity.buildLshIndexAdaptive — nBits
+      // and file-bucket count sized from the corpus, params persisted
+      // in <table>_meta); the probe self-configures from the meta
+      // table. Resolves to the oracle's pinned (8 bits, 32 buckets)
+      // at every gate scale.
       Some(lshTopkOracleSql("q.vec_id % 50 = 0 AND q.vec_id < 100000")),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val table = "graft_lsh_idx_" + idxSuffix(dir)
         buildIndexOnce(s"lsh|$dir") {
-          Similarity.buildLshIndex(emb, table, nBits = 8, dim = 64,
-            seed = 42L, buckets = 32)
+          Similarity.buildLshIndexAdaptive(emb, table, dim = 64, seed = 42L)
         }
-        Similarity.lshIndexedTopK(s, table,
+        Similarity.lshIndexedTopKAuto(s, table,
             emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 100000L),
             k = 10)
           .withColumn("rnk", col("rnk").cast("long"))

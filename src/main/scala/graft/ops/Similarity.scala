@@ -515,6 +515,42 @@ object Similarity {
     scoreAndRank(c, lshProbeSide(queries, planes, nBits, probeDist), k)
   }
 
+  /** Adaptive signature width — the [[graft.ops.Dedup.annParams]]
+    * pattern applied to the similarity side: 2^nBits buckets sized so
+    * each holds ~`targetBucket` rows, i.e. nBits ∝ log2(n/target).
+    * This is the knob that keeps per-query candidate work BOUNDED as
+    * the corpus grows: a FIXED 8-bit space saturates (at 500k vectors
+    * each of the 256 buckets holds ~2k rows and a radius-2 multiprobe
+    * scans ~14% of the corpus per query — measured 98× time on a 5×
+    * data step at sf25, VERDICT r6 #1), while adaptive bits hold the
+    * probed row count at ~masks·targetBucket regardless of n.
+    * Deterministic from (n, targetBucket) so the hyperplane-literal
+    * DuckDB oracle can reproduce the exact choice; floors at the
+    * catalog-pinned 8 bits for every gate scale (n ≤ 20480 at
+    * target 80 — sf0.01/sf0.1/sf1 all resolve to 8; SimilaritySpec
+    * pins the mapping). Capped at 20 bits (1M buckets ≈ an 80M-row
+    * corpus at target 80; past that raise targetBucket — more probed
+    * rows per query — rather than the mask count).
+    */
+  private[graft] def lshBits(n: Long, targetBucket: Int = 80): Int =
+    math.min(20, math.max(8, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
+  /** [[lshTopK]] with nBits sized from the corpus row count (one
+    * metadata-cheap count pass; see [[lshBits]]). probeDist is HELD at
+    * its default as bits grow — recall for a fixed cosine decays
+    * slowly (multiprobe radius covers a constant Hamming ball while
+    * the ball's share of the space shrinks); at 100 TB raise recall by
+    * unioning independent seeds, the [[graft.ops.Dedup.embeddingNearDupsAnnMulti]]
+    * shape, not by widening the probe radius (mask count is
+    * O(nBits^probeDist)).
+    */
+  def lshTopKAdaptive(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                      probeDist: Int = 2, dim: Int = 64, seed: Long = 42L,
+                      targetBucket: Int = 80): DataFrame =
+    lshTopK(queries, corpus, k, lshBits(corpus.count(), targetBucket),
+      probeDist, dim, seed)
+
   /** Persist the corpus as an LSH index: signatures precomputed once,
     * stored as a parquet table BUCKETED on the signature. Build cost
     * is one pass + one shuffle; after that every probe is a bucket-
@@ -541,6 +577,55 @@ object Similarity {
       .filter(col("c_nrm") > 0) // zero-norm: cosine undefined (NaN)
       .withColumn("bucket", signature(col("c_emb"), planes))
     graft.sinks.Routing.writeBucketed(c, table, "bucket", buckets)
+    // sketch parameters persist WITH the index (`<table>_meta`, one
+    // row): a probe computing signatures with different nBits/dim/seed
+    // than the stored buckets would silently find nothing — the same
+    // params-travel-with-state rule as DedupIngest.startNearDup. The
+    // auto probe (lshIndexedTopKAuto) reads them back, so a query
+    // session needs nothing but the table name.
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    spark2.sql(s"DROP TABLE IF EXISTS `${table}_meta`")
+    val metaLoc = new org.apache.hadoop.fs.Path(
+      spark2.sessionState.conf.warehousePath, s"${table.toLowerCase}_meta")
+    metaLoc.getFileSystem(spark2.sparkContext.hadoopConfiguration)
+      .delete(metaLoc, true)
+    Seq((nBits, dim, seed)).toDF("nbits", "dim", "seed")
+      .coalesce(1).write.saveAsTable(s"${table}_meta")
+  }
+
+  /** [[buildLshIndex]] with nBits sized from the corpus row count
+    * ([[lshBits]]) and the FILE-bucket count scaled with the signature
+    * space (2^(nBits−5), floor 32 — so a probed signature maps to a
+    * bounded slice of a bucket file instead of 1/32 of a saturated
+    * space; resolves to the pinned (8 bits, 32 buckets) at every gate
+    * scale). Parameters land in `<table>_meta` for
+    * [[lshIndexedTopKAuto]].
+    */
+  def buildLshIndexAdaptive(corpus: DataFrame, table: String, dim: Int = 64,
+                            seed: Long = 42L, targetBucket: Int = 80): Int = {
+    val nBits = lshBits(corpus.count(), targetBucket)
+    buildLshIndex(corpus, table, nBits, dim, seed,
+      buckets = math.max(32, 1 << math.max(0, nBits - 5)))
+    nBits
+  }
+
+  /** Top-k against a [[buildLshIndexAdaptive]] table, sketch params
+    * read from `<table>_meta` — fails loudly if the meta table is
+    * absent (an index built by the fixed-param [[buildLshIndex]]
+    * before this round, or a partial build).
+    */
+  def lshIndexedTopKAuto(spark: org.apache.spark.sql.SparkSession, table: String,
+                         queries: DataFrame, k: Int = 10, probeDist: Int = 2,
+                         maxProbe: Int = 100000): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"lshIndexedTopKAuto: no ${table}_meta — the index predates the " +
+        "adaptive build or is partially written; rebuild with buildLshIndexAdaptive")
+    val m = spark.table(s"${table}_meta").collect().head
+    lshIndexedTopK(spark, table, queries, k,
+      nBits = m.getAs[Int]("nbits"), probeDist = probeDist,
+      dim = m.getAs[Int]("dim"), seed = m.getAs[Long]("seed"),
+      maxProbe = maxProbe)
   }
 
   /** Top-k against a [[buildLshIndex]] table. The probe-bucket set is
