@@ -24,8 +24,15 @@ object Bench {
     val nameFilters = args.lift(0).getOrElse("").split(',').toSeq
     val excluded = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
       .split(',').filter(_.nonEmpty).toSet
-    def selected = SparkEntry.queries.filter(q =>
+    // catalog queries + the fixed-query-set scale probes (benchQueries
+    // — bench-only, no oracle; their correctness twins are in the
+    // catalog)
+    val all = SparkEntry.queries ++ SparkEntry.benchQueries
+    def selected = all.filter(q =>
       nameFilters.exists(q._1.contains) && !excluded(q._1))
+    // names dropped by SPARK_GRAFT_BENCH_EXCLUDE are RECORDED in the
+    // artifact — silent truncation reads as coverage (VERDICT r6 #8)
+    val excludedHit = all.keySet.intersect(excluded).toSeq.sorted
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -85,7 +92,8 @@ object Bench {
       JsonText.str(k) + ":" + JsonText.str(e)
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"ok":${ok.size},"failed":${results.size - ok.size},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
+    val excl = excludedHit.map(JsonText.str).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"ok":${ok.size},"failed":${results.size - ok.size},"excluded":$excl,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

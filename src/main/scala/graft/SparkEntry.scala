@@ -3119,4 +3119,91 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Bench-only scale probes — run by [[graft.Bench]], NOT part of the
+    * oracle catalog (correctness is the ext_sim_* / ext_dedup_* twins'
+    * job; these share every operator with them).
+    *
+    * The catalog similarity entries query a `vec_id % 50` slice that
+    * GROWS with the corpus, so their scale-sweep cost is O(n²/50) by
+    * construction and drowns the signal a sweep exists to produce
+    * (VERDICT r6 #2 — ext_sim_lsh_indexed's bounded set measured the
+    * true exp 1.07 while the unbounded twins read as quadratic). Each
+    * probe here runs a FIXED ≤100-query slice (`vec_id % 50 = 0 AND
+    * vec_id < 5000` — the full slice from sf0.25 up), so a recorded
+    * exponent reflects corpus scaling ONLY — the per-query cost curve
+    * a production vector store actually exhibits.
+    *
+    * IVF cell count uses the production sizing ([[Dedup.semParams]]:
+    * cells of ~250 rows, cap 1024) rather than the catalog's pinned
+    * nlist=16 — the pin exists for oracle reproducibility, not as a
+    * scale posture; PQ rerank budgets scale at 4% of n exactly like
+    * the catalog entries.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def fq(emb: DataFrame): DataFrame =
+      emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+    def rerank(n: Long): Int = math.min(10000L, math.max(100L, n / 25)).toInt
+    Map(
+      "bench_sim_topk_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(fq(e), e, k = 10)
+      }),
+      "bench_sim_lsh_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshTopKAdaptive(fq(e), e, k = 10)
+      }),
+      "bench_sim_lsh_indexed_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val table = "graft_lsh_idx_" + idxSuffix(dir)
+        buildIndexOnce(s"lsh|$dir") {
+          Similarity.buildLshIndexAdaptive(e, table, dim = 64, seed = 42L)
+        }
+        Similarity.lshIndexedTopKAuto(s, table, fq(e), k = 10)
+      }),
+      "bench_sim_ivf_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(fq(e), e, k = 10,
+          nlist = Dedup.semParams(e.count()), nprobe = 6)
+      }),
+      "bench_sim_ivf_indexed_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val idxDir = "target/graft-indexes/ivf_fq_" + idxSuffix(dir)
+        buildIndexOnce(s"ivf_fq|$dir") {
+          Similarity.buildIvfIndex(e, idxDir,
+            nlist = Dedup.semParams(e.count()), seed = 42L)
+        }
+        Similarity.ivfIndexedTopK(s, idxDir, fq(e), k = 10, nprobe = 6)
+      }),
+      "bench_sim_pq_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.pqTopK(fq(e), e, k = 10, m = 8, ksub = 64,
+          rerank = rerank(e.count()))
+      }),
+      "bench_sim_ivfpq_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val n = e.count()
+        Similarity.ivfPqTopK(fq(e), e, k = 10, nlist = Dedup.semParams(n),
+          nprobe = 6, m = 8, ksub = 64, rerank = rerank(n))
+      }),
+      "bench_sim_ivfpq_indexed_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val n = e.count()
+        val idxDir = "target/graft-indexes/ivfpq_fq_" + idxSuffix(dir)
+        buildIndexOnce(s"ivfpq_fq|$dir") {
+          Similarity.buildIvfPqIndex(e, idxDir, nlist = Dedup.semParams(n),
+            m = 8, ksub = 64, seed = 42L)
+        }
+        Similarity.ivfPqIndexedTopK(s, idxDir, fq(e), k = 10, nprobe = 6,
+          rerank = rerank(n))
+      }),
+      "bench_dedup_semantic_fq" -> ((s: SparkSession, dir: String) => {
+        // the semantic-dedup DESIGN cost (cell-blocked pair pass) —
+        // the catalog twin also computes the label-blocked exact
+        // baseline for its recall gate, which is quadratic by contract
+        Dedup.semanticNearDupPairsAdaptive(Tables.embeddings(s, dir),
+          threshold = 0.35, nassign = 3)
+      })
+    )
+  }
 }
