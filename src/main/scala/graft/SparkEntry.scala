@@ -1790,10 +1790,21 @@ object SparkEntry {
       }),
 
     QueryDef("ext_dedup_embedding",
+      // EXACT label-blocked near-dup pairs — the parity baseline for
+      // the ANN/semantic scale paths. The gate is SCALE-BOUNDED to the
+      // fixed vec_id < 25000 prefix slice (label blocks grow linearly
+      // with the corpus — 10 fixture labels — so the unbounded exact
+      // scan is quadratic by contract and cost 24 min of the r6 sf25
+      // sweep, VERDICT r6 weak #2): the bound is a no-op at every
+      // scale up to sf1.25 (full exact parity there), and from sf5 up
+      // the entry hash-matches the exact computation on a CONSTANT
+      // 25k-vector sample while the sweep cost stays flat. The
+      // unbounded exact form remains available as
+      // Dedup.embeddingNearDups for ad-hoc use.
       Some("""WITH m AS (
              |  SELECT vec_id, label,
              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |  FROM embeddings),
+             |  FROM embeddings WHERE vec_id < 25000),
              |n AS (
              |  SELECT vec_id, label, emb,
              |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
@@ -1807,7 +1818,9 @@ object SparkEntry {
              |WHERE list_reduce(list_prepend(0.0,
              |        list_transform(list_zip(l.emb, r.emb), p -> p[1]*p[2])),
              |      (a,b) -> a+b) / (l.nrm * r.nrm) >= 0.35""".stripMargin),
-      (s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.35)),
+      (s, dir) => Dedup.embeddingNearDups(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 25000L),
+        threshold = 0.35)),
 
     QueryDef("ext_dedup_embedding_ann",
       // the scale path for embedding near-dup: banded sign-LSH
@@ -1822,30 +1835,32 @@ object SparkEntry {
         threshold = 0.35)),
 
     QueryDef("ext_dedup_semantic",
-      // SemDeDup (Abbas et al. 2023): cluster with the IVF coarse
-      // quantizer (multi-assigned to the 3 nearest cells — boundary
-      // pairs co-block via the runner-up cell), dedup within cells —
-      // the kmeans twin of the sign-LSH scale path above. The
-      // quantizer isn't SQL-expressible, so the pinned contract is
-      // RECALL (same shape as ext_sim_ivf): per fixture label, the
-      // cell-blocked pass must recover ≥ 60 % of the label-blocked
-      // exact near-dup pairs at the same threshold — and the oracle
-      // ALSO hash-matches that exact per-label pair count (n_true IS
-      // SQL-expressible), so the baseline side of the contract is a
-      // full value match, not a literal. nlist is ADAPTIVE
-      // (Dedup.semParams: cells sized to ~250 rows, floor 16 — the
-      // knob that keeps in-cell quadratic work bounded as the corpus
-      // grows; resolves to 16 at both driver gate scales, pinned in
-      // DedupSpec). Measured per-label recall min: 1.0 at sf0.01,
-      // 0.82 at sf0.1 (both nlist=16), 0.84 at sf1 (adaptive
-      // nlist=80; nassign=1 collapses to ≤ 0.5 on boundary pairs at
-      // sf0.01 — tiny cells chop the tail pairs); bound set below
-      // worst observed for seed/refit drift headroom. Precision needs no contract —
-      // emitted pairs carry exact in-cell cosine.
+      // SemDeDup (Abbas et al. 2023) with HYBRID blocking: the IVF
+      // coarse quantizer (multi-assigned to the 3 nearest cells —
+      // boundary pairs co-block via the runner-up cell) UNIONED with
+      // one banded sign-LSH seed (Dedup.semanticNearDupPairsHybrid).
+      // Cells-only recall thins at LOW thresholds at scale (r6 weak
+      // #3: per-label floor 0.51 at sf5/θ=0.35 — low-cosine "near"
+      // pairs sit far from any centroid), and the LSH tier's misses
+      // are angular, uncorrelated with cell geometry, so the union
+      // holds the floor at every recorded sf (numbers in SCALE.md).
+      // The quantizer isn't SQL-expressible, so the pinned contract
+      // is RECALL (same shape as ext_sim_ivf): per fixture label, the
+      // hybrid pass must recover ≥ 60 % of the exact near-dup pairs
+      // at the same threshold — and the oracle ALSO hash-matches the
+      // exact per-label pair count (n_true IS SQL-expressible), so
+      // the baseline side of the contract is a full value match, not
+      // a literal. The exact baseline is bounded to the fixed
+      // vec_id < 25000 slice like ext_dedup_embedding (no-op through
+      // sf1.25), so the GATE is sweep-safe at any sf while the hybrid
+      // pass itself runs the full corpus. nlist stays ADAPTIVE
+      // (Dedup.semParams: ~250-row cells, floor 16; resolves to 16 at
+      // both driver gate scales, pinned in DedupSpec). Precision
+      // needs no contract — emitted pairs carry exact cosine.
       Some("""WITH m AS (
              |  SELECT vec_id, label,
              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |  FROM embeddings),
+             |  FROM embeddings WHERE vec_id < 25000),
              |n AS (
              |  SELECT vec_id, label, emb,
              |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
@@ -1864,8 +1879,13 @@ object SparkEntry {
              |LEFT JOIN p ON d.label = p.label""".stripMargin),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val truePairs = Dedup.embeddingNearDups(emb, threshold = 0.35)
-        val semPairs = Dedup.semanticNearDupPairsAdaptive(emb, threshold = 0.35,
+        // exact recall baseline bounded to the same fixed 25k-vector
+        // prefix slice as ext_dedup_embedding (no-op through sf1.25;
+        // constant cost above) — the HYBRID pair pass itself runs the
+        // full corpus, recall is measured on the slice's true pairs
+        val truePairs = Dedup.embeddingNearDups(
+          emb.filter(col("vec_id") < 25000L), threshold = 0.35)
+        val semPairs = Dedup.semanticNearDupPairsHybrid(emb, threshold = 0.35,
             nassign = 3)
           .select(col("a_id"), col("b_id"), lit(1).as("hit"))
         val labeled = truePairs
@@ -3198,10 +3218,10 @@ object SparkEntry {
           rerank = rerank(n))
       }),
       "bench_dedup_semantic_fq" -> ((s: SparkSession, dir: String) => {
-        // the semantic-dedup DESIGN cost (cell-blocked pair pass) —
-        // the catalog twin also computes the label-blocked exact
-        // baseline for its recall gate, which is quadratic by contract
-        Dedup.semanticNearDupPairsAdaptive(Tables.embeddings(s, dir),
+        // the semantic-dedup DESIGN cost (hybrid cell+LSH pair pass,
+        // exactly what the catalog gate runs) — the catalog twin also
+        // computes the exact recall baseline, a separate bounded cost
+        Dedup.semanticNearDupPairsHybrid(Tables.embeddings(s, dir),
           threshold = 0.35, nassign = 3)
       })
     )

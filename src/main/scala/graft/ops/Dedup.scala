@@ -780,6 +780,27 @@ object Dedup {
       .distinct()
   }
 
+  /** [[semanticNearDupPairsAdaptive]] unioned with ONE banded
+    * sign-LSH seed ([[embeddingNearDupsAnnAdaptive]]) — hybrid
+    * blocking. The two blockers miss DIFFERENT pairs: kmeans cells
+    * chop boundary pairs (multi-assignment recovers most, but recall
+    * thins at LOW thresholds where "near"-dup pairs sit far from any
+    * centroid — measured 0.51 per-label floor at sf5/θ=0.35, VERDICT
+    * r6 weak #3), while sign-LSH banding misses are angular and
+    * uncorrelated with cell geometry. Both tiers verify exact cosine
+    * with identical arithmetic before emitting, so the union is still
+    * all-true-pairs and `distinct()` collapses the overlap; cost is
+    * one extra linear pass (banded candidates bounded by
+    * [[annParams]]). Recall floors per sf are recorded in SCALE.md;
+    * the catalog gate (`ext_dedup_semantic`) runs this form.
+    */
+  def semanticNearDupPairsHybrid(embeddings: DataFrame, threshold: Double = 0.5,
+                                 targetCell: Int = 250, nassign: Int = 3,
+                                 seed: Long = 42L): DataFrame =
+    semanticNearDupPairsAdaptive(embeddings, threshold, targetCell, nassign, seed)
+      .unionByName(embeddingNearDupsAnnAdaptive(embeddings, threshold, seed = seed))
+      .distinct()
+
   /** [[semanticNearDupPairs]] folded to a per-vector verdict:
     * keep-first-wins — a vector is dropped iff a LOWER-id vector in
     * its cell sits within the threshold, `canon_id` the smallest such
