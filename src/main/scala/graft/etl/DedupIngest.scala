@@ -107,6 +107,271 @@ object DedupIngest {
       .start()
 
   // ---------------------------------------------------------------- //
+  // Incremental-Bloom admission: O(batch) per trigger                //
+  // ---------------------------------------------------------------- //
+
+  /** The production form of [[admitBatch]] (VERDICT r6 next #3):
+    * per-trigger work is O(batch), with NO corpus-document scan in
+    * the batch's plan. [[admitBatch]] rebuilds the corpus Bloom from
+    * a full corpus scan every micro-batch — per-trigger O(corpus),
+    * which inverts the point of admission at 100 TB. Here the filter
+    * is maintained INCREMENTALLY:
+    *
+    *  - the merged corpus Bloom persists in the CHECKPOINT dir, one
+    *    blob per batch (`graft-bloom/bloom-<tag>-<id>`); batch N
+    *    probes the newest blob with id < N and writes
+    *    `bloom-<tag>-<N>` = prior ∪ Bloom(admitted) — an
+    *    O(batch)-build + O(filter)-merge (`BloomFilter.mergeInPlace`;
+    *    all blobs share (expectedItems, fpp) so bitsets stay
+    *    merge-compatible). A full rebuild happens ONLY on
+    *    bootstrap/repair (fresh checkpoint, or a deleted bloom dir) —
+    *    and even then from the fingerprint index, not the documents;
+    *  - bloom-POSITIVE rows (true dups + ~fpp false positives)
+    *    confirm exactly against a persisted FINGERPRINT INDEX
+    *    (`<corpusDir>_fps`: (_fp, key), partitioned by ingest batch)
+    *    — 8-byte hashes + keys, never the document payloads. At
+    *    100 TB this is the ~100-GB sidecar of a ~100-TB corpus; the
+    *    documented next tier is bucketing it on `_fp`
+    *    (`Routing.writeBucketed`) so the confirm join co-partitions
+    *    shuffle-free;
+    *  - exactly-once is BY CONSTRUCTION, not by admission
+    *    idempotence: docs and fingerprints write as per-batch dynamic
+    *    PARTITION OVERWRITES keyed by the run-scoped batch id (the
+    *    [[admitBatchNearDup]] pattern), the fps probe EXCLUDES the
+    *    batch's own partition, and the bloom probe reads the
+    *    PRE-batch blob (id < N) — so a replay at ANY crash point
+    *    recomputes the identical admission decision and overwrites
+    *    its own outputs. A crashed attempt's half-written
+    *    `bloom-<N>` is never read (replay reads < N) and is
+    *    overwritten whole.
+    *
+    * `expectedItems` PROVISIONS the filter for the target corpus size
+    * (one size must serve the whole chain — Bloom bitsets only merge
+    * at equal geometry). Oversubscribing degrades the FP rate toward
+    * 1, which degrades PERFORMANCE (more rows confirm against the
+    * index), never correctness (no false negatives; the exact join
+    * removes false positives). Repair = delete the bloom dir and
+    * restart with a larger value: the next batch rebuilds from the
+    * fingerprint index at the new geometry.
+    *
+    * Single active writer per corpus (the same contract as
+    * [[admitBatchNearDup]]): a second concurrent run's bloom chain
+    * would not see this run's admissions. Do not mix with the
+    * plain-append [[admitBatch]] on one corpusDir — this mode's
+    * corpus is partitioned by `_ingest_batch` and indexed; a corpus
+    * backfilled OUTSIDE the stream must be loaded once via
+    * [[bootstrapCorpus]] (admission fails loudly on an unindexed
+    * corpus rather than silently re-admitting its keys).
+    */
+  def admitBatchIncremental(spark: SparkSession, batch: DataFrame,
+                            corpusDir: String, checkpointDir: String,
+                            batchId: Long, key: String, tiebreaker: String,
+                            expectedItems: Long = 10000000L, fpp: Double = 0.01,
+                            runTag: String = ""): Long = {
+    import org.apache.spark.sql.functions._
+    val partVal = if (runTag.isEmpty) batchId.toString else s"$runTag-$batchId"
+    val fpsDir = corpusDir.stripSuffix("/") + "_fps"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+    if (hasCommittedData(fs, corpusDir) && !hasCommittedData(fs, fpsDir))
+      throw new IllegalStateException(
+        s"admitBatchIncremental: $corpusDir holds documents but $fpsDir has " +
+          "no fingerprint index — an unindexed corpus would silently " +
+          "re-admit every standing key. Load backfills via bootstrapCorpus.")
+
+    // prior filter: newest committed blob below this batch, else a
+    // repair rebuild from the fingerprint index (NOT the documents),
+    // else empty-corpus bootstrap (None)
+    val prior: Option[org.apache.spark.util.sketch.BloomFilter] =
+      loadBloomBelow(fs, checkpointDir, runTag, batchId).orElse {
+        if (hasCommittedData(fs, fpsDir))
+          Some(spark.read.parquet(fpsDir).stat
+            .bloomFilter("_fp", math.max(expectedItems, 1L), fpp))
+        else None
+      }
+
+    val admitted = incrementalAdmissionPlan(spark, batch, fpsDir,
+      prior.map(serializeBloom), partVal, key, tiebreaker).persist()
+    try {
+      val n = admitted.count()
+      if (n > 0) {
+        // (1) bloom-<N> = prior ∪ Bloom(admitted) — same geometry ⇒
+        // mergeable; distributed build over the admitted rows only
+        val batchFilter = admitted
+          .select(xxhash64(col(key)).as("_fp")).stat
+          .bloomFilter("_fp", math.max(expectedItems, 1L), fpp)
+        prior.foreach(batchFilter.mergeInPlace)
+        writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), batchFilter)
+        pruneBlooms(fs, checkpointDir, runTag, batchId)
+        // (2) fingerprint-index partition (idempotent overwrite)
+        admitted.select(xxhash64(col(key)).as("_fp"), col(key))
+          .withColumn("_ingest_batch", lit(partVal))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_ingest_batch").parquet(fpsDir)
+        // (3) document partition (idempotent overwrite)
+        admitted.withColumn("_ingest_batch", lit(partVal))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_ingest_batch").parquet(corpusDir)
+      }
+      n
+    } finally admitted.unpersist()
+  }
+
+  /** The admission DECISION as a lazy plan — separated so the spec can
+    * assert its physical plan reads the fingerprint index and NEVER
+    * the corpus documents. Semantics = [[graft.ops.Dedup.incrementalExact]]:
+    * in-batch keep-first, bloom-negative rows are definitely new (no
+    * false negatives), bloom-positive rows anti-join the fingerprint
+    * index (own partition excluded — replay safety) for the exact
+    * verdict.
+    */
+  private[graft] def incrementalAdmissionPlan(spark: SparkSession,
+      batch: DataFrame, fpsDir: String, bloomBlob: Option[Array[Byte]],
+      excludePartVal: String, key: String, tiebreaker: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val firsts = graft.ops.Dedup.exactKeepFirst(batch, Seq(key), tiebreaker)
+      .withColumn("_fp", xxhash64(col(key)))
+    bloomBlob match {
+      case None => firsts.drop("_fp") // empty corpus: every first is new
+      case Some(blob) =>
+        val inBloom = graft.functions.Bloom.mightContain(blob, col("_fp"))
+        val idx = spark.read.parquet(fpsDir)
+          // string compare: numeric legacy partition values may infer
+          // as LONG (see admitBatchNearDup)
+          .filter(col("_ingest_batch").cast("string") =!= excludePartVal)
+          .select(col("_fp"), col(key))
+        firsts.filter(!inBloom)
+          .unionByName(firsts.filter(inBloom).join(idx, Seq("_fp", key), "left_anti"))
+          .drop("_fp")
+    }
+  }
+
+  /** Load a corpus backfilled OUTSIDE the stream into incremental
+    * layout: in-batch dedup, documents + fingerprint index written as
+    * the `bootstrap` ingest partition. The one full-corpus pass the
+    * design allows; every subsequent trigger is O(batch). Idempotent
+    * (partition overwrite). The bloom is NOT written here — it is
+    * checkpoint-scoped, and each run's first batch rebuilds it from
+    * the fingerprint index.
+    */
+  def bootstrapCorpus(spark: SparkSession, docs: DataFrame, corpusDir: String,
+                      key: String, tiebreaker: String): Long = {
+    import org.apache.spark.sql.functions._
+    val fpsDir = corpusDir.stripSuffix("/") + "_fps"
+    val deduped = graft.ops.Dedup.exactKeepFirst(docs, Seq(key), tiebreaker)
+      .persist()
+    try {
+      val n = deduped.count()
+      deduped.select(xxhash64(col(key)).as("_fp"), col(key))
+        .withColumn("_ingest_batch", lit("bootstrap"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch").parquet(fpsDir)
+      deduped.withColumn("_ingest_batch", lit("bootstrap"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch").parquet(corpusDir)
+      n
+    } finally deduped.unpersist()
+  }
+
+  /** Resident stream for [[admitBatchIncremental]]. Run tag derived
+    * from the checkpoint path exactly like [[startNearDup]] (stable
+    * across resume, distinct across fresh checkpoints — and a fresh
+    * checkpoint's first batch finds no bloom under its tag, hitting
+    * the rebuild-from-index repair path by design).
+    */
+  def startIncremental(stream: DataFrame, corpusDir: String, checkpointDir: String,
+                       key: String, tiebreaker: String,
+                       expectedItems: Long = 10000000L, fpp: Double = 0.01,
+                       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val tag = runTagOf(checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatchIncremental(batch.sparkSession, batch, corpusDir,
+          checkpointDir, batchId, key, tiebreaker, expectedItems, fpp,
+          runTag = tag)
+        ()
+      }
+      .start()
+  }
+
+  private def bloomChainDir(checkpointDir: String): String =
+    checkpointDir.stripSuffix("/") + "/graft-bloom"
+
+  private def bloomPath(checkpointDir: String, tag: String,
+                        id: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir), s"bloom-$tag-$id")
+
+  /** Newest committed blob with id < batchId under this run's tag
+    * (a crashed attempt's own `bloom-<batchId>` must never be read).
+    */
+  private def loadBloomBelow(fs: org.apache.hadoop.fs.FileSystem,
+                             checkpointDir: String, tag: String, batchId: Long)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val dir = new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir))
+    if (!fs.exists(dir)) return None
+    val prefix = s"bloom-$tag-"
+    val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toLongOption)
+      .filter(_ < batchId)
+    ids.maxOption.map { id =>
+      val in = fs.open(bloomPath(checkpointDir, tag, id))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }
+  }
+
+  private def serializeBloom(f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    f.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Atomic-enough blob write: temp file + rename (a half-written blob
+    * is only ever the CURRENT batch's, which replay never reads — the
+    * rename just keeps the listing clean).
+    */
+  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem,
+                         path: org.apache.hadoop.fs.Path,
+                         f: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try f.writeTo(out) finally out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+
+  /** Best-effort prune: a replay only ever needs id = N−1, so keep the
+    * two newest blobs and drop the rest (each blob is filter-sized —
+    * ~1.2 MB per million provisioned keys).
+    */
+  private def pruneBlooms(fs: org.apache.hadoop.fs.FileSystem,
+                          checkpointDir: String, tag: String,
+                          batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir))
+    if (!fs.exists(dir)) return
+    val prefix = s"bloom-$tag-"
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toLongOption)
+      .filter(_ < batchId - 1)
+      .foreach(id => fs.delete(bloomPath(checkpointDir, tag, id), false))
+  }
+
+  /** Run tag = checkpoint identity (see [[startNearDup]]'s doc for the
+    * stability/collision rationale). */
+  private def runTagOf(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  // ---------------------------------------------------------------- //
   // NEAR-dup admission (MinHash-banded)                              //
   // ---------------------------------------------------------------- //
 
@@ -329,9 +594,7 @@ object DedupIngest {
     // exclusion), and 64 bits keeps cross-run collision negligible
     // (a 32-bit tag would birthday-collide across a platform's runs
     // and reproduce the exclude-and-overwrite loss it exists to stop)
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    val tag = runTagOf(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -83,6 +83,186 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((0L, "a"), (1L, "b")), "replay duplicated rows")
   }
 
+  // ---- incremental-Bloom admission (O(batch) per trigger) ---- //
+
+  private def drainInc(stream: MemoryStream[(Long, String)], dir: String,
+                       cp: String): Unit = {
+    val q = DedupIngest.startIncremental(
+      stream.toDF().toDF("doc_id", "text"), dir, cp,
+      key = "text", tiebreaker = "doc_id", expectedItems = 100000L,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  private def incIds(dir: String): Set[(Long, String)] =
+    spark.read.parquet(dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSet
+
+  test("incremental admission matches admitBatch semantics across an arrival sequence") {
+    val rnd = new scala.util.Random(43)
+    val dir = Files.createTempDirectory("inc-prop").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-prop-cp").toString
+    val stream = MemoryStream[(Long, String)]
+    var id = 0L
+    var expected = Map.empty[String, Long]
+    for (_ <- 0 until 5) {
+      val batch = (0 until 40).map { _ =>
+        id += 1
+        (id, s"k${rnd.nextInt(30)}")
+      }
+      batch.groupBy(_._2).foreach { case (k, rows) =>
+        if (!expected.contains(k)) expected += k -> rows.map(_._1).min
+      }
+      stream.addData(batch: _*)
+      drainInc(stream, dir, cp)
+    }
+    assert(incIds(dir).map(_.swap).toMap == expected)
+    // the fingerprint index carries exactly the admitted keys
+    val fps = spark.read.parquet(dir + "_fps").select("text").as[String]
+      .collect().toSet
+    assert(fps == expected.keySet)
+  }
+
+  test("incremental per-trigger plan reads fingerprints, never corpus documents") {
+    val dir = Files.createTempDirectory("inc-plan").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-plan-cp").toString
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((0L, "a"), (1L, "b"), (2L, "c"))
+    drainInc(stream, dir, cp)
+    // the admission DECISION for a follow-up batch, planned exactly as
+    // admitBatchIncremental plans it (prior bloom + index-minus-own)
+    val blob = {
+      val f = spark.read.parquet(dir + "_fps").stat.bloomFilter("_fp", 100000L, 0.01)
+      val out = new java.io.ByteArrayOutputStream(); f.writeTo(out); out.toByteArray
+    }
+    val plan = DedupIngest.incrementalAdmissionPlan(spark,
+      Seq((3L, "a"), (4L, "d")).toDF("doc_id", "text"),
+      dir + "_fps", Some(blob), "tag-1", "text", "doc_id")
+    // decision is right...
+    assert(plan.select("doc_id").as[Long].collect().toSet == Set(4L))
+    // ...and its physical plan scans the fingerprint sidecar, NOT the
+    // corpus documents (strip _fps occurrences, then look for the dir)
+    val physical = plan.queryExecution.executedPlan.toString
+    assert(physical.contains("_fps"), s"no fingerprint scan in:\n$physical")
+    assert(!physical.replace(dir + "_fps", "").contains(dir),
+      s"corpus-document scan leaked into the per-trigger plan:\n$physical")
+  }
+
+  test("incremental crash replay: same batch id recomputes and overwrites, no dup/loss") {
+    val dir = Files.createTempDirectory("inc-crash").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-crash-cp").toString
+    // batch 0 fully commits all three states (bloom, fps, docs), then
+    // the checkpoint "crashes" — simulated by direct re-admission of
+    // the SAME batch id
+    DedupIngest.admitBatchIncremental(spark,
+      Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text"),
+      dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    DedupIngest.admitBatchIncremental(spark,
+      Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text"),
+      dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    assert(incIds(dir) == Set((0L, "x"), (1L, "y")), "replay duplicated rows")
+    assert(spark.read.parquet(dir + "_fps").count() == 2)
+    // follow-up batch still dedups against the replayed state
+    val n = DedupIngest.admitBatchIncremental(spark,
+      Seq((2L, "x"), (3L, "z")).toDF("doc_id", "text"),
+      dir, cp, batchId = 1L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    assert(n == 1L)
+    assert(incIds(dir) == Set((0L, "x"), (1L, "y"), (3L, "z")))
+  }
+
+  test("incremental bootstrap: backfilled corpus blocks admission; unindexed corpus fails loudly") {
+    val dir = Files.createTempDirectory("inc-boot").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-boot-cp").toString
+    // an unindexed corpus (written outside this mode) must refuse
+    // rather than silently re-admit its keys
+    Seq((100L, "x")).toDF("doc_id", "text").write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      DedupIngest.admitBatchIncremental(spark,
+        Seq((0L, "x")).toDF("doc_id", "text"),
+        dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id")
+    }
+    assert(e.getMessage.contains("bootstrapCorpus"))
+
+    // proper path: bootstrapCorpus, then stream against it
+    val dir2 = Files.createTempDirectory("inc-boot2").toString + "/corpus"
+    DedupIngest.bootstrapCorpus(spark,
+      Seq((100L, "x"), (101L, "y"), (102L, "y")).toDF("doc_id", "text"),
+      dir2, key = "text", tiebreaker = "doc_id")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((0L, "x"), (1L, "z"))
+    drainInc(stream, dir2, cp)
+    assert(incIds(dir2) == Set((100L, "x"), (101L, "y"), (1L, "z")))
+  }
+
+  test("incremental: fresh checkpoint over an existing corpus rebuilds bloom from the index") {
+    val dir = Files.createTempDirectory("inc-fresh").toString + "/corpus"
+    val cp1 = Files.createTempDirectory("inc-fresh-cp1").toString
+    val cp2 = Files.createTempDirectory("inc-fresh-cp2").toString
+    val s1 = MemoryStream[(Long, String)]
+    s1.addData((0L, "a"), (1L, "b"))
+    val q1 = DedupIngest.startIncremental(
+      s1.toDF().toDF("doc_id", "text"), dir, cp1,
+      key = "text", tiebreaker = "doc_id", expectedItems = 100000L,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    // run 2: NEW checkpoint (new tag, batch ids restart at 0) — its
+    // first batch has no bloom under its tag and must repair from the
+    // fps index, so run 1's keys still block admission
+    val s2 = MemoryStream[(Long, String)]
+    s2.addData((10L, "a"), (11L, "c"))
+    val q2 = DedupIngest.startIncremental(
+      s2.toDF().toDF("doc_id", "text"), dir, cp2,
+      key = "text", tiebreaker = "doc_id", expectedItems = 100000L,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(incIds(dir) == Set((0L, "a"), (1L, "b"), (11L, "c")))
+  }
+
+  test("incremental soak: 40 micro-batches with a mid-run crash stay exactly-once") {
+    val rnd = new scala.util.Random(47)
+    val dir = Files.createTempDirectory("inc-soak").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-soak-cp").toString
+    val stream = MemoryStream[(Long, String)]
+    var id = 0L
+    var expected = Map.empty[String, Long]
+    for (i <- 0 until 40) {
+      val batch = (0 until 25).map { _ =>
+        id += 1
+        (id, s"k${rnd.nextInt(200)}")
+      }
+      batch.groupBy(_._2).foreach { case (k, rows) =>
+        if (!expected.contains(k)) expected += k -> rows.map(_._1).min
+      }
+      stream.addData(batch: _*)
+      if (i == 20) {
+        // crash simulation: the batch fully commits its three states
+        // (bloom, fps, docs) but the streaming checkpoint never sees
+        // it — the stream then REPLAYS it as its own next batch id.
+        // runTag matches startIncremental's derivation so the replay
+        // overwrites these exact partitions.
+        val tag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(cp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        DedupIngest.admitBatchIncremental(spark,
+          batch.toDF("doc_id", "text"), dir, cp, batchId = i.toLong,
+          key = "text", tiebreaker = "doc_id", expectedItems = 100000L,
+          runTag = tag)
+      }
+      drainInc(stream, dir, cp)
+    }
+    val got = incIds(dir).map(_.swap).toMap
+    assert(got == expected, "soak corpus diverged from reference admission")
+    // fingerprint index and corpus agree row-for-row
+    assert(spark.read.parquet(dir + "_fps").count() == expected.size)
+    // the bloom chain is pruned — a replay only needs N-1, so the
+    // checkpoint must not accumulate one blob per batch
+    val blooms = Option(new java.io.File(s"$cp/graft-bloom").list())
+      .fold(0)(_.count(_.startsWith("bloom-")))
+    assert(blooms <= 3, s"bloom chain unpruned: $blooms blobs after 40 batches")
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog while " +
     "seventeen astronauts carefully measure gravitational anomalies near " +
     "the ancient observatory during a long cold winter night in montana"
