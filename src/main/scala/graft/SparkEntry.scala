@@ -1840,17 +1840,31 @@ object SparkEntry {
       // boundary pairs co-block via the runner-up cell) UNIONED with
       // one banded sign-LSH seed (Dedup.semanticNearDupPairsHybrid).
       // Cells-only recall thins at LOW thresholds at scale (r6 weak
-      // #3: per-label floor 0.51 at sf5/θ=0.35 — low-cosine "near"
-      // pairs sit far from any centroid), and the LSH tier's misses
-      // are angular, uncorrelated with cell geometry, so the union
-      // holds the floor at every recorded sf (numbers in SCALE.md).
-      // The quantizer isn't SQL-expressible, so the pinned contract
-      // is RECALL (same shape as ext_sim_ivf): per fixture label, the
-      // hybrid pass must recover ≥ 60 % of the exact near-dup pairs
-      // at the same threshold — and the oracle ALSO hash-matches the
-      // exact per-label pair count (n_true IS SQL-expressible), so
-      // the baseline side of the contract is a full value match, not
-      // a literal. The exact baseline is bounded to the fixed
+      // #3); the LSH tier's misses are angular, uncorrelated with
+      // cell geometry, so the union lifts every floor (tools.SemProbe:
+      // θ=0.35 floors 1.00/0.94/0.89 at sf0.01/0.1/1 vs 1.00/0.82/
+      // 0.84 cells-only; θ=0.6 at sf1: 0.875→1.000). The RECALL
+      // CONTRACT is pinned to the θ ≥ 0.6 regime SemDeDup actually
+      // targets (Abbas et al. dedup at high similarity): hybrid
+      // per-label floor ≥ 0.6 at EVERY recorded sf (worst observed
+      // 0.714 at sf5/θ=0.6; 1.000 at sf1). At θ below the regime the
+      // floor decays with scale (0.563 at sf5/θ=0.35 — sign-band
+      // collision probability at low cosine falls as adaptive bits
+      // grow with n; fundamental to banding, recorded in SCALE.md):
+      // low-θ pair mining at large sf is out of this entry's
+      // contract — use multi-seed θ-tuned banding
+      // (Dedup.embeddingNearDupsAnnMulti) and budget for its
+      // candidate volume, or the exact per-label baseline on a
+      // bounded slice. This gate runs θ=0.35 because the fixture has
+      // no θ≥0.6 pairs at the driver's scales (the check would be
+      // vacuous there) — within-contract behavior is what SemProbe
+      // records per sf. The quantizer isn't SQL-expressible, so the
+      // gate shape is RECALL (same as ext_sim_ivf): per fixture
+      // label, the hybrid pass must recover ≥ 60 % of the exact
+      // near-dup pairs — and the oracle ALSO hash-matches the exact
+      // per-label pair count (n_true IS SQL-expressible), so the
+      // baseline side of the contract is a full value match, not a
+      // literal. The exact baseline is bounded to the fixed
       // vec_id < 25000 slice like ext_dedup_embedding (no-op through
       // sf1.25), so the GATE is sweep-safe at any sf while the hybrid
       // pass itself runs the full corpus. nlist stays ADAPTIVE
@@ -2086,16 +2100,26 @@ object SparkEntry {
       // and file-bucket count sized from the corpus, params persisted
       // in <table>_meta); the probe self-configures from the meta
       // table. Resolves to the oracle's pinned (8 bits, 32 buckets)
-      // at every gate scale.
+      // at every gate scale. The query bound is PROBE-BUDGET-AWARE:
+      // exploded probe rows = queries × |Hamming ball|, and the mask
+      // count grows with the adaptive nBits (37 at 8 bits, 92 at 13)
+      // — a fixed vec_id < 100000 bound would trip the maxProbe guard
+      // exactly at the scales the adaptive sizing exists for. The
+      // min() keeps the bound at the oracle's literal 100000 whenever
+      // the 8-bit oracle regime applies (n ≤ 20480 ⇒ 121k ≥ 100k),
+      // and tightens it beyond, where the oracle is inapplicable
+      // anyway (bits ≠ 8).
       Some(lshTopkOracleSql("q.vec_id % 50 = 0 AND q.vec_id < 100000")),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val table = "graft_lsh_idx_" + idxSuffix(dir)
+        val masks = Similarity.probeMaskCount(Similarity.lshBits(emb.count()))
+        val bound = math.min(100000L, 50L * (90000 / masks))
         buildIndexOnce(s"lsh|$dir") {
           Similarity.buildLshIndexAdaptive(emb, table, dim = 64, seed = 42L)
         }
         Similarity.lshIndexedTopKAuto(s, table,
-            emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 100000L),
+            emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound),
             k = 10)
           .withColumn("rnk", col("rnk").cast("long"))
       }),

@@ -536,6 +536,18 @@ object Similarity {
     math.min(20, math.max(8, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
+  /** Multiprobe mask count for (nBits, probeDist ≤ 2): the size of
+    * the Hamming ball a probe explodes into — callers sizing a query
+    * set against [[lshIndexedTopK]]'s maxProbe contract divide by
+    * this. */
+  private[graft] def probeMaskCount(nBits: Int, probeDist: Int = 2): Int =
+    (0 to probeDist).map {
+      case 0 => 1
+      case 1 => nBits
+      case 2 => nBits * (nBits - 1) / 2
+      case d => throw new IllegalArgumentException(s"probeDist $d unsupported")
+    }.sum
+
   /** [[lshTopK]] with nBits sized from the corpus row count (one
     * metadata-cheap count pass; see [[lshBits]]). probeDist is HELD at
     * its default as bits grow — recall for a fixed cosine decays
