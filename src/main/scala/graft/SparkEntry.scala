@@ -3178,11 +3178,14 @@ object SparkEntry {
     * exponent reflects corpus scaling ONLY — the per-query cost curve
     * a production vector store actually exhibits.
     *
-    * IVF cell count uses the production sizing ([[Dedup.semParams]]:
-    * cells of ~250 rows, cap 1024) rather than the catalog's pinned
-    * nlist=16 — the pin exists for oracle reproducibility, not as a
-    * scale posture; PQ rerank budgets scale at 4% of n exactly like
-    * the catalog entries.
+    * The INDEXED IVF probes use production cell sizing
+    * ([[Dedup.semParams]]: cells of ~250 rows, cap 1024) with the
+    * build cached — they measure the query path against a
+    * production-shaped index. The ad-hoc (no-index) probes keep the
+    * catalog's pinned nlist=16: the ad-hoc form re-assigns the corpus
+    * per call, so production nlist would measure the index-build cost
+    * instead. PQ rerank budgets scale at 4% of n exactly like the
+    * catalog entries.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = {
     def fq(emb: DataFrame): DataFrame =
@@ -3205,10 +3208,15 @@ object SparkEntry {
         }
         Similarity.lshIndexedTopKAuto(s, table, fq(e), k = 10)
       }),
+      // ad-hoc (no-index) IVF probes keep the catalog's pinned
+      // nlist=16: the ad-hoc form re-assigns every corpus row per
+      // call, so production nlist would make the probe measure
+      // assignment (the INDEX BUILD cost — amortized once in
+      // deployment and measured by the _indexed_fq twins, which use
+      // semParams sizing with the build cached) instead of the query
       "bench_sim_ivf_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(fq(e), e, k = 10,
-          nlist = Dedup.semParams(e.count()), nprobe = 6)
+        Similarity.ivfTopK(fq(e), e, k = 10, nlist = 16, nprobe = 6)
       }),
       "bench_sim_ivf_indexed_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
@@ -3226,9 +3234,8 @@ object SparkEntry {
       }),
       "bench_sim_ivfpq_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
-        val n = e.count()
-        Similarity.ivfPqTopK(fq(e), e, k = 10, nlist = Dedup.semParams(n),
-          nprobe = 6, m = 8, ksub = 64, rerank = rerank(n))
+        Similarity.ivfPqTopK(fq(e), e, k = 10, nlist = 16,
+          nprobe = 6, m = 8, ksub = 64, rerank = rerank(e.count()))
       }),
       "bench_sim_ivfpq_indexed_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)

@@ -86,18 +86,22 @@ object Similarity {
     })
   }
 
-  /** Centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2);
-    * sort ascending on (−score, cell) → nearest cells first,
-    * deterministic. Shared by the ad-hoc and indexed IVF paths so cell
-    * assignment cannot drift between them.
+  /** Centroid ranking per row: argmin ||x-c||² ⇔ argmax (x·c − ||c||²/2),
+    * nearest `k` cells first, ties on the lower cell — one fused
+    * codegen loop ([[graft.functions.TopCellsExpr]]; the composed
+    * `array_sort(array(struct(...)))` spelling materialized and
+    * sorted nlist structs PER ROW and dominated corpus-side
+    * assignment at production nlist — ~120 s for a 100k-row pass at
+    * 400 cells where the dot products cost seconds. Bit-identical
+    * ordering, so recall measurements carry over). Shared by the
+    * ad-hoc and indexed IVF paths so cell assignment cannot drift
+    * between them.
     */
-  private def rankedCells(emb: org.apache.spark.sql.Column,
-                          centroids: Array[Array[Double]]) =
-    array_sort(array(centroids.toSeq.zipWithIndex.map { case (cArr, i) =>
-      val dot = dotD(emb, array(cArr.toSeq.map(lit): _*))
-      val norm2 = cArr.map(x => x * x).sum
-      struct((lit(norm2 / 2) - dot).as("negscore"), lit(i).as("cell"))
-    }: _*))
+  private def topCells(emb: org.apache.spark.sql.Column,
+                       centroids: Array[Array[Double]], k: Int) = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.TopCellsExpr(centroids, k, toExpr(emb)))
+  }
 
   /** Corpus side of both IVF paths: nearest cell + norm, zero-norm
     * rows dropped (cosine would be NaN and NaN sorts above reals). */
@@ -105,7 +109,7 @@ object Similarity {
                                    centroids: Array[Array[Double]]): DataFrame =
     corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"),
-        rankedCells(col("embedding"), centroids).getItem(0).getField("cell").as("cell"))
+        topCells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       .filter(col("c_nrm") > 0)
 
   /** Query side of both IVF paths: one row per (query, probed cell). */
@@ -113,8 +117,8 @@ object Similarity {
                                   nprobe: Int): DataFrame =
     queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         normD(col("embedding")).as("q_nrm"),
-        explode(transform(slice(rankedCells(col("embedding"), centroids), 1, nprobe),
-          p => p.getField("cell"))).as("cell"))
+        explode(topCells(col("embedding"), centroids,
+          math.min(nprobe, centroids.length))).as("cell"))
       .filter(col("q_nrm") > 0)
 
   /** Cell-join + exact rerank shared by [[ivfTopK]] and

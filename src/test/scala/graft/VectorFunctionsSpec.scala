@@ -67,4 +67,37 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("a", "b")
     assert(df.select(round(cosineD(col("a"), col("b")), 9)).head().getDouble(0) == 1.0)
   }
+
+  test("graft_top_cells matches the composed array_sort(struct) ranking bit for bit") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val rnd = new scala.util.Random(11)
+    val centroids = Array.fill(23, 16)(rnd.nextGaussian())
+    // duplicate centroid → equal scores exercise the lower-cell tie-break
+    centroids(7) = centroids(3).clone()
+    val df = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val composed = array_sort(array(centroids.toSeq.zipWithIndex.map {
+      case (cArr, i) =>
+        val dot = dotD(col("embedding"), array(cArr.toSeq.map(lit): _*))
+        struct((lit(cArr.map(x => x * x).sum / 2) - dot).as("negscore"),
+          lit(i).as("cell"))
+    }: _*))
+    val k = 4
+    val rows = df.select(
+      toCol(graft.functions.TopCellsExpr(centroids, k, toExpr(col("embedding"))))
+        .as("fused"),
+      transform(slice(composed, 1, k), p => p.getField("cell")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"fused ${r.getSeq[Int](0)} != composed ${r.getSeq[Int](1)}")
+    }
+    // k = 1 (the corpus-assignment shape) agrees too
+    val one = df.select(
+      toCol(graft.functions.TopCellsExpr(centroids, 1, toExpr(col("embedding"))))
+        .getItem(0).as("fused"),
+      composed.getItem(0).getField("cell").as("ref")).collect()
+    one.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
 }
