@@ -729,16 +729,18 @@ object Dedup {
     * to ~`targetCell` rows (`nlist = n / targetCell`, floor 16), the
     * knob that keeps the in-cell quadratic BOUNDED as the corpus
     * grows — candidate work ≈ nassign²·n·targetCell/2, linear in n.
-    * Capped at 1024: past that the quantizer fit itself (sample
-    * 20·nlist rows) is the cost to watch, and a 1024-way split
-    * already holds cells to ~0.1 % of the corpus; at web scale the
-    * SemDeDup paper's regime, raise the cap together with a
-    * distributed fit. Deterministic from n so the gate's oracle
-    * measurements stay reproducible: resolves to 16 at BOTH driver
-    * gate scales (500 / 2000 rows — pinned in DedupSpec).
+    * Capped at 4096 (raised from 1024 in r7: the cap binding between
+    * sf5 and sf25 let cells grow with the data and the sf25 sweep
+    * measured the pair pass superlinear, exp 1.35 — with the fused
+    * [[graft.functions.TopCellsExpr]] assignment the wider quantizer
+    * is affordable, and the MLlib fit stays a 20·nlist-row sample).
+    * Past 4096 the sample fit itself is the cost to watch — raise the
+    * cap together with a distributed fit. Deterministic from n so the
+    * gate's oracle measurements stay reproducible: resolves to 16 at
+    * BOTH driver gate scales (500 / 2000 rows — pinned in DedupSpec).
     */
   private[graft] def semParams(n: Long, targetCell: Int = 250): Int =
-    math.min(1024, math.max(16, (n / targetCell).toInt))
+    math.min(4096, math.max(16, (n / targetCell).toInt))
 
   /** [[semanticNearDupPairs]] with nlist sized from the corpus row
     * count (one metadata-cheap count pass; see [[semParams]]). */

@@ -17,8 +17,20 @@ object Skew {
     * instead of one. Semantics identical to
     * `large.join(small, keys)` for 1:N joins (small's key unique).
     *
-    * Cost model: small side × salts must still broadcast/fit — use
-    * for dim-joins with hot fact keys, not fact–fact.
+    * The join is PINNED to the shuffle-hash strategy (replicated side
+    * = build side). Salting only exists once broadcast has been ruled
+    * out — a broadcast join has no shuffle and therefore no skew — so
+    * letting Catalyst pick is strictly wrong here: its pre-explode
+    * size estimate can choose BroadcastHashJoin on the ×salts
+    * replicated dim, which builds salts× the driver table for zero
+    * benefit (measured: driver broadcast OOM at sf25, where 3.75M
+    * customers × 16 salts = 60M broadcast rows — caught by the r7
+    * sweep). Shuffle-hash keeps the build side a per-task partition
+    * slice (|small|·salts/parts) and the salted fact side streams.
+    *
+    * Cost model: small side × salts shuffles once and each task
+    * builds its slice — use for dim-joins with hot fact keys, not
+    * fact–fact (there, AQE's skew split on sort-merge is the tool).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int = 16): DataFrame = {
@@ -26,7 +38,7 @@ object Skew {
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, keys :+ "_salt").drop("_salt")
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "_salt").drop("_salt")
   }
 
   /** Two-phase salted aggregation: partial-aggregate on (key, salt),

@@ -379,11 +379,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // gate scales (500 rows at sf0.01, 2000 at sf0.1)
     assert(Dedup.semParams(500) == 16)
     assert(Dedup.semParams(2000) == 16)
-    // scale path: cells stay ~250 rows as n grows, capped at 1024
+    // scale path: cells stay ~250 rows as n grows, capped at 4096
+    // (a 1024 cap binding between sf5 and sf25 let cells grow with
+    // the data — the r7 sf25 sweep measured the pair pass exp 1.35)
     assert(Dedup.semParams(20000) == 80)     // sf1
     assert(Dedup.semParams(100000) == 400)   // sf5
-    assert(Dedup.semParams(500000) == 1024)  // sf25 — cap
-    assert(Dedup.semParams(100000000) == 1024)
+    assert(Dedup.semParams(500000) == 2000)  // sf25
+    assert(Dedup.semParams(100000000) == 4096) // cap
   }
 
   test("semantic dedup is deterministic across quantizer refits") {
