@@ -762,15 +762,21 @@ object Dedup {
     // single-assignment recall on boundary pairs collapses (measured
     // ≤ 0.5 per label on the fixture at nassign=1). Work scales by
     // nassign (each vector appears in nassign cells), still linear.
-    val cells = Similarity.ivfProbeSide(embeddings, centroids, nassign)
-    // explicit numbered repartition on the cell key (see
-    // embeddingNearDupsAnn): AQE sees only the corpus-sized exchange,
-    // not the in-cell pair fan-out. Parallelism = live cells; nlist
-    // grows with the corpus so this widens exactly when it matters.
+    // Par.spread BEFORE the assignment: at production nlist the
+    // per-row argmin costs nlist·dim mults, and a bench-sized parquet
+    // corpus scans as 1–2 splits — without the spread the whole
+    // assignment pass runs at scan width (measured: the sf25 pair
+    // pass was assignment-bound at 2 splits for 64 B multiplies).
+    // The explicit numbered repartition on the cell key (see
+    // embeddingNearDupsAnn) then feeds BOTH self-join sides from ONE
+    // exchange: the aliases differ only in renames ABOVE the
+    // repartition, so the exchange is planned once and reused —
+    // assignment is computed once, not once per side.
     val nParts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val cells = Similarity.ivfProbeSide(Par.spread(embeddings), centroids, nassign)
+      .repartition(nParts, col("cell"))
     def side(p: String) = cells.select(col("cell"), col("q_id").as(s"${p}_id"),
         col("q_emb").as(s"${p}_emb"), col("q_nrm").as(s"${p}_nrm"))
-      .repartition(nParts, col("cell"))
     side("a").join(side("b"), Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",

@@ -17,20 +17,24 @@ object Skew {
     * instead of one. Semantics identical to
     * `large.join(small, keys)` for 1:N joins (small's key unique).
     *
-    * The join is PINNED to the shuffle-hash strategy (replicated side
-    * = build side). Salting only exists once broadcast has been ruled
-    * out — a broadcast join has no shuffle and therefore no skew — so
-    * letting Catalyst pick is strictly wrong here: its pre-explode
-    * size estimate can choose BroadcastHashJoin on the ×salts
-    * replicated dim, which builds salts× the driver table for zero
-    * benefit (measured: driver broadcast OOM at sf25, where 3.75M
-    * customers × 16 salts = 60M broadcast rows — caught by the r7
-    * sweep). Shuffle-hash keeps the build side a per-task partition
-    * slice (|small|·salts/parts) and the salted fact side streams.
+    * The join is PINNED to sort-merge. Salting only exists once
+    * broadcast has been ruled out — a broadcast join has no shuffle
+    * and therefore no skew — so letting Catalyst pick is strictly
+    * wrong here: its pre-explode size estimate can choose
+    * BroadcastHashJoin on the ×salts replicated dim, which builds
+    * salts× the driver table for zero benefit (measured: driver
+    * broadcast OOM at sf25, where 3.75M customers × 16 salts = 60M
+    * broadcast rows — caught by the r7 sweep). Shuffle-hash was tried
+    * and rejected: its per-task build (|small|·salts/parts rows) is
+    * NOT spill-safe and overflowed the task memory budget at the same
+    * scale ("not enough memory to build hash map") — exactly the
+    * failure mode a salted operator sized for unknown-skew inputs
+    * must not have. Sort-merge spills both sides; the salt still
+    * spreads the hot key over `salts` sorted partitions.
     *
-    * Cost model: small side × salts shuffles once and each task
-    * builds its slice — use for dim-joins with hot fact keys, not
-    * fact–fact (there, AQE's skew split on sort-merge is the tool).
+    * Cost model: small side × salts shuffles and sorts once — use for
+    * dim-joins with hot fact keys, not fact–fact (there, AQE's skew
+    * split is the tool).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int = 16): DataFrame = {
@@ -38,7 +42,7 @@ object Skew {
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated.hint("shuffle_hash"), keys :+ "_salt").drop("_salt")
+    salted.join(replicated.hint("merge"), keys :+ "_salt").drop("_salt")
   }
 
   /** Two-phase salted aggregation: partial-aggregate on (key, salt),

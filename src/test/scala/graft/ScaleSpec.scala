@@ -21,14 +21,16 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.count() == plain.count())
     assert(salted.groupBy("name").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       plain.groupBy("name").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet)
-    // the ×salts replicated dim must NEVER broadcast: a broadcast join
-    // has no shuffle (salting would be pointless) and builds salts×
-    // the driver table (OOMed at sf25 before the shuffle_hash pin)
+    // the ×salts replicated dim must NEVER broadcast (no shuffle ⇒
+    // salting pointless; builds salts× the driver table — OOMed at
+    // sf25), and the join must be the spill-safe sort-merge, not
+    // shuffle-hash (whose per-task build overflowed task memory at
+    // the same scale)
     val plan = salted.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastHashJoin"),
       s"salted join planned a broadcast of the replicated dim:\n$plan")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"salted join must pin the shuffle-hash strategy:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"salted join must pin the spill-safe sort-merge strategy:\n$plan")
   }
 
   test("salted two-phase sum == direct sum") {
