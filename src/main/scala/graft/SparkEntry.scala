@@ -3181,7 +3181,11 @@ object SparkEntry {
     * The INDEXED IVF probes use production cell sizing
     * ([[Dedup.semParams]]: cells of ~250 rows, cap 1024) with the
     * build cached — they measure the query path against a
-    * production-shaped index. The ad-hoc (no-index) probes keep the
+    * production-shaped index. The `_build_fq` probes record the
+    * one-time build cost as its own entry (cold fit every attempt)
+    * and pre-mark the memo, so build and query land in SEPARATE
+    * artifact rows instead of the build silently inflating the first
+    * query measurement. The ad-hoc (no-index) probes keep the
     * catalog's pinned nlist=16: the ad-hoc form re-assigns the corpus
     * per call, so production nlist would measure the index-build cost
     * instead. PQ rerank budgets scale at 4% of n exactly like the
@@ -3199,6 +3203,40 @@ object SparkEntry {
       "bench_sim_lsh_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
         Similarity.lshTopKAdaptive(fq(e), e, k = 10)
+      }),
+      // index-BUILD probes: every attempt rebuilds COLD (fit caches
+      // cleared, no memo), so the recorded time is the honest one-time
+      // build cost at this sf. A completed build marks the memo key,
+      // so the `_indexed_fq` twins — which sort after these — measure
+      // the warm QUERY path alone. Without the split a single-attempt
+      // sweep charges the build to the query entry: the r7 sf25
+      // recording read bench_sim_ivfpq_indexed_fq as 151 s when the
+      // 500k-row nlist=2000 build was most of it.
+      "bench_sim_lsh_build_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val table = "graft_lsh_idx_" + idxSuffix(dir)
+        Similarity.buildLshIndexAdaptive(e, table, dim = 64, seed = 42L)
+        builtIndexes.put(s"lsh|$dir", true)
+        s.range(1).toDF("ok")
+      }),
+      "bench_sim_ivf_build_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.clearIvfIndexCache() // cold fit, not a cached model
+        val idxDir = "target/graft-indexes/ivf_fq_" + idxSuffix(dir)
+        Similarity.buildIvfIndex(e, idxDir,
+          nlist = Dedup.semParams(e.count()), seed = 42L)
+        builtIndexes.put(s"ivf_fq|$dir", true)
+        s.range(1).toDF("ok")
+      }),
+      "bench_sim_ivfpq_build_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.clearIvfIndexCache()
+        Similarity.clearPqCodebookCache()
+        val idxDir = "target/graft-indexes/ivfpq_fq_" + idxSuffix(dir)
+        Similarity.buildIvfPqIndex(e, idxDir,
+          nlist = Dedup.semParams(e.count()), m = 8, ksub = 64, seed = 42L)
+        builtIndexes.put(s"ivfpq_fq|$dir", true)
+        s.range(1).toDF("ok")
       }),
       "bench_sim_lsh_indexed_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)

@@ -388,6 +388,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.semParams(100000000) == 4096) // cap
   }
 
+  test("semantic dedup assigns cells once: side b reuses side a's exchange") {
+    // the cell-assignment pass (argmin over nlist centroids) is the
+    // corpus-wide cost of the operator; the self-join must feed both
+    // sides from ONE exchange, not compute assignment per side (the
+    // sf25 sweep measured the two-sided form assignment-bound). The
+    // reuse is an AQE stage decision, so assert on the FINAL plan.
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val df = Dedup.semanticNearDupPairs(emb, threshold = 0.2, nlist = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"semantic dedup self-join did not reuse the assignment exchange:\n$plan")
+  }
+
   test("semantic dedup is deterministic across quantizer refits") {
     val rnd = new scala.util.Random(29)
     val emb = (0 until 120).map(i =>
