@@ -59,6 +59,33 @@ object GraftSession {
     .config("spark.sql.cteRecursionRowLimit", "100000000")
     .config("spark.ui.enabled", "false")
 
+  /** Streaming state posture for state that outgrows executor heap.
+    *
+    * The default HDFS-backed state store keeps every key IN MEMORY on
+    * the executor and snapshots the full map per checkpoint — fine for
+    * bounded window state, fatal for the corpus-as-state shapes this
+    * engine runs (streaming dedup admission holds one entry per corpus
+    * key; at 100 TB that is billions of keys, far past any heap).
+    * RocksDB keeps state on local SSD with a block-cache in native
+    * memory (size-bounded, heap-independent), and CHANGELOG
+    * checkpointing makes the per-trigger durable write proportional to
+    * the keys CHANGED in that trigger, not to total state — the same
+    * O(batch)-not-O(corpus) rule the Bloom-tiered dedup ingest follows
+    * ([[graft.etl.DedupIngest]] scaladoc).
+    *
+    * Exposed as a SEPARATE tweak, not folded into [[tune]]: the
+    * provider is a per-query planning choice (read when a stream
+    * starts), and small-state pipelines keep the simpler in-heap
+    * provider. Apply to a builder, or flip the same keys on a live
+    * session's `spark.conf` before `start()` — asserted working in
+    * `StreamingSpec`.
+    */
+  def rocksDbState(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+
   /** Local session for tests / ad-hoc runs. Shuffle partitions = cores:
     * on a real cluster this would instead be sized to keep post-shuffle
     * partitions in the 64–256 MiB range (AQE coalesces the remainder).

@@ -71,6 +71,7 @@ case class TopKPairsAgg(
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
     val buf = new Buf(k)
+    buf.reserve(n)
     buf.n = n
     var i = 0
     while (i < n) { buf.vs(i) = bb.getDouble(); buf.ids(i) = bb.getLong(); i += 1 }
@@ -105,11 +106,28 @@ object TopKPairsAgg {
 
   /** Mutable bounded buffer: parallel arrays sorted (v DESC, id ASC),
     * binary-search insert + arraycopy shift — ~k writes worst case,
-    * O(log k) compares, zero allocation per row. */
+    * O(log k) compares, zero allocation per row.
+    *
+    * Arrays start at min(k, 16) and DOUBLE toward k as entries land:
+    * an eager k-sized allocation per group costs 16·k bytes the moment
+    * a group exists, and a hash-aggregation map holds every group's
+    * buffer live — at k in the thousands (the similarity rerank tier)
+    * that multiplied into heap exhaustion before any group was even
+    * full. Growth stays amortized O(1) per insert. Peak state is
+    * still groups-per-task × 16·k once groups FILL — callers with
+    * large k bound their group count per task (the rerank paths chunk
+    * their query sets — see Similarity.chunkQueries).
+    */
   final class Buf(val k: Int) {
     var n: Int = 0
-    val vs: Array[Double] = new Array[Double](k)
-    val ids: Array[Long] = new Array[Long](k)
+    var vs: Array[Double] = new Array[Double](math.min(k, 16))
+    var ids: Array[Long] = new Array[Long](math.min(k, 16))
+
+    def reserve(cap: Int): Unit = if (cap > vs.length) {
+      val next = math.min(k, math.max(cap, vs.length * 2))
+      vs = java.util.Arrays.copyOf(vs, next)
+      ids = java.util.Arrays.copyOf(ids, next)
+    }
 
     @inline private def outranks(v1: Double, id1: Long, v2: Double, id2: Long): Boolean =
       v1 > v2 || (v1 == v2 && id1 < id2)
@@ -117,6 +135,7 @@ object TopKPairsAgg {
     def insert(v: Double, id: Long): Unit = {
       if (v != v) return // NaN: unrankable, skip (see scaladoc)
       if (n == k && !outranks(v, id, vs(k - 1), ids(k - 1))) return
+      if (n < k) reserve(n + 1)
       var lo = 0
       var hi = n
       while (lo < hi) {

@@ -126,10 +126,17 @@ object Similarity {
   }
 
   /** Corpus side of both IVF paths: nearest cell + norm, zero-norm
-    * rows dropped (cosine would be NaN and NaN sorts above reals). */
+    * rows dropped (cosine would be NaN and NaN sorts above reals).
+    *
+    * Spread BEFORE the assignment projection: a projection pipelines
+    * into the scan stage, so without it the argmin over nlist
+    * centroids (nlist·dim madds per row) runs at raw scan width — a
+    * bench-sized parquet corpus is 1–2 splits, and the sf25 index
+    * builds measured ~250 s mostly in a two-core assignment pass. At
+    * real scale the scan is already wide and spread is a no-op. */
   private[graft] def ivfCorpusSide(corpus: DataFrame,
                                    centroids: Array[Array[Double]]): DataFrame =
-    corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+    spread(corpus).select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normD(col("embedding")).as("c_nrm"),
         topCells(col("embedding"), centroids, 1).getItem(0).as("cell"))
       .filter(col("c_nrm") > 0)
@@ -150,7 +157,11 @@ object Similarity {
     * most once.
     */
   private def ivfScoreRank(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val scored = spread(c).join(broadcast(q), Seq("cell"))
+    // callers pass an already-wide corpus side (ivfCorpusSide spreads
+    // before assignment; ivfIndexedTopK spreads its pruned index
+    // read) — spreading here again would estimate width from the raw
+    // scan leaves and re-exchange corpus-sized rows for nothing
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         round(dotD(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
@@ -189,7 +200,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(corpus, nlist, seed)
+    // cluster by cell before the partitioned write: without it every
+    // write task holds rows of ~all cells and emits tasks×nlist files
+    // (measured 279 s at sf25 — 32 tasks × 2000 cells ≈ 64k parquet
+    // files, pure file-open overhead). Hash-clustered, each cell lands
+    // wholly in one task ⇒ exactly nlist files, and the same shuffle
+    // is what a 1000-executor build needs anyway (no task reads all
+    // centroids' rows).
     ivfCorpusSide(corpus, centroids)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
@@ -214,9 +233,9 @@ object Similarity {
     // distinct probed cells: ≤ nlist ints, safe to collect regardless
     // of the query count
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(dir)
+    val c = spread(spark.read.parquet(dir)
       .filter(col("cell").isin(probed.toSeq.map(Int.box): _*))
-      .select(col("c_id"), col("c_emb"), col("c_nrm"), col("cell"))
+      .select(col("c_id"), col("c_emb"), col("c_nrm"), col("cell")))
     ivfScoreRank(c, q, k)
   }
 
@@ -306,16 +325,49 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
              m: Int = 8, ksub: Int = 16, rerank: Int = 50,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L): DataFrame =
+    queryChunks(queries, rerank)
+      .map(qc => pqTopKChunk(qc, corpus, k, m, ksub, rerank, seed))
+      .reduce(_.unionByName(_))
+
+  /** Map-side selection-state bound for the rerank-tier top-k. The
+    * candidate selection keeps a 16·rerank-byte buffer PER QUERY PER
+    * TASK (graft_top_k_pairs partial aggregation), so an unbounded
+    * query set multiplies into executor heap: the catalog's
+    * corpus-proportional sweep at sf25 (10k queries × rerank 10k ×
+    * 32 tasks ≈ 50 GB of buffers on an 8 GB heap) killed the
+    * SparkContext outright. Queries split into deterministic hash
+    * chunks sized so per-task selection state stays ≤ `budgetBytes`;
+    * each chunk re-scans the (tiny) code tier, per-query results
+    * never cross chunks, so the union is row-identical to the
+    * unchunked plan (asserted in SimilaritySpec). Resolves to ONE
+    * chunk at every gate scale and for any point-lookup query set —
+    * the production shape pays nothing.
+    */
+  private[graft] def queryChunks(queries: DataFrame, rerank: Int,
+                                 budgetBytes: Long = 256L << 20): Seq[DataFrame] = {
+    val nq = queries.count()
+    val chunks = math.max(1L,
+      (nq * rerank.toLong * 16L + budgetBytes - 1) / budgetBytes).toInt
+    if (chunks == 1) Seq(queries)
+    else (0 until chunks).map(i =>
+      queries.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === i))
+  }
+
+  private def pqTopKChunk(queries: DataFrame, corpus: DataFrame, k: Int,
+                          m: Int, ksub: Int, rerank: Int,
+                          seed: Long): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.{PqAdcExpr, PqEncodeExpr}
     val cbs = pqCodebooks(corpus, m, ksub, seed)
-    // code table: (c_id, 8-byte code) — the only thing the scan reads
-    val codes = spread(corpus
+    // code table: (c_id, 8-byte code) — the only thing the scan
+    // reads. Spread BEFORE the encode projection (m·ksub·dsub madds
+    // per row) so it runs wide, not at raw scan width.
+    val codes = spread(corpus)
       .select(col("vec_id").as("c_id"),
         toCol(PqEncodeExpr(toExpr(col("embedding")), cbs)).as("code"),
         normD(col("embedding")).as("c_nrm"))
-      .filter(col("c_nrm") > 0).drop("c_nrm"))
+      .filter(col("c_nrm") > 0).drop("c_nrm")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
     val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
@@ -358,15 +410,24 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                 nlist: Int = 16, nprobe: Int = 3, m: Int = 8, ksub: Int = 16,
-                rerank: Int = 50, seed: Long = 42L): DataFrame = {
+                rerank: Int = 50, seed: Long = 42L): DataFrame =
+    queryChunks(queries, rerank)
+      .map(qc => ivfPqTopKChunk(qc, corpus, k, nlist, nprobe, m, ksub, rerank, seed))
+      .reduce(_.unionByName(_))
+
+  private def ivfPqTopKChunk(queries: DataFrame, corpus: DataFrame, k: Int,
+                             nlist: Int, nprobe: Int, m: Int, ksub: Int,
+                             rerank: Int, seed: Long): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.{PqAdcExpr, PqEncodeExpr}
     val centroids = ivfCentroids(corpus, nlist, seed)
     val cbs = pqCodebooks(corpus, m, ksub, seed)
     // cell-tagged code table: (cell, c_id, code) — the scan tier
-    val codes = spread(ivfCorpusSide(corpus, centroids)
+    // (ivfCorpusSide is already wide; an outer spread would estimate
+    // from the raw scan leaves and re-exchange for nothing)
+    val codes = ivfCorpusSide(corpus, centroids)
       .select(col("cell"), col("c_id"),
-        toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)).as("code")))
+        toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)).as("code"))
     val probes = ivfProbeSide(queries, centroids, nprobe)
     val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -398,8 +459,11 @@ object Similarity {
     import spark.implicits._
     val centroids = ivfCentroids(corpus, nlist, seed)
     val cbs = pqCodebooks(corpus, m, ksub, seed)
+    // same cell-clustered write as buildIvfIndex (file count = nlist,
+    // not tasks×nlist)
     ivfCorpusSide(corpus, centroids)
       .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
@@ -419,7 +483,14 @@ object Similarity {
     */
   def ivfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, k: Int = 10, nprobe: Int = 3,
-                       rerank: Int = 50): DataFrame = {
+                       rerank: Int = 50): DataFrame =
+    queryChunks(queries, rerank)
+      .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank))
+      .reduce(_.unionByName(_))
+
+  private def ivfPqIndexedTopKChunk(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, queries: DataFrame, k: Int,
+                                    nprobe: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqAdcExpr
     val centroids = spark.read.parquet(dir.stripSuffix("/") + "_centroids")

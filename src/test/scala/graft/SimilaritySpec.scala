@@ -97,6 +97,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cos.filter(col("cosine") =!= col("exact_cos")).isEmpty)
   }
 
+  test("query chunking: chunks partition the set, chunked PQ union == unchunked") {
+    // the heap-bound chunking (Similarity.queryChunks) must be
+    // invisible in the result: per-query work never crosses chunks,
+    // so running each chunk separately and unioning is row-identical
+    // to the one-shot plan. Forced multi-chunk via a tiny budget.
+    val qs = corpus.filter(col("vec_id") % 7 === 0)
+    val nq = qs.count()
+    val chunks = Similarity.queryChunks(qs, rerank = 20, budgetBytes = 64 * 16)
+    assert(chunks.size > 1, "budget should force multiple chunks")
+    assert(chunks.map(_.count()).sum == nq, "chunks must partition the query set")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rnk"))).toSet
+    val whole = rows(Similarity.pqTopK(qs, corpus, k = 5, m = 8, ksub = 16, rerank = 20))
+    val unioned = chunks.map(c =>
+        Similarity.pqTopK(c, corpus, k = 5, m = 8, ksub = 16, rerank = 20))
+      .map(rows).reduce(_ ++ _)
+    assert(unioned == whole, "chunked union diverged from the one-shot result")
+  }
+
   test("PQ codes are m bytes and deterministic across runs") {
     import graft.ops.Similarity
     Similarity.clearPqCodebookCache()

@@ -155,6 +155,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful aggregation runs on the RocksDB state store with changelog checkpoints") {
+    // GraftSession.rocksDbState is the large-state posture (state on
+    // local disk, per-trigger durable writes ∝ changed keys). The
+    // provider is read when a stream STARTS, so it can be flipped on a
+    // live session; this pins (a) identical results to the in-heap
+    // provider and (b) that the checkpoint actually carries RocksDB
+    // changelog/snapshot artifacts, not HDFS-provider deltas.
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    val ckpt = tmp("cp-rocksdb")
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      val agg = ms.toDF().toDF("ts_ms", "v")
+        .select(timestamp_millis(col("ts_ms")).as("ts"), col("v"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName("rocks_out")
+        .outputMode("complete").option("checkpointLocation", ckpt).start()
+      try {
+        val t0 = 1704067200000L
+        ms.addData((t0, 1.0), (t0 + 60000L, 2.0))
+        q.processAllAvailable()
+        ms.addData((t0 + 120000L, 4.0), (t0 + 3600000L, 8.0)) // same + next window
+        q.processAllAvailable()
+        val rows = spark.table("rocks_out").collect()
+          .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+            .getAs[java.sql.Timestamp](0).getTime,
+            r.getAs[Double]("total"), r.getAs[Long]("n")))
+        assert(rows.toSet == Set((t0, 7.0, 3L), (t0 + 3600000, 8.0, 1L)),
+          "cross-batch state accumulation wrong under RocksDB")
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val stateFiles = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(ckpt, "state"))
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(stateFiles.exists(f => f.endsWith(".changelog") || f.endsWith(".zip")),
+        s"no RocksDB changelog/snapshot artifacts in the state dir: $stateFiles")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        "HDFS-provider delta files present — the RocksDB provider was not used")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset(changelogKey)
+    }
+  }
+
   test("windowed KLL sketches in a streaming aggregation (mergeable state per window)") {
     // the rollup-table pattern UNDER a stream: each event-time window
     // accumulates a KLL sketch (TypedImperativeAggregate state in the
