@@ -77,32 +77,34 @@ object Similarity {
       // across cluster configurations despite the fixed seed); the
       // orderBy+limit pair plans as TakeOrderedAndProject (bounded
       // per-partition heaps, no full sort materialization).
-      // init mode: k-means|| runs a LOCAL k-means over ~initSteps·2k
-      // candidates ON THE DRIVER — O(k²·dim·localIters) single-core,
-      // measured 66 s of a 118 s semantic-dedup pass at k=2000
-      // (sf25). Random init + Lloyd on the 20·k sample is the
-      // standard coarse-quantizer recipe (FAISS trains IVF exactly
-      // this way); cell-balance differences wash out under
-      // multi-assignment and nprobe>1. The switch point (512) keeps
-      // every oracle-gate fit (nlist=16 at sf≤0.1) and the recorded
-      // sf1/sf5 semantic fits (nlist 80/400) bit-identical — only
-      // corpora that size past the gates change centroids, and
-      // everything there is recall-gated, not hash-gated.
-      // the orderBy+limit sample plans as TakeOrderedAndProject whose
-      // output is ONE partition — left alone, every Lloyd iteration's
-      // distance pass runs single-threaded (measured 42 s of the sf25
-      // semantic pass at k=2000). Re-spread over a FIXED partition
-      // count so the fit parallelizes identically on any cluster
-      // layout: round-robin from a single sorted partition is
-      // deterministic (rows are sorted before redistribution), so the
-      // centroids — and every recall number built on them — stay
-      // reproducible.
-      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-        .setInitMode(if (nlist >= 512) "random" else "k-means||")
-        .fit(corpus.select(col("vec_id"),
-            array_to_vector(col("embedding")).as("features"))
-          .orderBy(col("vec_id")).limit(math.max(10000, 20 * nlist))
-          .repartition(64)
+      // TWO fit regimes, switched at nlist 512 so everything at or
+      // below the recorded gate scales (nlist=16 at sf≤0.1, 80/400 at
+      // sf1/sf5) keeps the EXACT pre-round plan — init mode, sample
+      // partitioning, iteration count — and therefore bit-identical
+      // centroids and recall floors (an A/B at sf5/θ=0.6 measured the
+      // per-label floor move 0.71→0.57 from nothing but re-spreading
+      // the k-means|| sample, so the small-k path must not change).
+      //
+      // Large nlist (≥ 512, the adaptive-semParams regime at sf25+):
+      //  - k-means||'s LOCAL init k-means is O(k²·dim·localIters) on
+      //    ONE driver core — 66 s of a 118 s semantic pass at k=2000.
+      //    Random init + Lloyd on the 20·k sample is the standard
+      //    coarse-quantizer recipe (FAISS trains IVF this way).
+      //  - the orderBy+limit sample plans as TakeOrderedAndProject
+      //    whose output is ONE partition — every Lloyd distance pass
+      //    runs single-threaded (42 s at k=2000). Re-spread over a
+      //    FIXED width so the fit parallelizes identically on any
+      //    cluster layout (round-robin from one sorted partition is
+      //    deterministic), and spend the savings on twice the Lloyd
+      //    iterations for cluster quality.
+      val big = nlist >= 512
+      val sample = corpus.select(col("vec_id"),
+          array_to_vector(col("embedding")).as("features"))
+        .orderBy(col("vec_id")).limit(math.max(10000, 20 * nlist))
+      val model = new KMeans().setK(nlist).setSeed(seed)
+        .setMaxIter(if (big) 10 else 5)
+        .setInitMode(if (big) "random" else "k-means||")
+        .fit((if (big) sample.repartition(64) else sample)
           .select(col("features")))
       model.clusterCenters.map(_.toArray)
     })
