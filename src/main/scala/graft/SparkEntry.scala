@@ -1190,12 +1190,17 @@ object SparkEntry {
         .select("event_id", "delta")),
 
     QueryDef("win_rank_suite",
-      // the rest of the ranking-function surface in one window pass:
-      // dense_rank / ntile / percent_rank / cume_dist share a single
-      // sort (one Window node). The (price desc, key) order is total,
-      // so rank == row_number and every output is engine-independent;
-      // percent_rank and cume_dist are exact integer ratios in
-      // doubles.
+      // the ranking-function surface — dense_rank / ntile /
+      // percent_rank / cume_dist — computed by the DISTRIBUTED rank
+      // suite (ops.Ranks.totalOrderRankSuite), not a single Window
+      // node: Window parallelism is capped at the partition-by
+      // cardinality, and o_orderpriority has 5 values — at sf25 that
+      // meant 5 tasks each sorting 7.5M rows (28 s, the bench's worst
+      // remaining scaler). The two-level form (range-bucket the order
+      // value → local ranks per (priority, bucket) → tiny prefix
+      // offsets broadcast back) is value-identical under the total
+      // (price DESC, key) order — asserted against the Window form in
+      // ScaleSpec and against DuckDB's window SQL here.
       Some("""SELECT o_orderkey,
              |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
              |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -1204,16 +1209,11 @@ object SparkEntry {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
-      (s, dir) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, dir).select(
-          col("o_orderkey"),
-          dense_rank().over(w).cast("long").as("drnk"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          percent_rank().over(w).as("prnk"),
-          cume_dist().over(w).as("cdist"))
-      }),
+      (s, dir) => graft.ops.Ranks.totalOrderRankSuite(
+          Tables.orders(s, dir), Seq("o_orderpriority"),
+          "o_totalprice", "o_orderkey", ntiles = 4, desc = true)
+        .select(col("o_orderkey"), col("drnk"), col("quartile"),
+          col("prnk"), col("cdist"))),
 
     QueryDef("win_first_last",
       // navigation-function surface: first/last/nth need the FULL

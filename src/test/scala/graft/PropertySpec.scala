@@ -92,6 +92,28 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("TopK large-k: lazy buffer growth + partial-merge serde match the window form") =
+    forAll(Gen.chooseNum(150, 400)) { n =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // k=100 > the 16-slot initial buffer forces geometric growth,
+      // and 8 partitions force serialize/deserialize of PARTIALLY
+      // GROWN buffers (the eager-allocation bug class: deserialize
+      // writing past a lazily-sized array)
+      val rnd = new scala.util.Random(n)
+      val df = (0 until n).map(i => (i % 2, rnd.nextInt(50).toDouble, i.toLong))
+        .toDF("g", "v", "id").repartition(8)
+      val got = graft.ops.TopK.topKPerGroup(df, "g", "v", "id", k = 100)
+        .select("g", "rnk", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val want = df.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))).cast("long"))
+        .filter(col("rnk") <= 100)
+        .select(col("g").cast("string"), col("rnk"), col("v"), col("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      got == want
+    }
+
   property("misra-gries: never overcounts, undercounts within n/k, heavy hitters survive") =
     forAll(Gen.chooseNum(2, 6), Gen.chooseNum(1, 8)) { (k, nPart) =>
       // a skewed stream: token i appears ~2^(vocab.size - i) times

@@ -43,6 +43,45 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     salted.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
   }
 
+  test("distributed rank suite == single-Window rank suite (incl. ntile remainders)") {
+    // Ranks.totalOrderRankSuite exists because Window parallelism is
+    // capped at the partition-by cardinality (5 tasks for 5
+    // priorities, whatever the cluster) — it must be value-identical
+    // to the window form. Group sizes chosen to exercise BOTH ntile
+    // branches (n % 4 != 0) and the degenerate n < ntiles group.
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    val rows = (for {
+      (g, n) <- Seq(("a", 997), ("b", 1000), ("c", 3), ("d", 1)).zipWithIndex
+        .map { case ((g, n), _) => (g, n) }
+      i <- 0 until n
+    } yield (g, rnd.nextInt(200).toDouble, rnd.nextLong())).zipWithIndex
+      .map { case ((g, v, _), i) => (g, v, i.toLong) }
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    val got = graft.ops.Ranks.totalOrderRankSuite(df, Seq("g"), "v", "id",
+        ntiles = 4, desc = true, buckets = 16)
+      .select("g", "id", "drnk", "quartile", "prnk", "cdist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val want = df.select(col("g"), col("id"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want, "distributed rank suite diverged from the Window form")
+
+    // null order values are refused loudly, not silently dropped
+    val withNull = (rows :+ (("e", Double.NaN, -1L))).toDF("g", "v", "id")
+      .withColumn("v", when(col("id") === -1L, lit(null).cast("double")).otherwise(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Ranks.totalOrderRankSuite(withNull, Seq("g"), "v", "id")
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("bucketed-by-key join plans with no shuffle exchange") {
     // in-memory catalog + persistent warehouse dir: clear leftovers
     // from previous JVMs before re-creating the managed tables
