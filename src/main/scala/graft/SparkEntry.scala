@@ -3286,6 +3286,17 @@ object SparkEntry {
         Similarity.ivfPqIndexedTopK(s, idxDir, fq(e), k = 10, nprobe = 6,
           rerank = rerank(n))
       }),
+      // production shape of agg_approx_distinct: the catalog gate
+      // carries an exact count_distinct BASELINE inside its error
+      // contract (a Catalyst Expand + full distinct shuffle that
+      // dominates its bench time — 30.6 s of the sf25 sweep); a real
+      // deployment runs only the one-pass HLL++ sketch. This probe
+      // records that path so the artifact separates contract cost
+      // from design cost, exactly like the _build_fq/_indexed_fq
+      // split.
+      "bench_approx_distinct_hll" -> ((s: SparkSession, dir: String) =>
+        Tables.eventsRaw(s, dir).groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("est"))),
       "bench_dedup_semantic_fq" -> ((s: SparkSession, dir: String) => {
         // the semantic-dedup DESIGN cost (hybrid cell+LSH pair pass,
         // exactly what the catalog gate runs) — the catalog twin also
