@@ -46,9 +46,12 @@ object GraftSession {
     // (executor OOM at 100 TB cardinalities, r3 ADVICE); past 64k
     // groups the sort fallback is the correct spill-safe behavior.
     // CONSTRAINT on future aggregates: the 128 MiB bound assumes no
-    // object buffer exceeds ~2 KiB — an aggregate carrying a larger
-    // buffer (e.g. a top-k heap with k in the tens of thousands) must
-    // lower this threshold or the bound silently breaks.
+    // object buffer exceeds ~2 KiB. An aggregate with a larger
+    // buffer must bound groups-per-task instead — the r7 sf25 sweep
+    // proved the failure mode (rerank-tier top-k: 16·k-byte buffers ×
+    // 10k groups × 32 tasks killed the context) and the fix shape:
+    // lazy buffer growth (TopKPairsAgg.Buf) plus deterministic query
+    // chunking at the call site (Similarity.queryChunks).
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     // Recursive-CTE working sets scale with the data: the 1M-row
     // default safety valve fails sql_recursive_cte at sf25 (6-level
