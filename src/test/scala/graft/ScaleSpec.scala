@@ -80,6 +80,36 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       graft.ops.Ranks.totalOrderRankSuite(withNull, Seq("g"), "v", "id")
     }
     assert(e.getMessage.contains("null"))
+
+    // NaN is refused just as loudly: NaN sorts greatest so max()=NaN,
+    // width_bucket(…, NaN, …) returns null for EVERY row and the
+    // offset join would silently drop the whole output
+    val withNaN = (rows :+ (("e", Double.NaN, -1L))).toDF("g", "v", "id")
+    val eNaN = intercept[IllegalArgumentException] {
+      graft.ops.Ranks.totalOrderRankSuite(withNaN, Seq("g"), "v", "id",
+        buckets = 16)
+    }
+    assert(eNaN.getMessage.contains("NaN"))
+
+    // empty input short-circuits to a typed empty result, not an NPE
+    // on the null range-aggregate row
+    val empty = graft.ops.Ranks.totalOrderRankSuite(
+      df.where(lit(false)), Seq("g"), "v", "id", buckets = 16)
+    assert(empty.count() == 0L)
+    val sch = empty.schema
+    assert(sch("drnk").dataType.typeName == "long")
+    assert(sch("quartile").dataType.typeName == "long")
+    assert(sch("prnk").dataType.typeName == "double")
+    assert(sch("cdist").dataType.typeName == "double")
+
+    // the size switch (default buckets) is value-identical too:
+    // below the threshold the suite IS the plain-Window form
+    val switched = graft.ops.Ranks.totalOrderRankSuite(df, Seq("g"), "v", "id",
+        ntiles = 4, desc = true)
+      .select("g", "id", "drnk", "quartile", "prnk", "cdist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(switched == want, "size-switched rank suite diverged")
   }
 
   test("bucketed-by-key join plans with no shuffle exchange") {
