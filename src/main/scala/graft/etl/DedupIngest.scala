@@ -194,15 +194,27 @@ object DedupIngest {
       prior.map(serializeBloom), partVal, key, tiebreaker).persist()
     try {
       val n = admitted.count()
+      // (1) bloom-<N> = prior ∪ Bloom(admitted) — same geometry ⇒
+      // mergeable; distributed build over the admitted rows only.
+      // Written EVEN WHEN n == 0 (blob = prior unchanged): a batch id
+      // without a blob forces every later batch down the
+      // rebuild-from-index repair path until one admits — correct but
+      // O(corpus index) per trigger instead of O(batch). The build is
+      // skipped on an empty batch (Spark's bloom aggregate has no
+      // zero-row result): the blob is then prior verbatim, or a fresh
+      // empty filter on an empty-corpus bootstrap batch.
+        val batchFilter =
+        if (n > 0) {
+          val f = admitted
+            .select(xxhash64(col(key)).as("_fp")).stat
+            .bloomFilter("_fp", math.max(expectedItems, 1L), fpp)
+          prior.foreach(f.mergeInPlace)
+          f
+        } else prior.getOrElse(org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(expectedItems, 1L), fpp))
+      writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), batchFilter)
+      pruneBlooms(fs, checkpointDir, runTag, batchId)
       if (n > 0) {
-        // (1) bloom-<N> = prior ∪ Bloom(admitted) — same geometry ⇒
-        // mergeable; distributed build over the admitted rows only
-        val batchFilter = admitted
-          .select(xxhash64(col(key)).as("_fp")).stat
-          .bloomFilter("_fp", math.max(expectedItems, 1L), fpp)
-        prior.foreach(batchFilter.mergeInPlace)
-        writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), batchFilter)
-        pruneBlooms(fs, checkpointDir, runTag, batchId)
         // (2) fingerprint-index partition (idempotent overwrite)
         admitted.select(xxhash64(col(key)).as("_fp"), col(key))
           .withColumn("_ingest_batch", lit(partVal))
@@ -309,6 +321,27 @@ object DedupIngest {
 
   /** Newest committed blob with id < batchId under this run's tag
     * (a crashed attempt's own `bloom-<batchId>` must never be read).
+    *
+    * STALE-CHAIN GUARD: any blob with id > batchId cannot have been
+    * written by this run — within one run, blob N+1 is only written
+    * while processing batch N+1, which requires batch N to have
+    * committed, so a replayed (uncommitted) batch never has blobs
+    * above its own id. Such a blob is a leftover from a PRIOR run
+    * under the same checkpoint path whose offsets/commits were
+    * cleaned but whose sidecar state survived, restarting batch ids
+    * over it. That state is poison beyond the bloom chain itself: a
+    * stale low-id blob lacks the prior run's later admissions (a
+    * bloom false NEGATIVE admits a duplicate with no exact check),
+    * and — worse — the restarted batch N's replay logic would treat
+    * the PRIOR run's `<tag>-N` fingerprint/document partitions as its
+    * own crashed attempt: excluded from the probe (re-admitting their
+    * keys) and then OVERWRITTEN (losing their documents). No local
+    * repair can disambiguate the two runs' partitions, so fail loudly
+    * with the recovery recipe instead of silently corrupting the
+    * corpus: restart under a FRESH checkpoint directory (new tag ⇒
+    * empty chain ⇒ first batch rebuilds the filter from the full
+    * fingerprint index, and new `<newtag>-N` partitions never collide
+    * with the old run's).
     */
   private def loadBloomBelow(fs: org.apache.hadoop.fs.FileSystem,
                              checkpointDir: String, tag: String, batchId: Long)
@@ -316,11 +349,23 @@ object DedupIngest {
     val dir = new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir))
     if (!fs.exists(dir)) return None
     val prefix = s"bloom-$tag-"
-    val ids = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val allIds = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(prefix))
       .flatMap(n => n.stripPrefix(prefix).toLongOption)
-      .filter(_ < batchId)
-    ids.maxOption.map { id =>
+    // id == batchId is this batch's own crashed attempt (legal, never
+    // read); id > batchId proves a stale prior-run chain — see the
+    // scaladoc above for why this must refuse, not repair
+    if (allIds.exists(_ > batchId))
+      throw new IllegalStateException(
+        s"admitBatchIncremental: bloom chain under $checkpointDir (tag " +
+          s"'$tag') holds batch ids above the current $batchId — a prior " +
+          "run's sidecar state survived a partial checkpoint cleanup and " +
+          "this run's batch ids restarted over it. Proceeding would admit " +
+          "duplicates and overwrite the prior run's ingest partitions. " +
+          "Restart the stream under a FRESH checkpoint directory: the new " +
+          "run tag rebuilds its filter from the fingerprint index and " +
+          "writes non-colliding partitions.")
+    allIds.filter(_ < batchId).maxOption.map { id =>
       val in = fs.open(bloomPath(checkpointDir, tag, id))
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
       finally in.close()

@@ -221,6 +221,55 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(incIds(dir) == Set((0L, "a"), (1L, "b"), (11L, "c")))
   }
 
+  test("incremental: stale bloom chain after partial checkpoint cleanup fails loudly; fresh checkpoint recovers") {
+    val dir = Files.createTempDirectory("inc-stale").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-stale-cp").toString
+    // run 1 under tag "t": two batches → blobs {0, 1}; bloom-0 lacks
+    // "c" (admitted in batch 1)
+    DedupIngest.admitBatchIncremental(spark,
+      Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"),
+      dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    DedupIngest.admitBatchIncremental(spark,
+      Seq((2L, "c")).toDF("doc_id", "text"),
+      dir, cp, batchId = 1L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    // "partial checkpoint cleanup": offsets/commits gone, bloom chain
+    // survives, batch ids restart at 0 under the SAME tag. Without the
+    // guard this silently corrupted the corpus twice over: the
+    // restarted batch 0 treated run-1's t-0 partition as its own
+    // crashed attempt (probe-excluded ⇒ "a" re-admitted, then the
+    // partition OVERWRITTEN ⇒ (0,a),(1,b) lost), and a later batch
+    // reading stale bloom-0 bloom-missed "c" (false negative ⇒ no
+    // exact check ⇒ duplicate admitted). The guard refuses instead.
+    val e = intercept[IllegalStateException] {
+      DedupIngest.admitBatchIncremental(spark,
+        Seq((10L, "a")).toDF("doc_id", "text"),
+        dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id",
+        expectedItems = 100000L, runTag = "t")
+    }
+    assert(e.getMessage.toLowerCase.contains("fresh checkpoint"))
+    // nothing was admitted, overwritten, or lost
+    assert(incIds(dir) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+    // the documented recovery — a FRESH checkpoint directory (new
+    // tag) — rebuilds the filter from the fingerprint index and
+    // admits exactly the genuinely-new keys, no dup, no loss
+    val cp2 = Files.createTempDirectory("inc-stale-cp2").toString
+    val n0 = DedupIngest.admitBatchIncremental(spark,
+      Seq((10L, "a")).toDF("doc_id", "text"),
+      dir, cp2, batchId = 0L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t2")
+    assert(n0 == 0L, "duplicate 'a' admitted after fresh-checkpoint recovery")
+    val n1 = DedupIngest.admitBatchIncremental(spark,
+      Seq((11L, "c"), (12L, "z")).toDF("doc_id", "text"),
+      dir, cp2, batchId = 1L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t2")
+    assert(n1 == 1L, s"expected only 'z' admitted, got $n1 admissions")
+    assert(incIds(dir) ==
+      Set((0L, "a"), (1L, "b"), (2L, "c"), (12L, "z")),
+      "fresh-checkpoint recovery caused a duplicate admission or a loss")
+  }
+
   test("incremental soak: 40 micro-batches with a mid-run crash stay exactly-once") {
     val rnd = new scala.util.Random(47)
     val dir = Files.createTempDirectory("inc-soak").toString + "/corpus"
