@@ -32,7 +32,10 @@ object Verify {
       }
     }
     import JsonText.{str => q}
-    val json = SparkEntry.oracleSql
+    // sf-aware: regenerates the LSH oracles when the adaptive nBits
+    // leaves the pinned 8-bit regime (identical to oracleSql at every
+    // driver gate scale)
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
