@@ -788,26 +788,73 @@ object Dedup {
       .distinct()
   }
 
-  /** [[semanticNearDupPairsAdaptive]] unioned with ONE banded
-    * sign-LSH seed ([[embeddingNearDupsAnnAdaptive]]) — hybrid
-    * blocking. The two blockers miss DIFFERENT pairs: kmeans cells
-    * chop boundary pairs (multi-assignment recovers most, but recall
-    * thins at LOW thresholds where "near"-dup pairs sit far from any
-    * centroid — measured 0.51 per-label floor at sf5/θ=0.35, VERDICT
-    * r6 weak #3), while sign-LSH banding misses are angular and
-    * uncorrelated with cell geometry. Both tiers verify exact cosine
-    * with identical arithmetic before emitting, so the union is still
-    * all-true-pairs and `distinct()` collapses the overlap; cost is
-    * one extra linear pass (banded candidates bounded by
-    * [[annParams]]). Recall floors per sf are recorded in SCALE.md;
-    * the catalog gate (`ext_dedup_semantic`) runs this form.
+  /** [[semanticNearDupPairsAdaptive]] unioned with `nSeeds` banded
+    * sign-LSH passes ([[embeddingNearDupsAnnAdaptive]] with
+    * independent hyperplane draws) — hybrid blocking. The two blockers
+    * miss DIFFERENT pairs: kmeans cells chop boundary pairs
+    * (multi-assignment recovers most, but recall thins at LOW
+    * thresholds where "near"-dup pairs sit far from any centroid —
+    * measured 0.51 per-label floor at sf5/θ=0.35, VERDICT r6 weak #3),
+    * while sign-LSH banding misses are angular and uncorrelated with
+    * cell geometry. Both tiers verify exact cosine with identical
+    * arithmetic before emitting, so the union is still all-true-pairs
+    * and `distinct()` collapses the overlap; cost is `nSeeds` extra
+    * linear passes (banded candidates bounded by [[annParams]]).
+    *
+    * `nSeeds` is the RECALL KNOB at scale: as [[annParams]] grows bits
+    * with log2(n) to keep buckets bounded, the per-seed band-collision
+    * probability for a MID-θ pair collapses (at the sf25-adaptive
+    * 5×12 bits, a cosine-0.6 pair — 53°, p_bit = 1−θ/π ≈ 0.705 —
+    * collides in ≥1 band with p ≈ 0.07 per seed), so one seed adds
+    * almost nothing there. Independent seeds MULTIPLY the miss
+    * probability across passes while total work stays linear
+    * (seeds × O(bands·n)); the seeds needed for a target lift follow
+    * L ≈ ln(1−target)/ln(1−p_seed) — see [[semSeedsFor]] for the
+    * sized default. Recall floors per (sf, θ, nSeeds) are recorded in
+    * SCALE.md; the catalog gate (`ext_dedup_semantic`) runs this form
+    * at the default nSeeds=1 (gate scales measure floor 1.0 at θ=0.6
+    * already — the multi-seed spend only buys recall where the
+    * adaptive bits have grown, i.e. past sf1).
     */
   def semanticNearDupPairsHybrid(embeddings: DataFrame, threshold: Double = 0.5,
                                  targetCell: Int = 250, nassign: Int = 3,
-                                 seed: Long = 42L): DataFrame =
+                                 seed: Long = 42L, nSeeds: Int = 1): DataFrame = {
+    require(nSeeds >= 1, "nSeeds must be >= 1")
+    val lsh = (0 until nSeeds)
+      .map(i => embeddingNearDupsAnnAdaptive(embeddings, threshold,
+        seed = seed + 1000L * i))
+      .reduce(_.unionByName(_))
     semanticNearDupPairsAdaptive(embeddings, threshold, targetCell, nassign, seed)
-      .unionByName(embeddingNearDupsAnnAdaptive(embeddings, threshold, seed = seed))
+      .unionByName(lsh)
       .distinct()
+  }
+
+  /** Seeds for [[semanticNearDupPairsHybrid]] sized from the banding
+    * math so the LSH tier alone reaches `lshTarget` recall on pairs AT
+    * the threshold: with [[annParams]]' (bands, bits) for this corpus,
+    * a pair at exactly cosine=θ survives one seed with
+    * p_seed = 1−(1−p_bit^bits)^bands, p_bit = 1−acos(θ)/π, and
+    * L = ln(1−target)/ln(1−p_seed) independent seeds push the miss
+    * rate below 1−target. Capped at `maxSeeds` (each seed is a full
+    * linear pass — the cap keeps a low-θ request from silently asking
+    * for 100 passes; past it, this LOUDLY returns the cap so the
+    * caller sees the spend). Pairs ABOVE θ do strictly better (p_bit
+    * rises with cosine), so the target is a floor for the whole
+    * admitted range, and the cell tier's independent recall stacks on
+    * top. Resolves to 1 at gate scales (8×4 bits ⇒ p_seed ≥ 0.79 at
+    * θ=0.6 ⇒ L=1), so the catalog oracle is unaffected.
+    */
+  def semSeedsFor(n: Long, theta: Double, lshTarget: Double = 0.6,
+                  maxSeeds: Int = 16, targetBucket: Int = 180): Int = {
+    require(theta > -1.0 && theta < 1.0, s"cosine threshold out of range: $theta")
+    require(lshTarget > 0.0 && lshTarget < 1.0, s"target out of range: $lshTarget")
+    val (bands, bits) = annParams(n, targetBucket)
+    val pBit = 1.0 - math.acos(theta) / math.Pi
+    val pSeed = 1.0 - math.pow(1.0 - math.pow(pBit, bits.toDouble), bands.toDouble)
+    if (pSeed >= lshTarget) 1
+    else math.min(maxSeeds,
+      math.ceil(math.log(1.0 - lshTarget) / math.log(1.0 - pSeed)).toInt)
+  }
 
   /** [[semanticNearDupPairs]] folded to a per-vector verdict:
     * keep-first-wins — a vector is dropped iff a LOWER-id vector in

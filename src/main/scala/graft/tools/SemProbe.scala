@@ -67,9 +67,23 @@ object SemProbe {
       val hybrid = Dedup.semanticNearDupPairsHybrid(emb, theta, nassign = 3)
       val (hybridFloor, _) = floors(truePairs, hybrid)
       val tHybrid = (System.nanoTime() - t1) / 1e9
+      // the RECALL-SIZED multi-seed form: L from the banding math so
+      // the LSH tier alone targets 0.6 at this θ (L=1 ⇒ same as
+      // hybrid, skip the duplicate run)
+      val nSeeds = Dedup.semSeedsFor(n, theta)
+      val (multiFloor, tMulti) =
+        if (nSeeds == 1) (hybridFloor, tHybrid)
+        else {
+          val t2 = System.nanoTime()
+          val multi = Dedup.semanticNearDupPairsHybrid(emb, theta,
+            nassign = 3, nSeeds = nSeeds)
+          val (f, _) = floors(truePairs, multi)
+          (f, (System.nanoTime() - t2) / 1e9)
+        }
       println(f"theta=$theta%.2f n_true=$nTrue " +
         f"cells_floor=$cellFloor%.3f (${tCells}%.1f s) " +
-        f"hybrid_floor=$hybridFloor%.3f (${tHybrid}%.1f s)")
+        f"hybrid_floor=$hybridFloor%.3f (${tHybrid}%.1f s) " +
+        f"multi[L=$nSeeds]_floor=$multiFloor%.3f (${tMulti}%.1f s)")
       truePairs.unpersist()
       }
     }

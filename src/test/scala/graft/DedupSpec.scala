@@ -306,6 +306,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rm >= 35, s"3-seed recall too low: $rm/40")
   }
 
+  test("hybrid semantic pairs: multi-seed form is a superset of single-seed, subset of exact") {
+    // same planted-dup geometry as the ANN multi-seed test, driven
+    // through the HYBRID surface (cells ∪ L sign-LSH seeds) — the form
+    // the sf25 recall contract documents. nlist floors to 16 here, so
+    // the cell tier runs too; the LSH seeds use the 5×12 high-bits
+    // regime via annParams only at scale, so force the comparison by
+    // seed count alone.
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = (0 until 40).map { i =>
+      val (id, v) = bases(i)
+      (2000L + id, v.map(x => x + 0.43f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Dedup.semanticNearDupPairsHybrid(emb, 0.8))
+    val multi = pairs(Dedup.semanticNearDupPairsHybrid(emb, 0.8, nSeeds = 3))
+    val exact = pairs(Dedup.embeddingNearDups(
+      emb.withColumn("label", org.apache.spark.sql.functions.lit(0)), 0.8))
+    assert(single.subsetOf(multi), "multi-seed hybrid must contain the single-seed pairs")
+    assert(multi.subsetOf(exact), "hybrid must never emit a non-near-dup pair")
+  }
+
+  test("semSeedsFor: 1 at gate scales, sized from the banding math at sf25") {
+    // gate scales resolve to the 8×4 regime where one seed already
+    // clears the target — the catalog oracle is untouched
+    assert(Dedup.semSeedsFor(500, 0.6) == 1)
+    assert(Dedup.semSeedsFor(2000, 0.6) == 1)
+    assert(Dedup.semSeedsFor(20000, 0.6) == 2) // sf1 (8×7: p_seed ≈ 0.51)
+    // sf25 (5×12): p_seed(θ=0.6) ≈ 0.073 → L = ln(0.4)/ln(0.927) ≈ 13
+    assert(Dedup.semSeedsFor(500000, 0.6) == 13)
+    // the cap guards a low-θ request from silently asking for ~64 passes
+    assert(Dedup.semSeedsFor(500000, 0.35) == 16)
+    // tighter pairs need fewer seeds at the same scale
+    assert(Dedup.semSeedsFor(500000, 0.9) <= Dedup.semSeedsFor(500000, 0.6))
+  }
+
   test("ANN adaptive sizing pins the gate-scale choice and scales bits with n") {
     // the catalog oracle hardcodes (8 bands × 4 bits): the adaptive
     // choice MUST resolve to exactly that at both driver gate scales
