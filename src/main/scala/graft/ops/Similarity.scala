@@ -658,8 +658,9 @@ object Similarity {
     */
   def lshTopKAdaptive(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                       probeDist: Int = 2, dim: Int = 64, seed: Long = 42L,
-                      targetBucket: Int = 80): DataFrame =
-    lshTopK(queries, corpus, k, lshBits(corpus.count(), targetBucket),
+                      targetBucket: Int = 80, n: Long = -1L): DataFrame =
+    lshTopK(queries, corpus, k,
+      lshBits(if (n < 0) corpus.count() else n, targetBucket),
       probeDist, dim, seed)
 
   /** Persist the corpus as an LSH index: signatures precomputed once,
@@ -714,8 +715,9 @@ object Similarity {
     * [[lshIndexedTopKAuto]].
     */
   def buildLshIndexAdaptive(corpus: DataFrame, table: String, dim: Int = 64,
-                            seed: Long = 42L, targetBucket: Int = 80): Int = {
-    val nBits = lshBits(corpus.count(), targetBucket)
+                            seed: Long = 42L, targetBucket: Int = 80,
+                            n: Long = -1L): Int = {
+    val nBits = lshBits(if (n < 0) corpus.count() else n, targetBucket)
     buildLshIndex(corpus, table, nBits, dim, seed,
       buckets = math.max(32, 1 << math.max(0, nBits - 5)))
     nBits

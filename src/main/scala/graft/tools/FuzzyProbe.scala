@@ -84,7 +84,7 @@ object FuzzyProbe {
 
     // collapsed form: verify once per distinct (block, text) pair,
     // expand back by key — the winner when texts repeat
-    val (d, tp, out) = graft.ops.FuzzyJoin.collapsedStages(full,
+    val (_, d, tp, out) = graft.ops.FuzzyJoin.collapsedStages(full,
       col("p_partkey"), col("p_name"), segBlock, 2)
     println(s"collapsed_distinct_texts=${d.count()}")
     println(s"collapsed_text_pairs=${tp.count()}")

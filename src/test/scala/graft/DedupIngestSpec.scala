@@ -478,4 +478,94 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r._2 -> r._1).toMap
     assert(got == expected)
   }
+
+  // ---- EMBEDDING near-dup admission (banded sign-LSH) ---- //
+
+  private val embRnd = new scala.util.Random(29)
+  private def embVec(): Seq[Float] =
+    Seq.fill(64)(embRnd.nextGaussian().toFloat)
+  private def embDup(v: Seq[Float]): Seq[Float] =
+    v.map(x => x + 0.1f * embRnd.nextGaussian().toFloat)
+
+  /** Sequential greedy reference over EXACT cosine pairs: admit each
+    * id (ascending == arrival order) iff no already-admitted neighbor
+    * — the semantics admitBatchEmbedding must reproduce through its
+    * banded probe + in-batch resolution. */
+  private def embGreedyRef(rows: Seq[(Long, Seq[Float])],
+                           threshold: Double): Set[Long] = {
+    val pairs = graft.ops.Dedup.embeddingNearDups(
+        rows.toDF("vec_id", "embedding")
+          .withColumn("label", org.apache.spark.sql.functions.lit(0)),
+        threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val nbrs = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+    val admitted = scala.collection.mutable.HashSet.empty[Long]
+    rows.map(_._1).sorted.foreach { id =>
+      if (!nbrs.getOrElse(id, Set.empty).exists(admitted)) admitted += id
+    }
+    admitted.toSet
+  }
+
+  test("embedding admission: parity with the sequential greedy reference, invariant to batch split") {
+    val bases = (0L until 30L).map(i =>
+      (if (i < 15) i else 85L + i, embVec())) // ids 0-14, 100-114
+    val b1 = bases.take(15) ++ Seq((50L, embDup(bases(0)._2)),
+      (51L, embDup(bases(3)._2)))
+    val b2 = bases.drop(15) ++ Seq((150L, embDup(bases(1)._2)),
+      (151L, embDup(bases(5)._2)), (152L, embDup(bases(15)._2)))
+    val b3 = Seq((200L, embDup(bases(2)._2)), (201L, embDup(bases(20)._2)))
+    val all = b1 ++ b2 ++ b3
+    val want = embGreedyRef(all, 0.9)
+    // dups must actually be near-dups and bases mutually unrelated
+    assert(want == bases.map(_._1).toSet, s"fixture drifted: $want")
+
+    def run(batches: Seq[Seq[(Long, Seq[Float])]]): Set[Long] = {
+      val dir = Files.createTempDirectory("embdup").toString + "/corpus"
+      val cp = Files.createTempDirectory("embdup-cp").toString
+      val stream = MemoryStream[(Long, Seq[Float])]
+      batches.foreach { rows =>
+        stream.addData(rows: _*)
+        val q = DedupIngest.startEmbeddingDedup(
+          stream.toDF().toDF("vec_id", "embedding"), dir, cp,
+          threshold = 0.9, trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    }
+    val split3 = run(Seq(b1, b2, b3))
+    assert(split3 == want, s"streamed admission diverged from reference: " +
+      s"extra=${split3 -- want} missing=${want -- split3}")
+    val oneBatch = run(Seq(all))
+    assert(oneBatch == want, "single-batch admission depended on the split")
+  }
+
+  test("embedding admission: replay of a batch id recomputes identically, no dup/loss") {
+    val dir = Files.createTempDirectory("embdup-replay").toString + "/corpus"
+    val v0 = embVec(); val v1 = embVec(); val v2 = embVec()
+    def admit(rows: Seq[(Long, Seq[Float])], id: Long): Long =
+      DedupIngest.admitBatchEmbedding(spark,
+        rows.toDF("vec_id", "embedding"), dir, batchId = id,
+        threshold = 0.9, runTag = "t")
+    assert(admit(Seq((0L, v0), (1L, v1)), 0L) == 2L)
+    val b1 = Seq((10L, embDup(v0)), (11L, v2))
+    assert(admit(b1, 1L) == 1L, "dup of v0 must be rejected")
+    // crash-replay: same batch id, same data — identical outcome,
+    // corpus unchanged (partition overwrite, probe excludes own)
+    assert(admit(b1, 1L) == 1L)
+    val ids = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(0L, 1L, 11L), s"replay corrupted corpus: $ids")
+  }
+
+  test("embedding admission: zero-norm vectors admitted, never candidates") {
+    val dir = Files.createTempDirectory("embdup-zero").toString + "/corpus"
+    val zero = Seq.fill(64)(0.0f)
+    def admit(rows: Seq[(Long, Seq[Float])], id: Long): Long =
+      DedupIngest.admitBatchEmbedding(spark,
+        rows.toDF("vec_id", "embedding"), dir, batchId = id,
+        threshold = 0.9, runTag = "t")
+    // two zero vectors in one batch: cosine undefined ⇒ both admitted
+    assert(admit(Seq((0L, zero), (1L, zero), (2L, embVec())), 0L) == 3L)
+    // a later zero vector is still never a candidate
+    assert(admit(Seq((10L, zero)), 1L) == 1L)
+  }
 }

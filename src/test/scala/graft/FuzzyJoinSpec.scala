@@ -65,4 +65,24 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(fast.length == fast.toSet.size, "no duplicate output pairs")
     assert(fast.toSet === naive)
   }
+
+  test("analytic pair count equals the materialized expansion count") {
+    // same planted-duplicate fixture shape as the collapsed test —
+    // repeated texts are exactly what the Σ n1·n2 / C(n,2) arithmetic
+    // must get right
+    val dups = (0 until 15).map(i => (300L + i, corpus.collect()(i % 10)
+      .getAs[String]("txt")))
+    val withDups = corpus.select("key", "txt")
+      .union(dups.toDF("key", "txt"))
+      .withColumn("len", length($"txt"))
+    val expanded = FuzzyJoin.selfJoinCollapsed(withDups, col("key"), col("txt"),
+      Seq(col("len")), k = 2)
+    val counted = FuzzyJoin.selfJoinCollapsedCount(withDups, col("key"),
+      col("txt"), Seq(col("len")), k = 2)
+      .as[(Long, Long)].collect().head
+    assert(counted._1 == expanded.count(),
+      "analytic n_pairs diverged from the materialized expansion")
+    assert(counted._2 > 0 && counted._2 <= counted._1 + withDups.count(),
+      "n_text_pairs out of range")
+  }
 }

@@ -95,6 +95,27 @@ class PlansSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() === expected)
   }
 
+  test("profiler NDV switch: exact at gate scales, sketch beyond, within 2%") {
+    // the switch constant must cover every oracle gate scale (orders ≤
+    // 7.5M through sf5) and exclude sf25 (37.5M) — the exact-NDV
+    // contract holds exactly where the oracle checks it
+    assert(SparkEntry.profileExactNdvMax >= 7500000L)
+    assert(SparkEntry.profileExactNdvMax < 37500000L)
+    // the bounded-slice exactness gate: at gate scale, the sketch path
+    // the big-sf profiler takes must agree with the exact NDV the
+    // oracle pins, within the configured 2% rsd (plus seed headroom)
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, dir)
+    for (c <- Seq("o_orderkey", "o_totalprice", "o_orderstatus")) {
+      val r = orders.agg(
+        count_distinct(col(c)).as("exact"),
+        approx_count_distinct(col(c), rsd = 0.02).as("est")).head()
+      val (exact, est) = (r.getLong(0), r.getLong(1))
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.06).toLong),
+        s"$c: sketch NDV $est too far from exact $exact")
+    }
+  }
+
   test("eventsRawSince matches eventsRaw post-filter on every bound shape") {
     val dir = "/root/testdata/sf0.001"
     // a bound that is NOT a whole second exercises the nano/micro
