@@ -33,10 +33,13 @@ object Bench {
     // names dropped by SPARK_GRAFT_BENCH_EXCLUDE are RECORDED in the
     // artifact — silent truncation reads as coverage (VERDICT r6 #8)
     val excludedHit = all.keySet.intersect(excluded).toSeq.sorted
-    val spark = GraftSession.tune(
+    // data-sized AQE shuffle width (see GraftSession.tuneFor): no-op
+    // at gate scales, 128+ initial partitions at sf25
+    val spark = GraftSession.tuneFor(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", cpus),
+      sfDir, cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -62,6 +62,49 @@ object GraftSession {
     .config("spark.sql.cteRecursionRowLimit", "100000000")
     .config("spark.ui.enabled", "false")
 
+  /** [[tune]] plus DATA-SIZED shuffle width: AQE's
+    * `initialPartitionNum` set from the fixture directory's on-disk
+    * bytes (one partition per 32 MiB of source data, clamped to
+    * [cores, 512]), with the advisory target at 32 MiB so coalescing
+    * keeps reduce partitions small enough that their UNCOMPRESSED
+    * working set fits task execution memory.
+    *
+    * Why not a static value: the pinned `shuffle.partitions = cores`
+    * is right at gate scale (any wider and task overhead dominates —
+    * a static 128/32 MiB A/B measured the sf0.1 catalog +45 %), but at
+    * sf25 it caps reduce-side parallelism at 32 tasks of ~65 MB
+    * compressed ⇒ 300+ MB uncompressed hash/sort working sets that
+    * spill 2–3 GB per stage (stage table in SCALE.md). Sizing the
+    * INITIAL width to the data and letting AQE coalesce down is the
+    * production rule ("post-shuffle partitions in the 64–256 MiB
+    * range"), made deterministic here from the fixture bytes: resolves
+    * to exactly `cores` (no behavior change) at sf ≤ 1, 128+ at sf25
+    * where it cut join_shuffle_agg 14.7→12.9 s and Q5 14.1→12.0 s.
+    * At 100 TB the same rule sizes the width from table statistics —
+    * the point is the WIDTH TRACKS THE DATA, not a constant.
+    */
+  def tuneFor(b: SparkSession.Builder, dataDir: String,
+              cores: Int): SparkSession.Builder = {
+    val bytes =
+      try {
+        val d = new java.io.File(dataDir)
+        if (d.isDirectory)
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => if (f.isDirectory) f.listFiles().map(_.length()).sum
+                      else f.length()).sum
+        else 0L
+      } catch { case _: Throwable => 0L }
+    val initParts = math.max(cores.toLong,
+      math.min(512L, bytes / (32L * 1024 * 1024)))
+    val t = tune(b)
+    if (initParts > cores)
+      t.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          initParts.toString)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          (32L * 1024 * 1024).toString)
+    else t
+  }
+
   /** Streaming state posture for state that outgrows executor heap.
     *
     * The default HDFS-backed state store keeps every key IN MEMORY on

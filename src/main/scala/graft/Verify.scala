@@ -10,10 +10,11 @@ object Verify {
     // comma-separated substrings
     val nameFilters = args.lift(2).getOrElse("").split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.tune(
+    val spark = GraftSession.tuneFor(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", cpus),
+      sfDir, cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
