@@ -2179,8 +2179,8 @@ object SparkEntry {
         val emb = Tables.embeddings(s, dir)
         val table = "graft_lsh_idx_" + idxSuffix(dir)
         val n = Tables.cachedCount(s, dir, "embeddings")
-        val masks = Similarity.probeMaskCount(Similarity.lshBits(n))
-        val bound = math.min(100000L, 50L * (90000 / masks))
+        val bound =
+          lshIndexedQueryBound(Similarity.probeMaskCount(Similarity.lshBits(n)))
         buildIndexOnce(s"lsh|$dir") {
           Similarity.buildLshIndexAdaptive(emb, table, dim = 64, seed = 42L, n = n)
         }
@@ -3255,16 +3255,37 @@ object SparkEntry {
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
     val n = Tables.cachedCount(spark, dir, "embeddings")
     val bits = Similarity.lshBits(n)
-    if (bits == 8) oracleSql
-    else {
-      val masks = Similarity.probeMaskCount(bits)
-      val bound = math.min(100000L, 50L * (90000 / masks))
-      oracleSql
+    val (annBands, annBits) = Dedup.annParams(n)
+    var m = oracleSql
+    if (bits != 8) {
+      val bound = lshIndexedQueryBound(Similarity.probeMaskCount(bits))
+      m = m
         .updated("ext_sim_lsh", lshTopkOracleSql("q.vec_id % 50 = 0", bits))
         .updated("ext_sim_lsh_indexed",
           lshTopkOracleSql(s"q.vec_id % 50 = 0 AND q.vec_id < $bound", bits))
     }
+    // the banded ANN dedup self-sizes too (annParams): out of the
+    // pinned (8 bands × 4 bits) regime, regenerate its hyperplane
+    // literals with the computed shape — same rule as the LSH pair
+    if ((annBands, annBits) != ((8, 4)))
+      m = m.updated("ext_dedup_embedding_ann", embAnnOracleSql(annBands, annBits))
+    // the profiler's NDV switches to the HLL++ sketch above
+    // profileExactNdvMax rows — estimates aren't cross-engine
+    // comparable, so there the entry drops to the rows-only check
+    // (the exact-NDV contract is stated, and checked, only in the
+    // exact regime; sketch-vs-exact agreement is spec-gated)
+    if (Tables.cachedCount(spark, dir, "orders") > profileExactNdvMax)
+      m = m.removed("ext_profile_columns")
+    m
   }
+
+  /** Probe-budget query bound for the indexed-LSH point-lookup path —
+    * ONE definition shared by the `ext_sim_lsh_indexed` catalog entry
+    * and [[oracleSqlFor]]'s out-of-regime oracle regeneration, so the
+    * two can never drift (a diverged copy would silently hash-mismatch
+    * the compare this machinery exists to keep honest). */
+  private def lshIndexedQueryBound(masks: Int): Long =
+    math.min(100000L, 50L * (90000 / masks))
 
   /** Bench-only scale probes — run by [[graft.Bench]], NOT part of the
     * oracle catalog (correctness is the ext_sim_* / ext_dedup_* twins'

@@ -196,24 +196,30 @@ object DedupIngest {
       val n = admitted.count()
       // (1) bloom-<N> = prior ∪ Bloom(admitted) — same geometry ⇒
       // mergeable; distributed build over the admitted rows only.
-      // Written EVEN WHEN n == 0 (blob = prior unchanged): a batch id
-      // without a blob forces every later batch down the
-      // rebuild-from-index repair path until one admits — correct but
-      // O(corpus index) per trigger instead of O(batch). The build is
-      // skipped on an empty batch (Spark's bloom aggregate has no
-      // zero-row result): the blob is then prior verbatim, or a fresh
-      // empty filter on an empty-corpus bootstrap batch.
-        val batchFilter =
+      // Written even when n == 0 PROVIDED a prior filter exists (the
+      // blob is then prior verbatim): a batch id without a blob forces
+      // every later batch down the rebuild-from-index repair path
+      // until one admits — correct but O(corpus index) per trigger
+      // instead of O(batch). When there is NO prior AND nothing
+      // admitted, nothing is known and NO blob is written: an empty
+      // filter persisted here would outlive a subsequent
+      // [[bootstrapCorpus]] backfill and bloom-false-negative its
+      // keys into silent re-admission — the absent blob keeps the
+      // rebuild-from-index path reachable. (The distributed build is
+      // skipped on an empty batch either way: Spark's bloom aggregate
+      // has no zero-row result.)
+      val batchFilter: Option[org.apache.spark.util.sketch.BloomFilter] =
         if (n > 0) {
           val f = admitted
             .select(xxhash64(col(key)).as("_fp")).stat
             .bloomFilter("_fp", math.max(expectedItems, 1L), fpp)
           prior.foreach(f.mergeInPlace)
-          f
-        } else prior.getOrElse(org.apache.spark.util.sketch.BloomFilter
-          .create(math.max(expectedItems, 1L), fpp))
-      writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), batchFilter)
-      pruneBlooms(fs, checkpointDir, runTag, batchId)
+          Some(f)
+        } else prior
+      batchFilter.foreach { f =>
+        writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), f)
+        pruneBlooms(fs, checkpointDir, runTag, batchId)
+      }
       if (n > 0) {
         // (2) fingerprint-index partition (idempotent overwrite)
         admitted.select(xxhash64(col(key)).as("_fp"), col(key))

@@ -828,9 +828,14 @@ object Dedup {
     // the corpus cardinality sizes BOTH tiers: count once (or take the
     // caller's), not once per seed pass
     val nn = if (n < 0) embeddings.count() else n
+    // per-seed passes skip their own pair distinct (dedup = false, the
+    // embeddingNearDupsAnnMulti rule): the single distinct closing the
+    // union collapses in-seed band collisions, cross-seed overlap, and
+    // the cell tier's duplicates in ONE shuffle instead of one per seed
+    val (bands, bits) = annParams(nn)
     val lsh = (0 until nSeeds)
-      .map(i => embeddingNearDupsAnnAdaptive(embeddings, threshold,
-        seed = seed + 1000L * i, n = nn))
+      .map(i => embeddingNearDupsAnn(embeddings, threshold, bands, bits,
+        seed = seed + 1000L * i, dedup = false))
       .reduce(_.unionByName(_))
     semanticNearDupPairsAdaptive(embeddings, threshold, targetCell, nassign, seed,
         n = nn)

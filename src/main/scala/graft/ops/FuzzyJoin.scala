@@ -86,10 +86,15 @@ object FuzzyJoin {
       .agg(count(lit(1)).as("_n"))
     def cside(t: String, n: String) = cnts.select(
       blockNames.map(col) ++ Seq(col("_txt").as(t), col("_n").as(n)): _*)
+    // arithmetic stays INTEGRAL end to end: Spark's `/` is double
+    // division and would round counts past 2^53 — n·(n−1) is always
+    // even, so a right shift IS the exact halving, and long products /
+    // long sums keep the aggregate exact at any corpus size (the
+    // planning-form contract: the count equals the expansion's)
     tp.join(cside("_t1", "_n1"), blockNames :+ "_t1")
       .join(cside("_t2", "_n2"), blockNames :+ "_t2")
       .select(when(col("_t1") === col("_t2"),
-          col("_n1") * (col("_n1") - 1) / 2)
+          shiftright(col("_n1") * (col("_n1") - lit(1L)), 1))
         .otherwise(col("_n1") * col("_n2")).as("_pairs"))
       .agg(coalesce(sum(col("_pairs")), lit(0L)).cast("long").as("n_pairs"),
         count(lit(1)).as("n_text_pairs"))

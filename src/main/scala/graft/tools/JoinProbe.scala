@@ -35,20 +35,25 @@ object JoinProbe {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val m = i.taskMetrics
-        stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(60),
-          i.numTasks,
-          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
-          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-          m.diskBytesSpilled, m.inputMetrics.bytesRead)
+        stages.synchronized {
+          stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(60),
+            i.numTasks,
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+            m.diskBytesSpilled, m.inputMetrics.bytesRead)
+        }
       }
     })
 
     def gb(b: Long) = f"${b / 1e9}%.2f GB"
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // warm once (page cache / codegen), measure second
+      // warm once (page cache / codegen), measure second; let the warm
+      // run's async stage events drain BEFORE clearing, or stragglers
+      // would pollute the measured table
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      stages.clear()
+      Thread.sleep(3000)
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -56,7 +61,7 @@ object JoinProbe {
       // (the bus has no public flush — a short settle is a probe's due)
       Thread.sleep(3000)
       println(f"== $name: $sec%.1f s, ${stages.size} stages")
-      stages.sortBy(-_.ms).foreach { s =>
+      stages.synchronized(stages.toList).sortBy(-_.ms).foreach { s =>
         println(f"  stage ${s.id}%3d ${s.ms / 1000.0}%6.1f s tasks=${s.tasks}%3d " +
           f"input=${gb(s.inBytes)} shRead=${gb(s.shRead)} " +
           f"shWrite=${gb(s.shWrite)} spill=${gb(s.spill)} ${s.name}")

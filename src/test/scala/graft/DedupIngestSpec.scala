@@ -270,6 +270,29 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
       "fresh-checkpoint recovery caused a duplicate admission or a loss")
   }
 
+  test("incremental: empty first batch then bootstrap backfill — backfilled keys still block admission") {
+    // an empty batch on an empty corpus must write NO bloom blob: a
+    // persisted empty filter would outlive the bootstrap backfill and
+    // bloom-false-negative its keys straight past the exact check
+    // (code-review r8 finding; the absent blob keeps the
+    // rebuild-from-index repair path reachable)
+    val dir = Files.createTempDirectory("inc-empty").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-empty-cp").toString
+    assert(DedupIngest.admitBatchIncremental(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t") == 0L)
+    DedupIngest.bootstrapCorpus(spark,
+      Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"),
+      dir, key = "text", tiebreaker = "doc_id")
+    val n = DedupIngest.admitBatchIncremental(spark,
+      Seq((10L, "a"), (11L, "z")).toDF("doc_id", "text"),
+      dir, cp, batchId = 1L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    assert(n == 1L, s"backfilled 'a' re-admitted after an empty first batch ($n)")
+    assert(incIds(dir).map(_._2) == Set("a", "b", "z"))
+  }
+
   test("incremental soak: 40 micro-batches with a mid-run crash stay exactly-once") {
     val rnd = new scala.util.Random(47)
     val dir = Files.createTempDirectory("inc-soak").toString + "/corpus"
