@@ -3252,10 +3252,17 @@ object SparkEntry {
     * compare tests the actual contract at that scale. Costs one
     * parquet-metadata count; returns [[oracleSql]] verbatim in the
     * 8-bit regime (every driver run). */
-  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
-    val n = Tables.cachedCount(spark, dir, "embeddings")
-    val bits = Similarity.lshBits(n)
-    val (annBands, annBits) = Dedup.annParams(n)
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSqlForCounts(Tables.cachedCount(spark, dir, "embeddings"),
+      Tables.cachedCount(spark, dir, "orders"))
+
+  /** The pure regime logic behind [[oracleSqlFor]] — a function of the
+    * two fixture cardinalities only, so specs can pin every regime
+    * boundary without multi-GB fixtures (`OracleRegimeSpec`). */
+  private[graft] def oracleSqlForCounts(nEmbeddings: Long,
+                                        nOrders: Long): Map[String, String] = {
+    val bits = Similarity.lshBits(nEmbeddings)
+    val (annBands, annBits) = Dedup.annParams(nEmbeddings)
     var m = oracleSql
     if (bits != 8) {
       val bound = lshIndexedQueryBound(Similarity.probeMaskCount(bits))
@@ -3274,7 +3281,7 @@ object SparkEntry {
     // comparable, so there the entry drops to the rows-only check
     // (the exact-NDV contract is stated, and checked, only in the
     // exact regime; sketch-vs-exact agreement is spec-gated)
-    if (Tables.cachedCount(spark, dir, "orders") > profileExactNdvMax)
+    if (nOrders > profileExactNdvMax)
       m = m.removed("ext_profile_columns")
     m
   }
