@@ -3249,9 +3249,10 @@ object SparkEntry {
     * out-of-regime compare (sf1+, self-run via tools/check_oracle.py)
     * previously hash-mismatched against the stale literals; here the
     * oracle is REGENERATED with the computed bits and bound so the
-    * compare tests the actual contract at that scale. Costs one
-    * parquet-metadata count; returns [[oracleSql]] verbatim in the
-    * 8-bit regime (every driver run). */
+    * compare tests the actual contract at that scale. Costs two
+    * parquet-metadata counts (embeddings + orders, both memoized);
+    * returns [[oracleSql]] verbatim in the pinned regimes (every
+    * driver run). */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
     oracleSqlForCounts(Tables.cachedCount(spark, dir, "embeddings"),
       Tables.cachedCount(spark, dir, "orders"))

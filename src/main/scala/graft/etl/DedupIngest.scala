@@ -179,6 +179,28 @@ object DedupIngest {
           "no fingerprint index — an unindexed corpus would silently " +
           "re-admit every standing key. Load backfills via bootstrapCorpus.")
 
+    // BOOTSTRAP-EPOCH GUARD: every [[bootstrapCorpus]] call stamps a
+    // fresh epoch marker in the fingerprint-index dir. A bloom blob
+    // written BEFORE a backfill cannot contain the backfilled keys —
+    // reading it would bloom-false-negative them straight past the
+    // exact check (silent re-admission; code-review r8). The chain
+    // records the epoch it was built under (`bloomepoch-<tag>`); on
+    // mismatch the whole chain under this tag is stale — delete it and
+    // rebuild the filter from the index (one O(index) pass, then the
+    // chain resumes O(batch) at the new epoch). Absent markers on
+    // both sides ("") mean no backfill ever happened — zero-cost on
+    // the common path.
+    val epochNow = readEpoch(fs, bootstrapEpochPath(fpsDir))
+    val chainEpochPath = new org.apache.hadoop.fs.Path(
+      bloomChainDir(checkpointDir), s"bloomepoch-$runTag")
+    if (readEpoch(fs, chainEpochPath) != epochNow) {
+      // the prior-run-id loud failure FIRST: an epoch drop must not
+      // erase the evidence of restarted batch ids over surviving state
+      requireNoPriorRunIds(chainIds(fs, checkpointDir, runTag),
+        checkpointDir, runTag, batchId)
+      dropBloomChain(fs, checkpointDir, runTag)
+    }
+
     // prior filter: newest committed blob below this batch, else a
     // repair rebuild from the fingerprint index (NOT the documents),
     // else empty-corpus bootstrap (None)
@@ -201,13 +223,13 @@ object DedupIngest {
       // every later batch down the rebuild-from-index repair path
       // until one admits — correct but O(corpus index) per trigger
       // instead of O(batch). When there is NO prior AND nothing
-      // admitted, nothing is known and NO blob is written: an empty
-      // filter persisted here would outlive a subsequent
-      // [[bootstrapCorpus]] backfill and bloom-false-negative its
-      // keys into silent re-admission — the absent blob keeps the
-      // rebuild-from-index path reachable. (The distributed build is
-      // skipped on an empty batch either way: Spark's bloom aggregate
-      // has no zero-row result.)
+      // admitted, nothing is known and NO blob is written — an empty
+      // filter would claim knowledge it doesn't have. Blobs that
+      // predate a [[bootstrapCorpus]] backfill (and so lack its keys)
+      // are handled by the bootstrap-epoch guard above regardless of
+      // how they were written. (The distributed build is skipped on an
+      // empty batch either way: Spark's bloom aggregate has no
+      // zero-row result.)
       val batchFilter: Option[org.apache.spark.util.sketch.BloomFilter] =
         if (n > 0) {
           val f = admitted
@@ -219,6 +241,10 @@ object DedupIngest {
       batchFilter.foreach { f =>
         writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), f)
         pruneBlooms(fs, checkpointDir, runTag, batchId)
+        // stamp the chain's epoch AFTER the blob: a crash in between
+        // leaves a stale epoch whose only cost is one extra
+        // rebuild-from-index on the next batch — never a false negative
+        writeEpoch(fs, chainEpochPath, epochNow)
       }
       if (n > 0) {
         // (2) fingerprint-index partition (idempotent overwrite)
@@ -291,6 +317,14 @@ object DedupIngest {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_ingest_batch").parquet(corpusDir)
+      // fresh epoch marker LAST: any bloom chain built before this
+      // backfill lacks its keys and must be invalidated — the next
+      // admitBatchIncremental sees the epoch mismatch, drops the
+      // chain, and rebuilds from the (now-complete) fingerprint index
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+      writeEpoch(fs, bootstrapEpochPath(fpsDir),
+        java.util.UUID.randomUUID().toString)
       n
     } finally deduped.unpersist()
   }
@@ -321,6 +355,42 @@ object DedupIngest {
   private def bloomChainDir(checkpointDir: String): String =
     checkpointDir.stripSuffix("/") + "/graft-bloom"
 
+  /** Marker stamped by [[bootstrapCorpus]] (fresh UUID per call): a
+    * bloom chain built under an OLDER epoch predates the backfill and
+    * must not be trusted — see the epoch guard in
+    * [[admitBatchIncremental]]. */
+  private def bootstrapEpochPath(fpsDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(fpsDir, "_graft_bootstrap_epoch")
+
+  private def readEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): String =
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+
+  private def writeEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, epoch: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Delete every blob (and the epoch stamp) under this tag — used
+    * when the chain's epoch predates the newest bootstrap backfill. */
+  private def dropBloomChain(fs: org.apache.hadoop.fs.FileSystem,
+                             checkpointDir: String, tag: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir))
+    if (!fs.exists(dir)) return
+    val prefix = s"bloom-$tag-"
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) || n == s"bloomepoch-$tag")
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+  }
+
   private def bloomPath(checkpointDir: String, tag: String,
                         id: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir), s"bloom-$tag-$id")
@@ -349,18 +419,24 @@ object DedupIngest {
     * fingerprint index, and new `<newtag>-N` partitions never collide
     * with the old run's).
     */
-  private def loadBloomBelow(fs: org.apache.hadoop.fs.FileSystem,
-                             checkpointDir: String, tag: String, batchId: Long)
-      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+  private def chainIds(fs: org.apache.hadoop.fs.FileSystem,
+                       checkpointDir: String, tag: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir))
-    if (!fs.exists(dir)) return None
+    if (!fs.exists(dir)) return Seq.empty
     val prefix = s"bloom-$tag-"
-    val allIds = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(prefix))
       .flatMap(n => n.stripPrefix(prefix).toLongOption)
-    // id == batchId is this batch's own crashed attempt (legal, never
-    // read); id > batchId proves a stale prior-run chain — see the
-    // scaladoc above for why this must refuse, not repair
+  }
+
+  /** id == batchId is this batch's own crashed attempt (legal, never
+    * read); id > batchId proves a stale prior-run chain — see
+    * [[loadBloomBelow]]'s scaladoc for why this must refuse, not
+    * repair. Called from BOTH the load path and the bootstrap-epoch
+    * drop (the drop must not silently erase the evidence of the
+    * partition-collision hazard the loud failure exists to stop). */
+  private def requireNoPriorRunIds(allIds: Seq[Long], checkpointDir: String,
+                                   tag: String, batchId: Long): Unit =
     if (allIds.exists(_ > batchId))
       throw new IllegalStateException(
         s"admitBatchIncremental: bloom chain under $checkpointDir (tag " +
@@ -371,6 +447,12 @@ object DedupIngest {
           "Restart the stream under a FRESH checkpoint directory: the new " +
           "run tag rebuilds its filter from the fingerprint index and " +
           "writes non-colliding partitions.")
+
+  private def loadBloomBelow(fs: org.apache.hadoop.fs.FileSystem,
+                             checkpointDir: String, tag: String, batchId: Long)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val allIds = chainIds(fs, checkpointDir, tag)
+    requireNoPriorRunIds(allIds, checkpointDir, tag, batchId)
     allIds.filter(_ < batchId).maxOption.map { id =>
       val in = fs.open(bloomPath(checkpointDir, tag, id))
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

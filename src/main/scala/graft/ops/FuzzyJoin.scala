@@ -89,8 +89,12 @@ object FuzzyJoin {
     // arithmetic stays INTEGRAL end to end: Spark's `/` is double
     // division and would round counts past 2^53 — n·(n−1) is always
     // even, so a right shift IS the exact halving, and long products /
-    // long sums keep the aggregate exact at any corpus size (the
-    // planning-form contract: the count equals the expansion's)
+    // long sums keep the aggregate exact through the full Long range
+    // (the planning-form contract: the count equals the expansion's).
+    // Long overflow needs one text duplicated > ~3.0e9 times or a
+    // total pair count past 2^63 — both far beyond a corpus any
+    // enumeration could ever check against, and the same ceiling the
+    // expansion's count() has
     tp.join(cside("_t1", "_n1"), blockNames :+ "_t1")
       .join(cside("_t2", "_n2"), blockNames :+ "_t2")
       .select(when(col("_t1") === col("_t2"),

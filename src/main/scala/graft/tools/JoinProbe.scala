@@ -60,8 +60,9 @@ object JoinProbe {
       // listener events drain asynchronously after the job returns
       // (the bus has no public flush — a short settle is a probe's due)
       Thread.sleep(3000)
-      println(f"== $name: $sec%.1f s, ${stages.size} stages")
-      stages.synchronized(stages.toList).sortBy(-_.ms).foreach { s =>
+      val snap = stages.synchronized(stages.toList)
+      println(f"== $name: $sec%.1f s, ${snap.size} stages")
+      snap.sortBy(-_.ms).foreach { s =>
         println(f"  stage ${s.id}%3d ${s.ms / 1000.0}%6.1f s tasks=${s.tasks}%3d " +
           f"input=${gb(s.inBytes)} shRead=${gb(s.shRead)} " +
           f"shWrite=${gb(s.shWrite)} spill=${gb(s.spill)} ${s.name}")

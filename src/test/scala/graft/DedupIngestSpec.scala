@@ -293,6 +293,38 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(incIds(dir).map(_._2) == Set("a", "b", "z"))
   }
 
+  test("incremental: bootstrap backfill AFTER a blob-writing batch invalidates the chain") {
+    // the residual hazard past the empty-batch case (code-review r8
+    // finding 2): batch 0 ADMITS and writes bloom-0; a backfill then
+    // lands keys bloom-0 has never seen. The bootstrap-epoch guard
+    // must invalidate the pre-backfill chain so batch 1 rebuilds from
+    // the fingerprint index instead of bloom-false-negativing the
+    // backfilled keys into duplicates.
+    val dir = Files.createTempDirectory("inc-epoch").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-epoch-cp").toString
+    assert(DedupIngest.admitBatchIncremental(spark,
+      Seq((0L, "x")).toDF("doc_id", "text"),
+      dir, cp, batchId = 0L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t") == 1L)
+    DedupIngest.bootstrapCorpus(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      dir, key = "text", tiebreaker = "doc_id")
+    val n = DedupIngest.admitBatchIncremental(spark,
+      Seq((10L, "a"), (11L, "x"), (12L, "z")).toDF("doc_id", "text"),
+      dir, cp, batchId = 1L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    assert(n == 1L, s"pre-backfill bloom chain leaked a duplicate ($n admitted)")
+    assert(incIds(dir).map(_._2) == Set("x", "a", "b", "z"))
+    // and the chain is O(batch) again at the new epoch: a further
+    // batch must NOT pay a rebuild (probed via admission correctness —
+    // 'z' now blocks, a genuinely new key passes)
+    val n2 = DedupIngest.admitBatchIncremental(spark,
+      Seq((20L, "z"), (21L, "w")).toDF("doc_id", "text"),
+      dir, cp, batchId = 2L, key = "text", tiebreaker = "doc_id",
+      expectedItems = 100000L, runTag = "t")
+    assert(n2 == 1L)
+  }
+
   test("incremental soak: 40 micro-batches with a mid-run crash stay exactly-once") {
     val rnd = new scala.util.Random(47)
     val dir = Files.createTempDirectory("inc-soak").toString + "/corpus"
