@@ -611,20 +611,19 @@ object Dedup {
     * hyperplane draws), dedup once. Per-pair miss probability
     * multiplies across seeds — at the sf25-adaptive (5 bands × 12
     * bits), a cosine-0.9 pair is found with p≈0.58 per seed but
-    * p≈0.93 with three — while cost stays linear (each seed is its
-    * own O(bands·n) pass; candidates don't interact until the final
-    * distinct). This is the documented 100 TB answer to banding
-    * recall decaying as bits grow with log2(n).
+    * p≈0.93 with three — while cost stays linear (candidates don't
+    * interact until the final distinct). This is the documented
+    * 100 TB answer to banding recall decaying as bits grow with
+    * log2(n). All seeds run FUSED in one corpus pass
+    * ([[embeddingNearDupsAnnSeeds]]): the scan, norm, and L signature
+    * projections share a single stage, and one self-join replaces L.
     */
   def embeddingNearDupsAnnMulti(embeddings: DataFrame, threshold: Double = 0.5,
                                 bands: Int = 8, bitsPerBand: Int = 4,
                                 nSeeds: Int = 3, seed0: Long = 42L): DataFrame = {
     require(nSeeds >= 1, "nSeeds must be >= 1")
-    (0 until nSeeds)
-      .map(i => embeddingNearDupsAnn(embeddings, threshold, bands, bitsPerBand,
-        seed = seed0 + 1000L * i, dedup = false))
-      .reduce(_.union(_))
-      .distinct()
+    embeddingNearDupsAnnSeeds(embeddings, threshold, bands, bitsPerBand,
+      (0 until nSeeds).map(i => seed0 + 1000L * i))
   }
 
   /** [[embeddingNearDupsAnn]] with bands/bits sized from the corpus
@@ -643,18 +642,44 @@ object Dedup {
 
   def embeddingNearDupsAnn(embeddings: DataFrame, threshold: Double = 0.5,
                            bands: Int = 8, bitsPerBand: Int = 4,
-                           seed: Long = 42L, dedup: Boolean = true): DataFrame = {
+                           seed: Long = 42L, dedup: Boolean = true): DataFrame =
+    embeddingNearDupsAnnSeeds(embeddings, threshold, bands, bitsPerBand,
+      Seq(seed), dedup)
+
+  /** The banded sign-LSH pair pass generalized to SEVERAL independent
+    * hyperplane draws FUSED into one corpus pass. Result is exactly
+    * the union of the per-seed [[embeddingNearDupsAnn]] pair sets
+    * (each seed's band keys occupy a disjoint key range — the
+    * seed×band ordinal sits in the key's high bits — so candidates
+    * are precisely the pairs colliding in ≥1 band of ≥1 seed, and
+    * every candidate is verified with the same exact cosine), but the
+    * plan reads the corpus ONCE: all L signatures are projected in a
+    * single scan stage, the explode emits L·bands key rows per
+    * vector, and ONE self-join + one distinct replace L joins and L
+    * scans. At sf25 the L=13 recall-contract pass is where this
+    * matters: the per-seed form re-scanned and re-normed 150M rows
+    * thirteen times and ran thirteen join stages; here seed count
+    * adds only shuffle rows, the scan-side work is paid once.
+    */
+  def embeddingNearDupsAnnSeeds(embeddings: DataFrame, threshold: Double = 0.5,
+                                bands: Int = 8, bitsPerBand: Int = 4,
+                                seeds: Seq[Long] = Seq(42L),
+                                dedup: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions._
     require(bands * bitsPerBand <= 62, s"signature must fit a BIGINT: $bands×$bitsPerBand")
+    require(seeds.nonEmpty, "at least one seed")
+    require(seeds.distinct.size == seeds.size, s"duplicate seeds: $seeds")
     val dim = 64
-    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim, seed)
-    // fused sign-signature expression (one primitive loop nest), NOT
-    // a sum of per-plane when(dotD(...)>=0) columns: the composed form
-    // walks a boxed constant array per plane and measured ~100× slower
-    // — the signature pass, not the candidate join, dominated the
-    // near-dup wall clock. Math is identical (left-to-right double
-    // dots), so the DuckDB oracle is unchanged.
-    val sig = graft.functions.VectorFunctions.signBands(col("embedding"), planes)
+    // fused sign-signature expression per seed (one primitive loop
+    // nest each), NOT a sum of per-plane when(dotD(...)>=0) columns:
+    // the composed form walks a boxed constant array per plane and
+    // measured ~100× slower — the signature pass, not the candidate
+    // join, dominated the near-dup wall clock. Math is identical
+    // (left-to-right double dots), so the DuckDB oracle is unchanged.
+    val sigCols = seeds.zipWithIndex.map { case (sd, i) =>
+      graft.functions.VectorFunctions.signBands(col("embedding"),
+        Similarity.hyperplanes(bands * bitsPerBand, dim, sd)).as(s"_sig$i")
+    }
     val mask = (1L << bitsPerBand) - 1
     // zero-norm vectors are excluded: cosine is 0/0 = NaN, and BOTH
     // engines treat NaN as greater than any real in comparisons, so a
@@ -663,25 +688,27 @@ object Dedup {
     // bench-sized parquet corpus scans as 1-2 splits — at real scale
     // the scan is already wide and spread is a no-op.
     val base = Par.spread(embeddings)
-      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .select(col("vec_id") +: col("embedding") +:
+        normD(col("embedding")).as("nrm") +: sigCols: _*)
       .filter(col("nrm") > 0)
-      .withColumn("sig", sig)
-    // band id folded into the join key (high bits) so the candidate
-    // join is a single-column equi-join. Both sides CARRY their
-    // embedding through the join and every candidate is scored as it
-    // streams out of the join in codegen — total shuffle is
-    // O(bands·n) corpus-sized rows, independent of the candidate
-    // count. (The dedup-candidates-then-join-the-vectors-back shape
-    // was measured 6.9× slower at sf5: it shuffles the CANDIDATE
-    // stream twice — once for the pair distinct, twice to rejoin the
-    // vectors by id — and the rejoin falls off broadcast onto
-    // sort-merge exactly when the corpus outgrows the broadcast
-    // threshold, i.e. exactly when performance matters.)
+    // seed×band ordinal folded into the join key (high bits) so the
+    // candidate join is a single-column equi-join and different seeds'
+    // buckets never collide. Both sides CARRY their embedding through
+    // the join and every candidate is scored as it streams out of the
+    // join in codegen — total shuffle is O(seeds·bands·n) corpus-sized
+    // rows, independent of the candidate count. (The
+    // dedup-candidates-then-join-the-vectors-back shape was measured
+    // 6.9× slower at sf5: it shuffles the CANDIDATE stream twice —
+    // once for the pair distinct, twice to rejoin the vectors by id —
+    // and the rejoin falls off broadcast onto sort-merge exactly when
+    // the corpus outgrows the broadcast threshold, i.e. exactly when
+    // performance matters.)
+    val keyCols = for {
+      i <- seeds.indices; b <- 0 until bands
+    } yield shiftright(col(s"_sig$i"), b * bitsPerBand).bitwiseAND(lit(mask)) +
+      lit((i.toLong * bands + b) << bitsPerBand)
     val banded = base.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until bands).map { b =>
-        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)) +
-          lit(b.toLong << bitsPerBand)
-      }: _*)).as("bkey"))
+      explode(array(keyCols: _*)).as("bkey"))
     // EXPLICIT numbered repartition on the join key, not Par.spread:
     // AQE's coalescing sees only the (small, corpus-sized) exchange
     // bytes and is blind to the ~bucket² pair fan-out INSIDE the join
@@ -689,14 +716,17 @@ object Dedup {
     // failure mode as the fuzzy-join expansion, SCALE.md r3 #3). A
     // numbered repartition is preserved by AQE, and hash-partitioning
     // both sides on the join key means the join reuses these
-    // exchanges directly.
+    // exchanges directly. The per-side renames sit ABOVE the shared
+    // repartition (the semanticNearDupPairs pattern), so BOTH join
+    // sides read ONE exchange (ReusedExchange in the physical plan):
+    // the signature pass and the seeds·bands·n-row shuffle write
+    // happen once, not once per side — at sf25/L=13 that halves the
+    // dominant shuffle.
     val nParts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
-    banded.select(col("bkey"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-      .repartition(nParts, col("bkey"))
-      .join(banded.select(col("bkey"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-        .repartition(nParts, col("bkey")), Seq("bkey"))
+    val parted = banded.repartition(nParts, col("bkey"))
+    def jside(p: String) = parted.select(col("bkey"), col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}_emb"), col("nrm").as(s"${p}_nrm"))
+    jside("a").join(jside("b"), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
         dotD(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
@@ -802,8 +832,9 @@ object Dedup {
     * while sign-LSH banding misses are angular and uncorrelated with
     * cell geometry. Both tiers verify exact cosine with identical
     * arithmetic before emitting, so the union is still all-true-pairs
-    * and `distinct()` collapses the overlap; cost is `nSeeds` extra
-    * linear passes (banded candidates bounded by [[annParams]]).
+    * and `distinct()` collapses the overlap; cost is one fused linear
+    * LSH pass emitting `nSeeds`×bands key rows per vector (banded
+    * candidates bounded by [[annParams]]).
     *
     * `nSeeds` is the RECALL KNOB at scale: as [[annParams]] grows bits
     * with log2(n) to keep buckets bounded, the per-seed band-collision
@@ -828,15 +859,16 @@ object Dedup {
     // the corpus cardinality sizes BOTH tiers: count once (or take the
     // caller's), not once per seed pass
     val nn = if (n < 0) embeddings.count() else n
-    // per-seed passes skip their own pair distinct (dedup = false, the
-    // embeddingNearDupsAnnMulti rule): the single distinct closing the
-    // union collapses in-seed band collisions, cross-seed overlap, and
-    // the cell tier's duplicates in ONE shuffle instead of one per seed
+    // ALL seeds run fused in one corpus pass (embeddingNearDupsAnnSeeds
+    // — one scan projects every signature, one self-join enumerates
+    // every seed's bands) and skip their own pair distinct: the single
+    // distinct closing the union collapses in-seed band collisions,
+    // cross-seed overlap, and the cell tier's duplicates in ONE
+    // shuffle. Before the fusion the recall-contract pass at sf25
+    // (L=13) re-scanned and re-normed the corpus once per seed.
     val (bands, bits) = annParams(nn)
-    val lsh = (0 until nSeeds)
-      .map(i => embeddingNearDupsAnn(embeddings, threshold, bands, bits,
-        seed = seed + 1000L * i, dedup = false))
-      .reduce(_.unionByName(_))
+    val lsh = embeddingNearDupsAnnSeeds(embeddings, threshold, bands, bits,
+      (0 until nSeeds).map(i => seed + 1000L * i), dedup = false)
     semanticNearDupPairsAdaptive(embeddings, threshold, targetCell, nassign, seed,
         n = nn)
       .unionByName(lsh)
@@ -849,10 +881,10 @@ object Dedup {
     * a pair at exactly cosine=θ survives one seed with
     * p_seed = 1−(1−p_bit^bits)^bands, p_bit = 1−acos(θ)/π, and
     * L = ln(1−target)/ln(1−p_seed) independent seeds push the miss
-    * rate below 1−target. Capped at `maxSeeds` (each seed is a full
-    * linear pass — the cap keeps a low-θ request from silently asking
-    * for 100 passes; past it, this LOUDLY returns the cap so the
-    * caller sees the spend). Pairs ABOVE θ do strictly better (p_bit
+    * rate below 1−target. Capped at `maxSeeds` (each seed adds
+    * bands·n shuffle rows to the fused LSH pass — the cap keeps a
+    * low-θ request from silently asking for 100 seeds' worth; past
+    * it, this LOUDLY returns the cap so the caller sees the spend). Pairs ABOVE θ do strictly better (p_bit
     * rises with cosine), so the target is a floor for the whole
     * admitted range, and the cell tier's independent recall stacks on
     * top. Resolves to 1 at gate scales (8×4 bits ⇒ p_seed ≥ 0.79 at

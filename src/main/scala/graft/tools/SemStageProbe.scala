@@ -51,6 +51,16 @@ object SemStageProbe {
       Dedup.embeddingNearDupsAnnAdaptive(emb, theta))
     run("hybrid total (warm fit)")(
       Dedup.semanticNearDupPairsHybrid(emb, theta, nassign = 3))
+    // the RECALL-CONTRACT configuration (bench_dedup_semantic_rc_fq):
+    // L = semSeedsFor seeds fused into one LSH pass, plus the cell tier
+    val l = Dedup.semSeedsFor(n, theta)
+    val (bands, bits) = Dedup.annParams(n)
+    run(s"lsh fused x$l")(
+      Dedup.embeddingNearDupsAnnSeeds(emb, theta, bands, bits,
+        (0 until l).map(i => 42L + 1000L * i), dedup = false))
+    run(s"hybrid rc total (L=$l)")(
+      Dedup.semanticNearDupPairsHybrid(emb, theta, nassign = 3,
+        nSeeds = l, n = n))
     spark.stop()
   }
 }

@@ -306,6 +306,52 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rm >= 35, s"3-seed recall too low: $rm/40")
   }
 
+  test("fused multi-seed LSH pass equals the union of per-seed passes exactly") {
+    // the fused form (one scan, seed ordinal in the band key's high
+    // bits, one self-join) must be a pure plan rewrite: same pair SET
+    // and same verified cosines as running each seed separately and
+    // unioning — pinned on the high-bits regime where seeds actually
+    // differ in what they find.
+    val rnd = new scala.util.Random(17)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = (0 until 40).map { i =>
+      val (id, v) = bases(i)
+      (2000L + id, v.map(x => x + 0.43f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val seeds = Seq(42L, 1042L, 2042L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    val fused = rows(Dedup.embeddingNearDupsAnnSeeds(emb, 0.8, bands = 5,
+      bitsPerBand = 12, seeds = seeds))
+    val unioned = seeds.map(s => rows(Dedup.embeddingNearDupsAnn(emb, 0.8,
+      bands = 5, bitsPerBand = 12, seed = s))).reduce(_ ++ _)
+    assert(fused == unioned,
+      s"fused/per-seed divergence: ${(fused diff unioned).size} extra, " +
+        s"${(unioned diff fused).size} missing")
+  }
+
+  test("LSH band self-join feeds both sides from one exchange") {
+    // the signature pass + the seeds·bands·n-row band shuffle is the
+    // operator's corpus-wide cost; the per-side renames sit above the
+    // shared repartition so the join must READ one exchange, not
+    // write it twice. AQE decides reuse at runtime — assert on the
+    // final executed plan (the semanticNearDupPairs pin's twin).
+    val rnd = new scala.util.Random(19)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    // threshold low enough that pairs EXIST: an empty join lets AQE
+    // collapse the final plan to EmptyRelation before any stage shows
+    // reuse (random 64-d gaussians almost never clear cosine 0.5)
+    val df = Dedup.embeddingNearDupsAnnSeeds(emb, 0.1, bands = 5,
+      bitsPerBand = 12, seeds = Seq(42L, 1042L))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"band self-join did not reuse the banded exchange:\n$plan")
+  }
+
   test("hybrid semantic pairs: multi-seed form is a superset of single-seed, subset of exact") {
     // same planted-dup geometry as the ANN multi-seed test, driven
     // through the HYBRID surface (cells ∪ L sign-LSH seeds) — the form
