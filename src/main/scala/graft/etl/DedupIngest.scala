@@ -193,7 +193,8 @@ object DedupIngest {
     val epochNow = readEpoch(fs, bootstrapEpochPath(fpsDir))
     val chainEpochPath = new org.apache.hadoop.fs.Path(
       bloomChainDir(checkpointDir), s"bloomepoch-$runTag")
-    if (readEpoch(fs, chainEpochPath) != epochNow) {
+    val epochMismatch = readEpoch(fs, chainEpochPath) != epochNow
+    if (epochMismatch) {
       // the prior-run-id loud failure FIRST: an epoch drop must not
       // erase the evidence of restarted batch ids over surviving state
       requireNoPriorRunIds(chainIds(fs, checkpointDir, runTag),
@@ -241,10 +242,13 @@ object DedupIngest {
       batchFilter.foreach { f =>
         writeBloom(fs, bloomPath(checkpointDir, runTag, batchId), f)
         pruneBlooms(fs, checkpointDir, runTag, batchId)
-        // stamp the chain's epoch AFTER the blob: a crash in between
-        // leaves a stale epoch whose only cost is one extra
-        // rebuild-from-index on the next batch — never a false negative
-        writeEpoch(fs, chainEpochPath, epochNow)
+        // re-stamp the chain's epoch ONLY after a mismatch drop (the
+        // common matched path skips three filesystem metadata ops per
+        // trigger rewriting an identical marker — code-review r8).
+        // Stamped AFTER the blob: a crash in between leaves a stale
+        // epoch whose only cost is one extra rebuild-from-index on
+        // the next batch — never a false negative
+        if (epochMismatch) writeEpoch(fs, chainEpochPath, epochNow)
       }
       if (n > 0) {
         // (2) fingerprint-index partition (idempotent overwrite)
@@ -308,6 +312,20 @@ object DedupIngest {
       .persist()
     try {
       val n = deduped.count()
+      // fresh epoch marker FIRST — the fail-safe ordering (code-review
+      // r8): any bloom chain built before this backfill lacks its keys
+      // and must be invalidated, so the marker that invalidates it has
+      // to be durable BEFORE the keys land. A crash after the stamp
+      // but before the data writes costs one spurious chain drop +
+      // rebuild-from-index (and the failed bootstrap job is the
+      // operator's signal to re-run); the reverse order would leave
+      // fully-committed backfill data with a still-matching epoch — a
+      // trusted pre-backfill chain bloom-false-negativing every
+      // backfilled key, with nothing to flag it.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+      writeEpoch(fs, bootstrapEpochPath(fpsDir),
+        java.util.UUID.randomUUID().toString)
       deduped.select(xxhash64(col(key)).as("_fp"), col(key))
         .withColumn("_ingest_batch", lit("bootstrap"))
         .write.mode(SaveMode.Overwrite)
@@ -317,14 +335,6 @@ object DedupIngest {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_ingest_batch").parquet(corpusDir)
-      // fresh epoch marker LAST: any bloom chain built before this
-      // backfill lacks its keys and must be invalidated — the next
-      // admitBatchIncremental sees the epoch mismatch, drops the
-      // chain, and rebuilds from the (now-complete) fingerprint index
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
-      writeEpoch(fs, bootstrapEpochPath(fpsDir),
-        java.util.UUID.randomUUID().toString)
       n
     } finally deduped.unpersist()
   }
@@ -370,24 +380,41 @@ object DedupIngest {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
 
+  /** The epoch marker is CORRECTNESS-BEARING (a missing/stale marker
+    * lets a pre-backfill chain be trusted), and Hadoop filesystems
+    * report rename/delete failure by returning false, not throwing —
+    * so this write fails LOUDLY on a false return instead of leaving
+    * the silently-unsafe state behind (code-review r8; contrast
+    * [[writeBloom]], where a missing blob only degrades to a
+    * rebuild). */
   private def writeEpoch(fs: org.apache.hadoop.fs.FileSystem,
                          p: org.apache.hadoop.fs.Path, epoch: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new java.io.IOException(s"writeEpoch: could not delete stale $p")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"writeEpoch: rename $tmp -> $p failed")
   }
 
   /** Delete every blob (and the epoch stamp) under this tag — used
-    * when the chain's epoch predates the newest bootstrap backfill. */
+    * when the chain's epoch predates the newest bootstrap backfill.
+    * Blob membership uses the SAME name parse as [[chainIds]] /
+    * [[pruneBlooms]] (prefix + numeric suffix), not a raw startsWith:
+    * tags can be dash-prefix-related (`t` vs `t-2` → blob
+    * `bloom-t-2-7` startsWith `bloom-t-`), and a raw match would let
+    * one tag's epoch drop delete ANOTHER tag's chain (code-review
+    * r8). */
   private def dropBloomChain(fs: org.apache.hadoop.fs.FileSystem,
                              checkpointDir: String, tag: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(bloomChainDir(checkpointDir))
     if (!fs.exists(dir)) return
     val prefix = s"bloom-$tag-"
     fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) || n == s"bloomepoch-$tag")
+      .filter(n => (n.startsWith(prefix) &&
+          n.stripPrefix(prefix).toLongOption.isDefined) ||
+        n == s"bloomepoch-$tag")
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
   }
 

@@ -315,9 +315,22 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
       expectedItems = 100000L, runTag = "t")
     assert(n == 1L, s"pre-backfill bloom chain leaked a duplicate ($n admitted)")
     assert(incIds(dir).map(_._2) == Set("x", "a", "b", "z"))
-    // and the chain is O(batch) again at the new epoch: a further
-    // batch must NOT pay a rebuild (probed via admission correctness —
-    // 'z' now blocks, a genuinely new key passes)
+    // the chain is O(batch) again at the new epoch — pinned DIRECTLY
+    // on the filesystem state, because admission alone cannot tell the
+    // fast path from the rebuild path (both admit correctly; a broken
+    // re-stamp would stay green forever — code-review r8): batch 1's
+    // blob must exist and the chain's epoch stamp must now EQUAL the
+    // bootstrap marker, which is exactly the condition batch 2 checks
+    // to skip the drop/rebuild
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    assert(new java.io.File(s"$cp/graft-bloom/bloom-t-1").isFile,
+      "batch 1 wrote no bloom blob — the chain did not resume")
+    assert(read(s"$cp/graft-bloom/bloomepoch-t") ==
+      read(s"${dir}_fps/_graft_bootstrap_epoch"),
+      "chain epoch was not re-stamped to the bootstrap marker")
+    // and a further batch admits against the resumed chain: 'z' now
+    // blocks, a genuinely new key passes
     val n2 = DedupIngest.admitBatchIncremental(spark,
       Seq((20L, "z"), (21L, "w")).toDF("doc_id", "text"),
       dir, cp, batchId = 2L, key = "text", tiebreaker = "doc_id",
