@@ -2641,6 +2641,68 @@ object SparkEntry {
           when(col("lang") === "en", 10).otherwise(50))
         .select("doc_id", "lang")),
 
+    QueryDef("ext_repeat_weighted",
+      // fractional-weight corpus mixing (the Llama/GPT data-recipe op:
+      // "source X at 2.4 epochs, source Y at 0.3"): each doc emits
+      // floor(w) copies plus one more iff a stateless hash draw lands
+      // under frac(w) — so the EXPECTED per-source volume is exactly
+      // w × |source| with zero sampling state, reproducible on any
+      // engine. Weights carried in hundredths so the arithmetic stays
+      // integral end to end. Scan-side projection + generator, no
+      // shuffle; at 100 TB upweighting multiplies output rows only
+      // where the recipe asks, and the explode pipelines into
+      // whatever writer follows. copies == 0 rows are filtered BEFORE
+      // the explode: Spark's sequence(0, -1) yields the DESCENDING
+      // [0,-1], not empty (DuckDB's generate_series is empty) — the
+      // guard keeps the engines identical instead of subtly diverging.
+      Some("""WITH w AS (SELECT doc_id, source,
+             |  CASE source WHEN 'src0' THEN 240 WHEN 'src1' THEN 30
+             |       ELSE 100 END AS w100 FROM documents),
+             |c AS (SELECT doc_id, source,
+             |        w100 // 100 + CASE WHEN (doc_id * 2654435761) % 100
+             |          < w100 % 100 THEN 1 ELSE 0 END AS copies
+             |      FROM w)
+             |SELECT doc_id, source, CAST(r AS BIGINT) AS rep
+             |FROM c, UNNEST(generate_series(0, copies - 1)) AS t(r)
+             |WHERE copies > 0""".stripMargin),
+      (s, dir) => {
+        val w100 = when(col("source") === "src0", 240L)
+          .when(col("source") === "src1", 30L).otherwise(100L)
+        val copies = floor(w100 / lit(100L)).cast("long") +
+          when((col("doc_id") * 2654435761L) % 100 < w100 % 100L, 1L)
+            .otherwise(0L)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), copies.as("copies"))
+          .filter(col("copies") > 0)
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(0L), col("copies") - 1L)).as("rep"))
+      }),
+
+    QueryDef("ext_epoch_shuffle",
+      // deterministic global training order: position = row_number
+      // under a stateless hash of (doc_id, epoch salt) — the
+      // shuffle-once-per-epoch op every training loader needs, with no
+      // RNG state to checkpoint and a different salt giving a fresh
+      // permutation. The global row_number runs through the
+      // DISTRIBUTED two-level rank (ops.Ranks, empty partition-by):
+      // a plain Window over a global ORDER BY is ONE task at any
+      // cluster size — the exact anti-pattern the rank suite exists
+      // to kill — while the two-level form ranks locally per hash
+      // bucket and adds tiny prefix offsets (engages above 2M rows;
+      // gate scales keep the plain-Window plan the oracle pins).
+      Some("""SELECT doc_id,
+             |       row_number() OVER (
+             |         ORDER BY (doc_id * 2654435761 + 777) % 1000000007,
+             |                  doc_id) AS pos
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir).select(col("doc_id"),
+          ((col("doc_id") * 2654435761L + 777L) % 1000000007L).as("_k"))
+        ops.Ranks.totalOrderRankSuite(keyed, Seq.empty, "_k", "doc_id",
+            desc = false)
+          .select(col("doc_id"), col("drnk").as("pos"))
+      }),
+
     QueryDef("ext_decontaminate",
       // benchmark decontamination: drop every corpus doc that shares a
       // 5-token shingle with the held-out set (source = 'src0' stands

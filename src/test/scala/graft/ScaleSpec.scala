@@ -110,6 +110,21 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5))).toSet
     assert(switched == want, "size-switched rank suite diverged")
+
+    // EMPTY partition-by = one GLOBAL total order (the
+    // ext_epoch_shuffle form: a global ORDER-BY Window is one task at
+    // any cluster size, the two-level path is the whole point there)
+    // — forced two-level must equal the global-Window row_number
+    val wg = Window.orderBy(col("v"), col("id"))
+    val wantGlobal = df.select(col("id"),
+        row_number().over(wg).cast("long").as("drnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGlobal = graft.ops.Ranks.totalOrderRankSuite(df, Seq.empty, "v", "id",
+        desc = false, buckets = 16)
+      .select("id", "drnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGlobal == wantGlobal,
+      "empty-partition two-level rank diverged from the global Window")
   }
 
   test("bucketed-by-key join plans with no shuffle exchange") {
