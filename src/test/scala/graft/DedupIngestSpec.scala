@@ -338,6 +338,68 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(n2 == 1L)
   }
 
+  test("incremental soak: mid-run bootstrap backfill + crash replay stay exactly-once") {
+    // the epoch guard under soak conditions: 8 streamed batches build
+    // a bloom chain; a bootstrapCorpus backfill lands 60 keys the
+    // chain has never seen; the FIRST post-backfill admission runs as
+    // a manual "crashed" batch (all three states commit, checkpoint
+    // doesn't) and is then REPLAYED by the stream under the same id.
+    // The epoch mismatch must drop the stale chain exactly once, the
+    // replay must land on the repair path without duplicating, and
+    // later batches must dedup against stream keys, backfilled keys,
+    // and each other.
+    val rnd = new scala.util.Random(53)
+    val dir = Files.createTempDirectory("inc-bf-soak").toString + "/corpus"
+    val cp = Files.createTempDirectory("inc-bf-soak-cp").toString
+    val stream = MemoryStream[(Long, String)]
+    var id = 0L
+    var expected = Map.empty[String, Long]
+    def mkBatch(keys: Seq[String]): Seq[(Long, String)] = {
+      val b = keys.map { k => id += 1; (id, k) }
+      b.groupBy(_._2).foreach { case (k, rows) =>
+        if (!expected.contains(k)) expected += k -> rows.map(_._1).min
+      }
+      b
+    }
+    for (_ <- 0 until 8) {
+      stream.addData(mkBatch((0 until 25).map(_ => s"k${rnd.nextInt(120)}")): _*)
+      drainInc(stream, dir, cp)
+    }
+    // backfill: 60 keys DISJOINT from the stream key space (the
+    // bootstrap contract: backfills are new corpus content, not a
+    // second writer for standing keys), with in-backfill duplicates
+    // so its own exactKeepFirst is exercised
+    val backfill = mkBatch((0 until 80).map(_ => s"bk${rnd.nextInt(60)}"))
+    DedupIngest.bootstrapCorpus(spark, backfill.toDF("doc_id", "text"),
+      dir, key = "text", tiebreaker = "doc_id")
+    // crashed first post-backfill batch (commits, checkpoint unaware),
+    // then the stream replays it under the same id — tag derivation
+    // matches startIncremental's so the replay overwrites in place
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(cp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val crashed = mkBatch(
+      Seq("bk0", "bk1", "k0") ++ (0 until 10).map(_ => s"c${rnd.nextInt(8)}"))
+    DedupIngest.admitBatchIncremental(spark,
+      crashed.toDF("doc_id", "text"), dir, cp, batchId = 8L,
+      key = "text", tiebreaker = "doc_id", expectedItems = 100000L,
+      runTag = tag)
+    stream.addData(crashed: _*)
+    drainInc(stream, dir, cp)
+    // post-backfill batches mix stream keys, backfilled keys, and new
+    for (i <- 0 until 8) {
+      stream.addData(mkBatch(
+        (0 until 10).map(_ => s"k${rnd.nextInt(120)}") ++
+        (0 until 10).map(_ => s"bk${rnd.nextInt(60)}") ++
+        (0 until 5).map(j => s"n$i-$j")): _*)
+      drainInc(stream, dir, cp)
+    }
+    val got = incIds(dir).map(_.swap).toMap
+    assert(got == expected,
+      s"backfill soak diverged: ${(got.toSet diff expected.toSet).take(3)} extra, " +
+        s"${(expected.toSet diff got.toSet).take(3)} missing")
+    assert(spark.read.parquet(dir + "_fps").count() == expected.size)
+  }
+
   test("incremental soak: 40 micro-batches with a mid-run crash stay exactly-once") {
     val rnd = new scala.util.Random(47)
     val dir = Files.createTempDirectory("inc-soak").toString + "/corpus"
