@@ -2146,6 +2146,55 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_ivfpq_appended",
+      // INCREMENTAL INDEX MAINTENANCE — the missing half of the
+      // index-once/query-many story: at 100 TB ingest never stops, and
+      // refitting the quantizer per batch means rewriting the whole
+      // index, so production ANN freezes the trained model and makes
+      // adds O(batch) (Similarity.appendToIvfPqIndex: assign with the
+      // persisted centroids, encode with the persisted codebooks,
+      // append the batch's cell partitions — existing files never
+      // read). Here the index is built on HALF the corpus (even
+      // vec_ids) and the other half arrives by append; queries probe
+      // the merged index. Recall contract like ext_sim_ivfpq_indexed
+      // (≥ 3 of the exact top-10 over the FULL corpus per query —
+      // appended rows must be first-class at both tiers or recall on
+      // odd-id neighbors collapses); exactness of the append itself is
+      // pinned in SimilaritySpec (exhaustive-regime parity with brute
+      // force, split-invariance, frozen-model byte-identity). This
+      // entry probes nprobe=8 (vs the family's 6): the half-corpus
+      // quantizer is coarser than the full-build fit, and at nprobe=6
+      // the worst sf0.1 query sat exactly ON the bound (min hits 3 —
+      // zero drift headroom); two extra probed cells buy it back.
+      // Measured per-query min hits at nprobe=8: 8 at sf0.01, 4 at
+      // sf0.1, 5 at sf1 (tools.AppendProbe) — within one hit of the
+      // full-build path, as frozen-model assignment predicts on
+      // uniform data.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = "target/graft-indexes/ivfpq_app_" + idxSuffix(dir)
+        buildIndexOnce(s"ivfpq_app|$dir") {
+          Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+            idxDir, nlist = 16, m = 8, ksub = 64, seed = 42L)
+          Similarity.appendToIvfPqIndex(s, idxDir,
+            emb.filter(col("vec_id") % 2 =!= 0))
+        }
+        val ivfpq = Similarity.ivfPqIndexedTopK(s, idxDir, qs, k = 10,
+            nprobe = 8, rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(ivfpq, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_lsh_indexed",
       // The PERSISTED-index path — the 100 TB similarity story
       // (signatures precomputed once, corpus stored bucketed on the
@@ -3485,6 +3534,26 @@ object SparkEntry {
         }
         Similarity.ivfPqIndexedTopK(s, idxDir, fq(e), k = 10, nprobe = 6,
           rerank = rerank(n))
+      }),
+      // incremental-maintenance cost probe: appends a BOUNDED batch
+      // (≤ 5000 rows) to a production-shaped IVF-PQ index built on the
+      // full corpus (once per JVM — the first attempt pays it, best-of-2
+      // records the warm append). appendToIvfPqIndex never reads index
+      // data (centroid/codebook read-back is nlist + m·ksub tiny rows),
+      // so the recorded time should stay FLAT as the indexed corpus
+      // grows 25× — the O(batch) claim, measured. Dedicated dir: the
+      // _indexed_fq twin's results must not see appended duplicates.
+      "bench_sim_ivfpq_append_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val n = Tables.cachedCount(s, dir, "embeddings")
+        val idxDir = "target/graft-indexes/ivfpq_appb_" + idxSuffix(dir)
+        buildIndexOnce(s"ivfpq_appb|$dir") {
+          Similarity.buildIvfPqIndex(e, idxDir, nlist = Dedup.semParams(n),
+            m = 8, ksub = 64, seed = 42L)
+        }
+        Similarity.appendToIvfPqIndex(s, idxDir,
+          e.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000))
+        s.range(1).toDF("ok")
       }),
       // production shape of agg_approx_distinct: the catalog gate
       // carries an exact count_distinct BASELINE inside its error

@@ -227,10 +227,7 @@ object Similarity {
     */
   def ivfIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
-    val centroids = spark.read.parquet(dir.stripSuffix("/") + "_centroids")
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val centroids = readIndexCentroids(spark, dir)
     val q = ivfProbeSide(queries, centroids, nprobe)
     // distinct probed cells: ≤ nlist ints, safe to collect regardless
     // of the query count
@@ -476,6 +473,56 @@ object Similarity {
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_codebooks")
   }
 
+  /** Append a batch of new vectors to a [[buildIvfIndex]] directory
+    * WITHOUT a rebuild: assign with the FROZEN persisted centroids and
+    * append the batch's cell partitions in place. This is the index
+    * maintenance shape a 100 TB corpus needs — ingest arrives forever,
+    * but refitting the quantizer means re-reading and re-writing the
+    * whole index, so production vector stores (FAISS's add-after-train
+    * contract) freeze the trained model and make adds O(batch): here
+    * one assignment projection over the batch + one batch-sized
+    * shuffle + a partitioned append; the existing index files are
+    * never read or touched. Queries need no code change — the probe
+    * path reads whatever files the cell directories hold.
+    *
+    * The frozen model is the point, and also the caveat: appended data
+    * from a DIFFERENT distribution than the build-time fit degrades
+    * cell balance (recall stays correct — assignment is still nearest-
+    * centroid — but hot cells grow, so probes read more). The rebuild
+    * policy belongs to the caller: refit when appended volume is a
+    * large fraction of the build or when monitoring shows cell skew,
+    * exactly as with any frozen-ANN deployment.
+    *
+    * Append-mode write, so a failed-and-retried append can leave
+    * duplicate rows (exactly-once is the STREAMING layer's contract —
+    * [[graft.etl.DedupIngest]] gets it from run-scoped partition
+    * overwrites; a bulk index add that fails should rebuild or
+    * dedup-verify). Deterministic given the persisted model: the same
+    * batch always lands in the same cells with the same values.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       batch: DataFrame): Unit =
+    ivfCorpusSide(batch, readIndexCentroids(spark, dir))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+
+  /** [[appendToIvfIndex]] for a [[buildIvfPqIndex]] directory: the
+    * batch is assigned with the frozen centroids AND encoded with the
+    * frozen codebooks, so appended rows are scannable by the ADC tier
+    * and rerankable exactly like build-time rows. Same O(batch) cost
+    * shape, frozen-model caveat, and retry semantics as the IVF form.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         batch: DataFrame): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import graft.functions.PqEncodeExpr
+    val cbs = readIndexCodebooks(spark, dir)
+    ivfCorpusSide(batch, readIndexCentroids(spark, dir))
+      .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
   /** Top-k against a [[buildIvfPqIndex]] directory. Centroids and
     * codebooks read back (tiny), probed cell ids pushed as a
     * partition filter; the scan tier reads only the 8-byte codes of
@@ -490,38 +537,53 @@ object Similarity {
       .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank))
       .reduce(_.unionByName(_))
 
+  /** Read back a persisted index's coarse centroids (`<dir>_centroids`
+    * — nlist tiny rows, trivially collectible). Shared by the indexed
+    * query paths and the frozen-model appends so all of them see the
+    * SAME quantizer by construction.
+    */
+  private[graft] def readIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String): Array[Array[Double]] =
+    spark.read.parquet(dir.stripSuffix("/") + "_centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
+  /** Read back a persisted index's PQ codebooks (`<dir>_codebooks` —
+    * m·ksub tiny rows), failing LOUDLY on a missing or partially
+    * written table: an empty directory would otherwise surface as an
+    * opaque `empty.max`, and a sparse (sub, code) grid as an NPE deep
+    * in the ADC scan.
+    */
+  private[graft] def readIndexCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String): graft.functions.Pq.Codebooks = {
+    val cbPath = dir.stripSuffix("/") + "_codebooks"
+    val cbRows = spark.read.parquet(cbPath)
+      .select(col("sub"), col("code"), col("vals")).collect()
+    require(cbRows.nonEmpty,
+      s"readIndexCodebooks: no codebook rows at $cbPath — the index is " +
+        "missing or partially written; rebuild with buildIvfPqIndex")
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val arr = Array.ofDim[Array[Double]](m, ksub)
+    cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val missing = for {
+      j <- 0 until m; r <- 0 until ksub if arr(j)(r) == null
+    } yield s"($j,$r)"
+    require(missing.isEmpty,
+      s"readIndexCodebooks: codebook grid at $cbPath is sparse — missing " +
+        s"${missing.take(5).mkString(", ")} of ${m}x$ksub entries; " +
+        "the index is partially written, rebuild with buildIvfPqIndex")
+    arr.map(_.toArray)
+  }
+
   private def ivfPqIndexedTopKChunk(spark: org.apache.spark.sql.SparkSession,
                                     dir: String, queries: DataFrame, k: Int,
                                     nprobe: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqAdcExpr
-    val centroids = spark.read.parquet(dir.stripSuffix("/") + "_centroids")
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val cbPath = dir.stripSuffix("/") + "_codebooks"
-    val cbRows = spark.read.parquet(cbPath)
-      .select(col("sub"), col("code"), col("vals")).collect()
-    // loud failure on a missing or partially-written codebook table: an
-    // empty directory would otherwise surface as an opaque `empty.max`,
-    // and a sparse (sub, code) grid as an NPE deep in the ADC scan
-    require(cbRows.nonEmpty,
-      s"ivfPqIndexedTopK: no codebook rows at $cbPath — the index is " +
-        "missing or partially written; rebuild with buildIvfPqIndex")
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ksub = cbRows.map(_.getInt(1)).max + 1
-    val cbs: graft.functions.Pq.Codebooks = {
-      val arr = Array.ofDim[Array[Double]](m, ksub)
-      cbRows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-      val missing = for {
-        j <- 0 until m; r <- 0 until ksub if arr(j)(r) == null
-      } yield s"($j,$r)"
-      require(missing.isEmpty,
-        s"ivfPqIndexedTopK: codebook grid at $cbPath is sparse — missing " +
-          s"${missing.take(5).mkString(", ")} of ${m}x$ksub entries; " +
-          "the index is partially written, rebuild with buildIvfPqIndex")
-      arr.map(_.toArray)
-    }
+    val centroids = readIndexCentroids(spark, dir)
+    val cbs = readIndexCodebooks(spark, dir)
     val probes = ivfProbeSide(queries, centroids, nprobe)
     val probed = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq

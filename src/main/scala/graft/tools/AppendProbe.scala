@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.ops.{Dedup, Similarity}
+
+/** Evidence probe for the frozen-model index append
+  * ([[graft.ops.Similarity.appendToIvfPqIndex]]):
+  *
+  *  1. RECALL — builds the `ext_sim_ivfpq_appended` configuration
+  *     (index on even vec_ids at nlist=16/m=8/ksub=64, odd half
+  *     appended; the build-half quantizer is the worst case the
+  *     catalog gate runs) and prints per-query hit statistics against
+  *     the exact top-10 over the FULL corpus — the numbers the catalog
+  *     entry's Scaladoc cites.
+  *  2. COST — times the production-shaped full-corpus build
+  *     (nlist = semParams(n)) against appending a bounded 5000-row
+  *     batch to it, so SCALE.md can record build-vs-append directly.
+  *
+  * Usage: runMain graft.tools.AppendProbe <sfDir> [recall|cost|both]
+  */
+object AppendProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val mode = args.lift(1).getOrElse("both")
+    val nprobe = args.lift(2).map(_.toInt).getOrElse(6)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val rr = math.min(10000L, math.max(100L, n / 25)).toInt
+    val tmp = java.nio.file.Files.createTempDirectory("append-probe").toString
+    println(s"n=$n rerank=$rr dir=$sfDir")
+
+    if (mode == "recall" || mode == "both") {
+      val dir = s"$tmp/half"
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir,
+        nlist = 16, m = 8, ksub = 64, seed = 42L)
+      Similarity.appendToIvfPqIndex(spark, dir,
+        emb.filter(col("vec_id") % 2 =!= 0))
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val appended = Similarity.ivfPqIndexedTopK(spark, dir, qs, k = 10,
+          nprobe = nprobe, rerank = rr)
+        .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+      val hits = Similarity.bruteForceTopK(qs, emb, k = 10)
+        .select("q_id", "c_id")
+        .join(appended, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+      val stats = hits.agg(min(col("hits")).as("min"),
+          expr("percentile(hits, 0.1)").as("p10"),
+          avg(col("hits")).as("mean"), count(lit(1)).as("queries"))
+        .head()
+      println(f"[recall] min=${stats.getLong(0)} p10=${stats.getDouble(1)}%.1f " +
+        f"mean=${stats.getDouble(2)}%.2f queries=${stats.getLong(3)}")
+    }
+
+    if (mode == "cost" || mode == "both") {
+      val dir = s"$tmp/full"
+      val nlist = Dedup.semParams(n)
+      Similarity.clearIvfIndexCache()
+      Similarity.clearPqCodebookCache()
+      val t0 = System.nanoTime()
+      Similarity.buildIvfPqIndex(emb, dir, nlist = nlist, m = 8, ksub = 64,
+        seed = 42L)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val batch = emb.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000)
+      val appends = (1 to 3).map { _ =>
+        val t1 = System.nanoTime()
+        Similarity.appendToIvfPqIndex(spark, dir, batch)
+        (System.nanoTime() - t1) / 1e9
+      }
+      println(f"[cost] nlist=$nlist build=$buildS%.1f s append(batch=${batch.count()})=" +
+        appends.map(t => f"$t%.1f").mkString(",") + f" s best=${appends.min}%.1f s")
+    }
+    spark.stop()
+  }
+}

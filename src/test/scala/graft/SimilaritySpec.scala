@@ -269,4 +269,83 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Long]("c_id") == 100L &&
       top.getAs[Double]("cosine") == 1.0)
   }
+
+  // ---- frozen-model incremental append ---------------------------- //
+
+  private lazy val evenBase = corpus.filter(col("vec_id") % 2 === 0)
+  private lazy val oddBatch = corpus.filter(col("vec_id") % 2 =!= 0)
+
+  test("IVF-PQ append: frozen model untouched, appended rows exact in the exhaustive regime") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-app"
+    // plant a twin of vec 0 in the APPENDED batch so discoverability
+    // crosses the build/append boundary (vec 0 and its build-time twin
+    // 100 are both even, i.e. both in the base)
+    val twin = corpus.filter(col("vec_id") === 0)
+      .select(lit(301L).as("vec_id"), col("embedding"), col("label"))
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    val centsBefore = spark.read.parquet(dir + "_centroids").collect().toSet
+    val cbsBefore = spark.read.parquet(dir + "_codebooks").collect().toSet
+    Similarity.appendToIvfPqIndex(spark, dir, oddBatch.unionByName(twin))
+    // append must never refit: the persisted model is byte-identical
+    assert(spark.read.parquet(dir + "_centroids").collect().toSet === centsBefore)
+    assert(spark.read.parquet(dir + "_codebooks").collect().toSet === cbsBefore)
+    // index now holds every corpus row exactly once (plus the twin)
+    assert(spark.read.parquet(dir).count() === corpus.count() + 1)
+    // exhaustive regime (probe all cells, rerank > corpus): the frozen-
+    // model index must reproduce exact brute force over base ∪ batch —
+    // appended rows are first-class at every tier or this diverges
+    val q = corpus.filter(col("vec_id") < 10)
+    val full = corpus.unionByName(twin)
+    val got = Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+        nprobe = 8, rerank = 300)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, full, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === exact)
+    // at production probe width the appended twin routes to vec 0's
+    // frozen cell and surfaces through the ADC scan: both duplicates
+    // (build-time 100, appended 301) rank 1-2 at cosine 1
+    val top2 = Similarity.ivfPqIndexedTopK(spark, dir,
+        corpus.filter(col("vec_id") === 0), k = 5, nprobe = 3, rerank = 50)
+      .filter(col("rnk") <= 2).collect()
+    assert(top2.map(_.getAs[Long]("c_id")).toSet === Set(100L, 301L))
+    assert(top2.forall(_.getAs[Double]("cosine") == 1.0))
+  }
+
+  test("IVF-PQ append: one append == two appends, content- and result-identical") {
+    val dirOne = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-app1"
+    val dirTwo = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-app2"
+    Similarity.buildIvfPqIndex(evenBase, dirOne, nlist = 8, m = 8, ksub = 16)
+    Similarity.buildIvfPqIndex(evenBase, dirTwo, nlist = 8, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(spark, dirOne, oddBatch)
+    Similarity.appendToIvfPqIndex(spark, dirTwo, oddBatch.filter(col("vec_id") < 100))
+    Similarity.appendToIvfPqIndex(spark, dirTwo, oddBatch.filter(col("vec_id") >= 100))
+    def content(d: String) = spark.read.parquet(d)
+      .select(col("c_id"), col("cell"), col("c_nrm"), hex(col("code")).as("code"))
+      .as[(Long, Int, Double, String)].collect().toSet
+    assert(content(dirOne) === content(dirTwo))
+    val q = corpus.filter(col("vec_id") < 10)
+    def res(d: String) = Similarity.ivfPqIndexedTopK(spark, d, q, k = 5,
+        nprobe = 3, rerank = 50)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(res(dirOne) === res(dirTwo))
+  }
+
+  test("IVF append: exhaustive-regime exactness and pruned probe after append") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app"
+    Similarity.buildIvfIndex(evenBase, dir, nlist = 8)
+    Similarity.appendToIvfIndex(spark, dir, oddBatch)
+    val q = corpus.filter(col("vec_id") < 10)
+    val indexed = Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 8)
+    val got = indexed.as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === exact)
+    // cell partition pruning survives the append (appended files live
+    // inside the same cell=K directories)
+    val plan = Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on cell in plan:\n$plan")
+  }
 }
