@@ -209,9 +209,15 @@ object Similarity {
     // wholly in one task ⇒ exactly nlist files, and the same shuffle
     // is what a 1000-executor build needs anyway (no task reads all
     // centroids' rows).
+    // Second partition level `seg` (constant "base" at build): the
+    // unit of exactly-once APPEND — a replayed append overwrites its
+    // own (cell, seg) partitions and nothing else. cell stays the
+    // OUTER level so probe-side partition pruning lists only probed
+    // cell directories regardless of how many segments accumulate.
     ivfCorpusSide(corpus, centroids)
+      .withColumn("seg", lit("base"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      .write.mode("overwrite").partitionBy("cell", "seg").parquet(dir)
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
@@ -462,8 +468,9 @@ object Similarity {
     // not tasks×nlist)
     ivfCorpusSide(corpus, centroids)
       .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
+      .withColumn("seg", lit("base"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      .write.mode("overwrite").partitionBy("cell", "seg").parquet(dir)
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
@@ -493,34 +500,57 @@ object Similarity {
     * large fraction of the build or when monitoring shows cell skew,
     * exactly as with any frozen-ANN deployment.
     *
-    * Append-mode write, so a failed-and-retried append can leave
-    * duplicate rows (exactly-once is the STREAMING layer's contract —
-    * [[graft.etl.DedupIngest]] gets it from run-scoped partition
-    * overwrites; a bulk index add that fails should rebuild or
-    * dedup-verify). Deterministic given the persisted model: the same
-    * batch always lands in the same cells with the same values.
+    * `seg` picks the retry semantics via the index's second partition
+    * level:
+    *  - `None` (bulk/ad-hoc): append-mode under a fresh random
+    *    segment; a failed-and-retried append can leave duplicates
+    *    (rebuild or dedup-verify on failure).
+    *  - `Some(id)` (the streaming layer — [[graft.etl.IndexIngest]]
+    *    passes its run-scoped `runTag-batchId`): dynamic partition
+    *    OVERWRITE of exactly the (cell, seg=id) partitions the batch
+    *    writes. Assignment is deterministic given the persisted
+    *    model, so a replay recomputes the identical partitions and
+    *    overwrites itself in place — exactly-once by construction,
+    *    the same shape [[graft.etl.DedupIngest]] pins.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       batch: DataFrame): Unit =
-    ivfCorpusSide(batch, readIndexCentroids(spark, dir))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+                       batch: DataFrame, seg: Option[String] = None): Unit =
+    writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir)), dir, seg)
 
   /** [[appendToIvfIndex]] for a [[buildIvfPqIndex]] directory: the
     * batch is assigned with the frozen centroids AND encoded with the
     * frozen codebooks, so appended rows are scannable by the ADC tier
     * and rerankable exactly like build-time rows. Same O(batch) cost
-    * shape, frozen-model caveat, and retry semantics as the IVF form.
+    * shape, frozen-model caveat, and `seg` retry semantics as the IVF
+    * form.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                         batch: DataFrame): Unit = {
+                         batch: DataFrame, seg: Option[String] = None): Unit = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqEncodeExpr
     val cbs = readIndexCodebooks(spark, dir)
-    ivfCorpusSide(batch, readIndexCentroids(spark, dir))
-      .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
+    writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir))
+      .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs))),
+      dir, seg)
+  }
+
+  /** Shared append writer: cell-clustered (one file per touched cell,
+    * see [[buildIvfIndex]]'s file-count note), tagged with the
+    * segment partition value per the [[appendToIvfIndex]] contract.
+    */
+  private def writeAppend(assigned: DataFrame, dir: String,
+                          seg: Option[String]): Unit = {
+    val tagged = assigned
+      .withColumn("seg", lit(seg.getOrElse(
+        "adhoc-" + java.util.UUID.randomUUID.toString.take(8))))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    seg match {
+      case Some(_) => tagged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "seg").parquet(dir)
+      case None => tagged.write.mode("append")
+        .partitionBy("cell", "seg").parquet(dir)
+    }
   }
 
   /** Top-k against a [[buildIvfPqIndex]] directory. Centroids and

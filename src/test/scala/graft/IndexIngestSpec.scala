@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.IndexIngest
+import graft.ops.Similarity
+
+/** Streaming ANN index maintenance ([[graft.etl.IndexIngest]]):
+  * exactly-once segment appends over a frozen persisted model.
+  */
+class IndexIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private implicit def ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(64)(rnd.nextGaussian().toFloat)
+  }
+
+  private def emb(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  private def drain(stream: MemoryStream[(Long, Array[Float])], dir: String,
+                    cp: String): Unit = {
+    val q = IndexIngest.startIvfPqAppend(
+      stream.toDF().toDF("vec_id", "embedding"), dir, cp,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  private def contents(dir: String): Set[(Long, Int, String)] =
+    spark.read.parquet(dir)
+      .select(col("c_id"), col("cell"), hex(col("code")).as("code"))
+      .as[(Long, Int, String)].collect().toSet
+
+  test("streamed appends equal the one-shot append; crash-replay is exactly-once") {
+    val base = emb(0 until 120)
+    val tmp = Files.createTempDirectory("idx-ingest").toString
+    val streamed = s"$tmp/streamed"
+    val oneShot = s"$tmp/oneshot"
+    val cp = s"$tmp/cp"
+    Similarity.buildIvfPqIndex(base, streamed, nlist = 8, m = 8, ksub = 16)
+    Similarity.buildIvfPqIndex(base, oneShot, nlist = 8, m = 8, ksub = 16)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val b0 = (200 until 240).map(i => (i.toLong, vec(i)))
+    val b1 = (240 until 280).map(i => (i.toLong, vec(i)))
+    stream.addData(b0: _*)
+    drain(stream, streamed, cp)
+    // crash-replay: batch 1 runs ONCE outside the stream (all writes
+    // land, the checkpoint never hears of it), then the stream replays
+    // the same rows under the same batch id — the segment overwrite
+    // must absorb the duplicate run, not double the rows
+    IndexIngest.appendBatch(b1.toDF("vec_id", "embedding"), streamed, cp,
+      batchId = 1L)
+    stream.addData(b1: _*)
+    drain(stream, streamed, cp)
+
+    Similarity.appendToIvfPqIndex(spark, oneShot,
+      emb(200 until 280))
+    assert(contents(streamed) === contents(oneShot))
+    assert(spark.read.parquet(streamed).count() === 200L)
+
+    // search parity through both layouts, probing all cells with
+    // rerank > corpus: exact brute force either way
+    val q = emb(0 until 5)
+    def res(d: String) = Similarity.ivfPqIndexedTopK(spark, d, q, k = 5,
+        nprobe = 8, rerank = 300)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(res(streamed) === res(oneShot))
+  }
+
+  test("fresh checkpoint's batch ids land on their own segments, never an old run's") {
+    val base = emb(0 until 60)
+    val tmp = Files.createTempDirectory("idx-ingest-2cp").toString
+    val dir = s"$tmp/idx"
+    Similarity.buildIvfPqIndex(base, dir, nlist = 8, m = 8, ksub = 16)
+
+    // run 1, batch 0
+    val s1 = MemoryStream[(Long, Array[Float])]
+    s1.addData((100 until 130).map(i => (i.toLong, vec(i))): _*)
+    drain(s1, dir, s"$tmp/cp1")
+    // run 2 (FRESH checkpoint), also batch 0, different rows: must ADD
+    // to the index — a tag collision would overwrite run 1's segment
+    val s2 = MemoryStream[(Long, Array[Float])]
+    s2.addData((130 until 160).map(i => (i.toLong, vec(i))): _*)
+    drain(s2, dir, s"$tmp/cp2")
+
+    val ids = spark.read.parquet(dir).select("c_id").as[Long].collect().toSet
+    assert(ids === (0 until 60).map(_.toLong).toSet ++
+      (100 until 160).map(_.toLong).toSet)
+  }
+}
