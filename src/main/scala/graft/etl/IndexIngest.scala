@@ -15,7 +15,7 @@ import graft.ops.Similarity
   * batch writes under segment `runTag-batchId` (runTag = hash of the
   * checkpoint path — stable across resume, distinct across fresh
   * checkpoints), and the append is a dynamic partition OVERWRITE of
-  * exactly the (cell, seg) partitions the batch produces. Cell
+  * exactly the (seg, cell) partitions the batch produces. Cell
   * assignment is deterministic given the persisted centroids, so a
   * crash-replay of the same batch id recomputes identical partitions
   * and overwrites itself in place; no admission state, no manifest,

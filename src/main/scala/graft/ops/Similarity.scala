@@ -211,13 +211,19 @@ object Similarity {
     // centroids' rows).
     // Second partition level `seg` (constant "base" at build): the
     // unit of exactly-once APPEND — a replayed append overwrites its
-    // own (cell, seg) partitions and nothing else. cell stays the
-    // OUTER level so probe-side partition pruning lists only probed
-    // cell directories regardless of how many segments accumulate.
+    // own (seg, cell) partitions and nothing else. seg is the OUTER
+    // level: partition pruning on cell is value-based and works at
+    // any nesting depth, but directory COUNT is level-order-sensitive
+    // — cell-outer nests one seg dir under every cell (nlist extra
+    // dirs per segment: +20% write / +8% probe in the controlled A/B,
+    // tools.LayoutAbProbe at nlist=400), while seg-outer measures
+    // IDENTICAL to the un-segmented layout (1.32 vs 1.32 s write,
+    // 0.95 vs 0.95 s probe) and keeps each ingest batch's files
+    // co-located (the natural unit for retention or compaction).
     ivfCorpusSide(corpus, centroids)
       .withColumn("seg", lit("base"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "seg").parquet(dir)
+      .write.mode("overwrite").partitionBy("seg", "cell").parquet(dir)
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
@@ -470,7 +476,7 @@ object Similarity {
       .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
       .withColumn("seg", lit("base"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "seg").parquet(dir)
+      .write.mode("overwrite").partitionBy("seg", "cell").parquet(dir)
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
@@ -507,7 +513,7 @@ object Similarity {
     *    (rebuild or dedup-verify on failure).
     *  - `Some(id)` (the streaming layer — [[graft.etl.IndexIngest]]
     *    passes its run-scoped `runTag-batchId`): dynamic partition
-    *    OVERWRITE of exactly the (cell, seg=id) partitions the batch
+    *    OVERWRITE of exactly the (seg=id, cell) partitions the batch
     *    writes. Assignment is deterministic given the persisted
     *    model, so a replay recomputes the identical partitions and
     *    overwrites itself in place — exactly-once by construction,
@@ -547,9 +553,9 @@ object Similarity {
     seg match {
       case Some(_) => tagged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell", "seg").parquet(dir)
+        .partitionBy("seg", "cell").parquet(dir)
       case None => tagged.write.mode("append")
-        .partitionBy("cell", "seg").parquet(dir)
+        .partitionBy("seg", "cell").parquet(dir)
     }
   }
 
