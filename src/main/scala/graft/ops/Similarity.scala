@@ -559,6 +559,97 @@ object Similarity {
     }
   }
 
+  /** Compact an appended [[buildIvfPqIndex]] (or [[buildIvfIndex]])
+    * directory: every append leaves one file per touched cell per
+    * segment, so a long-running maintained index accumulates
+    * segments × cells small files; compaction rewrites ALL segments
+    * into a single fresh `base` segment — one file per cell again —
+    * WITHOUT touching the frozen model (`_centroids`/`_codebooks`
+    * stay byte-identical; rows keep their stored cell and code, so
+    * search results cannot change). O(index) read+write by nature:
+    * this is the periodic offline act of the maintenance lifecycle
+    * (append per batch → compact on a small-files budget → [[
+    * refitIvfPqIndex]] on distribution drift), never per-batch work.
+    *
+    * Safe against the read-your-own-overwrite hazard (a same-dir
+    * overwrite DELETES the input before the job reads it): the
+    * compacted copy is fully written to `<dir>.compacting`, then
+    * swapped in with two renames. A crash mid-swap leaves either the
+    * original live or `<dir>.old` alongside the new tree — both
+    * recoverable by hand, neither silently partial; the tmp tree is
+    * deleted up-front so a retried compaction never swaps in a stale
+    * half-write.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    rewriteInPlace(spark, dir) { (rows, tmp) =>
+      rows.withColumn("seg", lit("base"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("seg", "cell").parquet(tmp)
+    }
+
+  /** REFIT the quantizer of a [[buildIvfPqIndex]] directory over its
+    * current contents — the deliberate offline answer to
+    * distribution drift (appended data from a shifted distribution
+    * keeps nearest-centroid assignment CORRECT but unbalances cells,
+    * so probes read more; see [[appendToIvfIndex]]). Reads the stored
+    * vectors back out of the index, fits fresh centroids + codebooks
+    * on the union corpus exactly like a cold [[buildIvfPqIndex]], and
+    * swaps the rebuilt tree in with the same fail-safe rename dance
+    * as [[compactIndex]]. O(index) by design; every id present
+    * before is present after (the spec pins it).
+    */
+  def refitIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                      seed: Long = 42L): Unit =
+    rewriteInPlace(spark, dir) { (rows, tmp) =>
+      // localCheckpoint: the fit + assignment must read the OLD tree's
+      // rows while the new tree is being written elsewhere — cutting
+      // the lineage here also keeps the kmeans/codebook caches keyed
+      // by a plan that cannot collide with the live directory's scans
+      val corpus = rows.select(col("c_id").as("vec_id"),
+        col("c_emb").as("embedding")).localCheckpoint()
+      buildIvfPqIndex(corpus, tmp, nlist = nlist, m = m, ksub = ksub,
+        seed = seed)
+    }
+
+  /** Shared fail-safe in-place rewrite: materialize the new tree at
+    * `<dir>.compacting` (model tables copied forward only if the
+    * rewrite didn't produce its own), then `dir` → `<dir>.old`,
+    * tmp → `dir`, delete `<dir>.old`. Loud on every filesystem step.
+    */
+  private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+                            (write: (DataFrame, String) => Unit): Unit = {
+    val base = dir.stripSuffix("/")
+    val tmpBase = base + ".compacting"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a stale tmp tree from a crashed run must never be swapped in
+    Seq(tmpBase, tmpBase + "_centroids", tmpBase + "_codebooks")
+      .foreach(t => fs.delete(p(t), true))
+    write(spark.read.parquet(base), tmpBase)
+    // carry the (unchanged) model tables with the data tree so the
+    // swap is whole-index: compaction copies them forward, a refit
+    // already wrote fresh ones next to tmp
+    Seq("_centroids", "_codebooks").foreach { suf =>
+      if (!fs.exists(p(tmpBase + suf)) && fs.exists(p(base + suf)))
+        org.apache.hadoop.fs.FileUtil.copy(fs, p(base + suf), fs,
+          p(tmpBase + suf), false, hconf)
+    }
+    def swap(suf: String): Unit = if (fs.exists(p(tmpBase + suf))) {
+      val old = p(base + suf + ".old")
+      fs.delete(old, true)
+      require(fs.rename(p(base + suf), old),
+        s"rewriteInPlace: could not move $base$suf aside — index left untouched")
+      require(fs.rename(p(tmpBase + suf), p(base + suf)),
+        s"rewriteInPlace: could not move the rebuilt tree into place — " +
+          s"original preserved at $old")
+      fs.delete(old, true)
+    }
+    Seq("", "_centroids", "_codebooks").foreach(swap)
+  }
+
   /** Top-k against a [[buildIvfPqIndex]] directory. Centroids and
     * codebooks read back (tiny), probed cell ids pushed as a
     * partition filter; the scan tier reads only the 8-byte codes of
@@ -572,6 +663,32 @@ object Similarity {
     queryChunks(queries, rerank)
       .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank))
       .reduce(_.unionByName(_))
+
+  /** Freshness composition (the lambda shape): top-k over the
+    * persisted index PLUS a small not-yet-appended delta corpus —
+    * what a serving layer queries between ingest batches, so new
+    * vectors are searchable the moment they exist instead of after
+    * the next [[appendToIvfPqIndex]]. The index side runs the normal
+    * pruned two-tier probe; the delta side is EXACT brute force
+    * (deltas are batch-sized by definition — if the delta outgrows
+    * brute force it should have been appended); the merged per-query
+    * top-k re-ranks the union. A row present in both sides (a delta
+    * that overlaps already-appended data) scores identically on both
+    * and is deduplicated before the final rank.
+    */
+  def ivfPqIndexedTopKWithDelta(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, delta: DataFrame,
+                                queries: DataFrame, k: Int = 10,
+                                nprobe: Int = 3, rerank: Int = 50): DataFrame = {
+    val indexed = ivfPqIndexedTopK(spark, dir, queries, k, nprobe, rerank)
+    val fresh = bruteForceTopK(queries, delta, k)
+    TopK.topKByLongKey(
+        indexed.unionByName(fresh)
+          .dropDuplicates("q_id", "c_id")
+          .select(col("q_id"), col("c_id"), col("cosine")),
+        "q_id", "cosine", "c_id", k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+  }
 
   /** Read back a persisted index's coarse centroids (`<dir>_centroids`
     * — nlist tiny rows, trivially collectible). Shared by the indexed

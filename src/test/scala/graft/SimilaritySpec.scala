@@ -331,6 +331,79 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(res(dirOne) === res(dirTwo))
   }
 
+  test("compactIndex: segments fold to one file per cell; results and model untouched") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-compact"
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(spark, dir, oddBatch.filter(col("vec_id") < 100))
+    Similarity.appendToIvfPqIndex(spark, dir, oddBatch.filter(col("vec_id") >= 100))
+    def content(d: String) = spark.read.parquet(d)
+      .select(col("c_id"), col("cell"), col("c_nrm"), hex(col("code")).as("code"))
+      .as[(Long, Int, Double, String)].collect().toSet
+    def files(d: String) = spark.read.parquet(d)
+      .select(input_file_name()).distinct().count()
+    val q = corpus.filter(col("vec_id") < 10)
+    def res(d: String) = Similarity.ivfPqIndexedTopK(spark, d, q, k = 5,
+        nprobe = 3, rerank = 50)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val (before, filesBefore, resBefore) = (content(dir), files(dir), res(dir))
+    val centsBefore = spark.read.parquet(dir + "_centroids").collect().toSet
+    Similarity.compactIndex(spark, dir)
+    assert(content(dir) === before)
+    assert(res(dir) === resBefore)
+    assert(spark.read.parquet(dir + "_centroids").collect().toSet === centsBefore)
+    // three writes left up to 3 files per touched cell; compaction
+    // folds back to at most one per cell
+    assert(files(dir) <= 8 && files(dir) < filesBefore,
+      s"files after compact: ${files(dir)} (before: $filesBefore)")
+    // everything now sits under the single fresh base segment
+    assert(spark.read.parquet(dir).select("seg").distinct()
+      .as[String].collect().toSeq === Seq("base"))
+  }
+
+  test("refitIvfPqIndex: fresh model over current contents, ids preserved, exact in exhaustive regime") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-refit"
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 4, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(spark, dir, oddBatch)
+    Similarity.refitIvfPqIndex(spark, dir, nlist = 8, m = 8, ksub = 16)
+    // the model is genuinely refit: nlist grew from 4 to 8
+    assert(spark.read.parquet(dir + "_centroids").count() === 8L)
+    // every id survives the rebuild
+    val ids = spark.read.parquet(dir).select("c_id").as[Long].collect().toSet
+    val expected = corpus.select("vec_id").as[Long].collect().toSet
+    assert(ids === expected)
+    // exhaustive regime through the refit index == exact brute force
+    val q = corpus.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+        nprobe = 8, rerank = 300)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("delta search: index + unappended delta equals brute force over the union") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-delta"
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    val q = corpus.filter(col("vec_id") < 10)
+    // exhaustive regime: the only approximation left is the index
+    // probe, so probing all cells with rerank > corpus must equal
+    // exact brute force over base ∪ delta
+    val got = Similarity.ivfPqIndexedTopKWithDelta(spark, dir, oddBatch, q,
+        k = 5, nprobe = 8, rerank = 300)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === exact)
+    // overlap dedup: a delta that repeats indexed rows must not
+    // produce duplicate (q_id, c_id) pairs or displace real neighbors
+    val overlap = Similarity.ivfPqIndexedTopKWithDelta(spark, dir,
+        evenBase.limit(50).unionByName(oddBatch), q, k = 5,
+        nprobe = 8, rerank = 300)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(overlap.map(r => (r._1, r._2)).distinct.length === overlap.length)
+    assert(overlap.toSet === exact)
+  }
+
   test("IVF append: exhaustive-regime exactness and pruned probe after append") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app"
     Similarity.buildIvfIndex(evenBase, dir, nlist = 8)
