@@ -56,6 +56,112 @@ object IndexIngest {
       }
       .start()
 
+  /** The composed embedding pipeline, end to end in ONE stream:
+    * vectors arrive → near-duplicates are rejected against the
+    * persisted corpus ([[DedupIngest.admitBatchEmbedding]]: banded
+    * sign-LSH admission, sequential semantics, O(batch) per trigger)
+    * → the batch's ADMITTED survivors are appended to the serving
+    * index under the same run-scoped segment. Exactly-once END TO
+    * END with no coordination: both stages key every write by
+    * `runTag-batchId` (admission: dynamic overwrite of its
+    * `_ingest_batch` partitions; index: dynamic overwrite of its
+    * seg), and the index stage re-reads the admitted rows FROM the
+    * corpus partition the admission stage just committed — a
+    * partition-pruned O(batch) read — so a crash anywhere in the
+    * trigger replays both stages into their own partitions. Between
+    * a batch landing in the corpus and its index append committing,
+    * queries that need the newest vectors compose the delta form
+    * ([[graft.ops.Similarity.ivfPqIndexedTopKWithDelta]]) over that
+    * same corpus partition.
+    *
+    * Bootstrap BOTH stores from one seed with
+    * [[bootstrapDedupedIvfPq]] before starting the stream — an index
+    * seeded separately from the dedup corpus would let near-dups of
+    * indexed vectors through. `idCol`/`embCol` name the stream's
+    * vector columns and are stored under the index's standard names.
+    */
+  /** Bootstrap the composed pipeline's two stores COHERENTLY: the
+    * seed set is admitted into the dedup corpus (in-seed near-dups
+    * rejected with the operator's own sequential semantics) under the
+    * reserved pre-stream partition `-1` — a batch-id space no
+    * checkpointed stream ever writes, so the stream's batch 0 cannot
+    * collide with it — and the index is built over exactly the
+    * admitted survivors. Re-running the bootstrap overwrites its own
+    * partitions and rebuilds the same index (everything downstream of
+    * the seed is deterministic). An index bootstrapped separately
+    * from the dedup corpus would let a later near-dup of an indexed
+    * vector through — the two stores must share one origin.
+    */
+  def bootstrapDedupedIvfPq(seed: DataFrame, corpusDir: String,
+                            indexDir: String,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            threshold: Double = 0.8, bands: Int = 8,
+                            bitsPerBand: Int = 4, hashSeed: Long = 42L,
+                            nlist: Int = 16, m: Int = 8, ksub: Int = 16): Unit = {
+    val spark = seed.sparkSession
+    val n = DedupIngest.admitBatchEmbedding(spark, seed, corpusDir,
+      batchId = -1L, idCol, embCol, threshold, bands, bitsPerBand,
+      hashSeed)
+    require(n > 0, "bootstrapDedupedIvfPq: no seed rows admitted — " +
+      "the index model cannot fit on an empty corpus")
+    Similarity.buildIvfPqIndex(admittedOf(spark, corpusDir, "-1", idCol,
+      embCol), indexDir, nlist = nlist, m = m, ksub = ksub, seed = hashSeed)
+  }
+
+  /** One composed batch: admit (near-dups rejected), then append the
+    * batch's admitted survivors to the index under the same
+    * run-scoped id — both stages idempotent under replay. Exposed for
+    * tests and manual backfills, exactly like [[appendBatch]].
+    */
+  def dedupedAppendBatch(batch: DataFrame, corpusDir: String,
+                         indexDir: String, checkpointDir: String,
+                         batchId: Long, idCol: String = "vec_id",
+                         embCol: String = "embedding",
+                         threshold: Double = 0.8, bands: Int = 8,
+                         bitsPerBand: Int = 4, hashSeed: Long = 42L): Unit = {
+    val spark = batch.sparkSession
+    val tag = runTagOf(checkpointDir)
+    val n = DedupIngest.admitBatchEmbedding(spark, batch, corpusDir,
+      batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
+      runTag = tag)
+    if (n > 0)
+      Similarity.appendToIvfPqIndex(spark, indexDir,
+        admittedOf(spark, corpusDir, s"$tag-$batchId", idCol, embCol),
+        seg = Some(s"$tag-$batchId"))
+  }
+
+  /** A batch's admitted survivors, re-read FROM the corpus partition
+    * the admission stage committed (partition-pruned, O(batch)) — the
+    * handoff that makes the two stages replay-coherent: the index
+    * stage indexes what the corpus durably says was admitted, never a
+    * recomputation that could diverge from it.
+    */
+  private def admittedOf(spark: org.apache.spark.sql.SparkSession,
+                         corpusDir: String, partVal: String,
+                         idCol: String, embCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(corpusDir)
+      .filter(col("_ingest_batch").cast("string") === partVal)
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+  }
+
+  def startDedupedIvfPqAppend(stream: DataFrame, corpusDir: String,
+                              indexDir: String, checkpointDir: String,
+                              idCol: String = "vec_id",
+                              embCol: String = "embedding",
+                              threshold: Double = 0.8, bands: Int = 8,
+                              bitsPerBand: Int = 4, hashSeed: Long = 42L,
+                              trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupedAppendBatch(batch, corpusDir, indexDir, checkpointDir,
+          batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed)
+      }
+      .start()
+
   /** Run tag = checkpoint identity, the [[DedupIngest]] rule: stable
     * across resume of the same checkpoint (replays land on their own
     * segments), distinct across fresh checkpoints (a new run's batch

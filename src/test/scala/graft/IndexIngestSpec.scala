@@ -76,6 +76,55 @@ class IndexIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(res(streamed) === res(oneShot))
   }
 
+  test("deduped pipeline: near-dups rejected end-to-end, survivors indexed, replay exactly-once") {
+    val tmp = Files.createTempDirectory("idx-dedup-pipe").toString
+    val (corpus, idx, cp) = (s"$tmp/corpus", s"$tmp/idx", s"$tmp/cp")
+    def row(id: Long, of: Int): (Long, Array[Float]) = (id, vec(of))
+    // seed: ids 0..19 plus an exact in-seed dup of id 3 — the
+    // bootstrap must reject it with the operator's own sequential
+    // semantics before the index model ever sees it
+    val seed = ((0 until 20).map(i => row(i.toLong, i)) :+ row(200L, 3))
+      .toDF("vec_id", "embedding")
+    IndexIngest.bootstrapDedupedIvfPq(seed, corpus, idx,
+      nlist = 8, m = 8, ksub = 16)
+    assert(spark.read.parquet(idx).count() === 20L)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    // batch 0: 20 new + a dup of CORPUS id 5 + a dup of IN-BATCH id 21
+    val b0 = (20 until 40).map(i => row(i.toLong, i)) ++
+      Seq(row(201L, 5), row(202L, 21))
+    stream.addData(b0: _*)
+    val q1 = IndexIngest.startDedupedIvfPqAppend(
+      stream.toDF().toDF("vec_id", "embedding"), corpus, idx, cp,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    // crash-replay of batch 1: both stages commit once outside the
+    // stream, then the stream replays the same rows under the same id
+    val b1 = (40 until 50).map(i => row(i.toLong, i)) :+ row(203L, 25)
+    IndexIngest.dedupedAppendBatch(b1.toDF("vec_id", "embedding"),
+      corpus, idx, cp, batchId = 1L)
+    stream.addData(b1: _*)
+    val q2 = IndexIngest.startDedupedIvfPqAppend(
+      stream.toDF().toDF("vec_id", "embedding"), corpus, idx, cp,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    // exactly the survivors, exactly once, in BOTH stores
+    val want = (0 until 50).map(_.toLong).toSet
+    val idxRows = spark.read.parquet(idx).select("c_id").as[Long].collect()
+    assert(idxRows.toSet === want, "index contents diverged")
+    assert(idxRows.length === 50, "replay duplicated index rows")
+    assert(spark.read.parquet(corpus).select("vec_id").as[Long]
+      .collect().toSet === want)
+    // a rejected near-dup is absent from search results even in the
+    // exhaustive regime; its admitted twin is reachable at cosine 1
+    val probe = Seq(row(999L, 5)).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqIndexedTopK(spark, idx, probe, k = 3,
+      nprobe = 8, rerank = 100).filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") === 5L)
+    assert(top.getAs[Double]("cosine") === 1.0)
+  }
+
   test("fresh checkpoint's batch ids land on their own segments, never an old run's") {
     val base = emb(0 until 60)
     val tmp = Files.createTempDirectory("idx-ingest-2cp").toString
