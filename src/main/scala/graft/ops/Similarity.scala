@@ -938,6 +938,38 @@ object Similarity {
     nBits
   }
 
+  /** Frozen-model append for the LSH index family, completing the
+    * three persisted indexes' maintenance story ([[appendToIvfIndex]]
+    * / [[appendToIvfPqIndex]] are the IVF forms): the batch is signed
+    * with the PERSISTED sketch params (`<table>_meta` — different
+    * nBits/dim/seed would bucket where no probe looks, the same
+    * params-travel-with-state rule the auto probe relies on) and
+    * inserted into the bucketed table; Spark's bucketing-on-write
+    * keeps every new file probe-prunable, and signatures are
+    * deterministic given the params, so appended rows land exactly
+    * where a full rebuild would put them. O(batch): one signature
+    * projection + one bucketed write, existing files untouched.
+    * Bulk/ad-hoc retry semantics (insert-append; a failed-and-retried
+    * append can duplicate — rebuild or dedup-verify on failure): the
+    * STREAMING embedding path with exactly-once replay is
+    * [[graft.etl.DedupIngest.admitBatchEmbedding]]'s band index +
+    * [[graft.etl.IndexIngest]], which carry per-batch partitions.
+    */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                       batch: DataFrame): Unit = {
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"appendToLshIndex: no ${table}_meta — the index is missing or " +
+        "partially written; rebuild with buildLshIndexAdaptive")
+    val m = spark.table(s"${table}_meta").collect().head
+    val planes = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
+      m.getAs[Long]("seed"))
+    batch.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0)
+      .withColumn("bucket", signature(col("c_emb"), planes))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Top-k against a [[buildLshIndexAdaptive]] table, sketch params
     * read from `<table>_meta` — fails loudly if the meta table is
     * absent (an index built by the fixed-param [[buildLshIndex]]

@@ -331,6 +331,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(res(dirOne) === res(dirTwo))
   }
 
+  test("LSH append: frozen-params signing, appended rows probe-identical to a full build") {
+    Similarity.buildLshIndexAdaptive(evenBase, "graft_lsh_app_half", dim = 64)
+    Similarity.appendToLshIndex(spark, "graft_lsh_app_half", oddBatch)
+    Similarity.buildLshIndexAdaptive(corpus, "graft_lsh_app_full", dim = 64)
+    val q = corpus.filter(col("vec_id") < 10)
+    def res(t: String) = Similarity.lshIndexedTopKAuto(spark, t, q, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // deterministic signatures ⇒ build-half+append ≡ full build,
+    // row for row (same params: both corpora sit in the 8-bit regime)
+    assert(res("graft_lsh_app_half") === res("graft_lsh_app_full"))
+    // bucket pruning still engages over the appended files
+    val plan = Similarity.lshIndexedTopKAuto(spark, "graft_lsh_app_half", q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"no bucket pruning after append:\n$plan")
+  }
+
   test("compactIndex: segments fold to one file per cell; results and model untouched") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-compact"
     Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
