@@ -2752,6 +2752,40 @@ object SparkEntry {
           .select(col("doc_id"), col("drnk").as("pos"))
       }),
 
+    QueryDef("ext_token_budget",
+      // token-budget sampling — the op behind "take a 10k-token
+      // subset": documents admitted in deterministic epoch order
+      // (the ext_epoch_shuffle hash, fresh salt) while the EXCLUSIVE
+      // running token total is under budget, so the admitted set
+      // always crosses the budget by at most one document and the
+      // same corpus + salt always yields the same subset, no sampling
+      // state anywhere. The global running sum is the DISTRIBUTED
+      // two-level form (ops.Ranks.totalOrderRunningSum — a bare
+      // sum().over(Window.orderBy) is ONE task at any cluster size,
+      // the same anti-pattern the rank suite kills; gate scales keep
+      // the plain-Window plan the oracle pins). The budget is
+      // ABSOLUTE (token budgets are), so the output size is ~constant
+      // across sf — the work is the full-corpus cumsum, not the
+      // output.
+      Some("""WITH w AS (SELECT doc_id,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |                  (doc_id * 2654435761 + 12345) % 1000000007 AS k
+             |           FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |             COALESCE(SUM(toks) OVER (ORDER BY k, doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+             |      FROM w)
+             |SELECT doc_id, toks, CAST(pre + toks AS BIGINT) AS cum_tokens
+             |FROM c WHERE pre < 10000""".stripMargin),
+      (s, dir) => {
+        val weighted = Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          ((col("doc_id") * 2654435761L + 12345L) % 1000000007L).as("_k"))
+        ops.Ranks.totalOrderRunningSum(weighted, "_k", "doc_id", "toks")
+          .filter(col("run_sum") - col("toks") < 10000L)
+          .select(col("doc_id"), col("toks"), col("run_sum").as("cum_tokens"))
+      }),
+
     QueryDef("ext_decontaminate",
       // benchmark decontamination: drop every corpus doc that shares a
       // 5-token shingle with the held-out set (source = 'src0' stands

@@ -150,4 +150,73 @@ object Ranks {
       .withColumn("cdist", col("_rn").cast("double") / col("_n"))
       .drop("_bid", "_lrn", "_off", "_n", "_rn")
   }
+
+  /** Distributed GLOBAL running sum under a total order — the same
+    * two-level construction as [[totalOrderRankSuite]] with COUNT
+    * generalized to SUM(weight): a plain `sum().over(Window.orderBy)`
+    * with no partition-by is ONE task at any cluster size, while this
+    * form sums locally per contiguous order-range bucket and adds the
+    * tiny per-bucket prefix totals back by broadcast. The workhorse
+    * behind token-budget sampling ("take the first N tokens of the
+    * corpus in epoch order"): admit while the EXCLUSIVE prefix is
+    * under budget.
+    *
+    * Adds `run_sum` (long, inclusive cumulative sum of `weightCol` in
+    * ascending (orderCol, tieCol) order). Weights are cast to long —
+    * integral weights (token/byte counts) keep the arithmetic exact
+    * and cross-engine comparable. Same preconditions as the rank
+    * suite (null/NaN order values refused loudly; null weights
+    * refused — sum() would silently skip them and every later prefix
+    * would be wrong), same size switch (plain Window below
+    * [[smallRowThreshold]] rows, two-level above, `buckets > 0`
+    * forces two-level for spec pinning).
+    */
+  def totalOrderRunningSum(df: DataFrame, orderCol: String, tieCol: String,
+                           weightCol: String, buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions * 4
+    val w = col(weightCol).cast("long")
+    val r = df.agg(min(col(orderCol).cast("double")).as("lo"),
+        max(col(orderCol).cast("double")).as("hi"),
+        sum(when(col(orderCol).isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(isnan(col(orderCol).cast("double")), 1L).otherwise(0L)).as("nans"),
+        sum(when(w.isNull, 1L).otherwise(0L)).as("wnulls"),
+        count(lit(1)).as("n"))
+      .head()
+    if (r.getLong(5) == 0L)
+      return df.withColumn("run_sum", lit(null).cast("long"))
+    require(r.getLong(2) == 0L,
+      s"totalOrderRunningSum: $orderCol has null values — the order is " +
+        "undefined; filter or coalesce first")
+    require(r.getLong(3) == 0L,
+      s"totalOrderRunningSum: $orderCol has NaN values — NaN poisons the " +
+        "bucket range; filter or coalesce first")
+    require(r.getLong(4) == 0L,
+      s"totalOrderRunningSum: $weightCol has null values — sum() would " +
+        "silently skip them and every later prefix would be wrong")
+    val ord = Seq(col(orderCol), col(tieCol))
+    if (buckets == 0 && r.getLong(5) <= smallRowThreshold)
+      return df.withColumn("run_sum",
+        sum(w).over(Window.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val bid =
+      (if (hi == lo) lit(1)
+       else width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi), lit(nb)))
+        .as("_bid")
+    val bucketed = df.withColumn("_bid", bid)
+    val wLocal = Window.partitionBy(col("_bid")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("_lrun", sum(w).over(wLocal))
+    val wPrefix = Window.orderBy(col("_bid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("_bid"))
+      .agg(sum(w).as("_bw"))
+      .select(col("_bid"),
+        coalesce(sum(col("_bw")).over(wPrefix), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_bid"))
+      .withColumn("run_sum", col("_off") + col("_lrun"))
+      .drop("_bid", "_lrun", "_off")
+  }
 }

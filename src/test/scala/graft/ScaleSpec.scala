@@ -127,6 +127,41 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       "empty-partition two-level rank diverged from the global Window")
   }
 
+  test("distributed running sum == single-Window cumulative sum; guards loud") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(43)
+    // duplicate order values on purpose: the total order comes from
+    // the (v, id) pair, and a boundary-straddling duplicate must not
+    // double-count or skip weight
+    val rows = (0 until 3000).map(i =>
+      (rnd.nextInt(100).toDouble, i.toLong, (rnd.nextInt(50) + 1).toLong))
+    val df = rows.toDF("v", "id", "w").repartition(8)
+    val wg = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"), sum(col("w")).over(wg).as("run_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // forced two-level (buckets > 0) — the sf25 plan on small data
+    val got = graft.ops.Ranks.totalOrderRunningSum(df, "v", "id", "w",
+        buckets = 16)
+      .select("id", "run_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "two-level running sum diverged from the Window form")
+    // the size switch resolves to the plain Window below threshold
+    val switched = graft.ops.Ranks.totalOrderRunningSum(df, "v", "id", "w")
+      .select("id", "run_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(switched == want, "size-switched running sum diverged")
+    // null weights are refused loudly — sum() would silently skip
+    // them and every later prefix would be wrong
+    val withNullW = df.withColumn("w",
+      when(col("id") === 7L, lit(null).cast("long")).otherwise(col("w")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Ranks.totalOrderRunningSum(withNullW, "v", "id", "w",
+        buckets = 16)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("bucketed-by-key join plans with no shuffle exchange") {
     // in-memory catalog + persistent warehouse dir: clear leftovers
     // from previous JVMs before re-creating the managed tables
