@@ -2781,7 +2781,7 @@ object SparkEntry {
         val weighted = Tables.documents(s, dir).select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("toks"),
           ((col("doc_id") * 2654435761L + 12345L) % 1000000007L).as("_k"))
-        ops.Ranks.totalOrderRunningSum(weighted, "_k", "doc_id", "toks")
+        ops.Ranks.totalOrderRunningSum(weighted, Seq.empty, "_k", "doc_id", "toks")
           .filter(col("run_sum") - col("toks") < 10000L)
           .select(col("doc_id"), col("toks"), col("run_sum").as("cum_tokens"))
       }),

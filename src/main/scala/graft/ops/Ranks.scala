@@ -162,20 +162,25 @@ object Ranks {
     * under budget.
     *
     * Adds `run_sum` (long, inclusive cumulative sum of `weightCol` in
-    * ascending (orderCol, tieCol) order). Weights are cast to long —
-    * integral weights (token/byte counts) keep the arithmetic exact
-    * and cross-engine comparable. Same preconditions as the rank
-    * suite (null/NaN order values refused loudly; null weights
-    * refused — sum() would silently skip them and every later prefix
-    * would be wrong), same size switch (plain Window below
-    * [[smallRowThreshold]] rows, two-level above, `buckets > 0`
-    * forces two-level for spec pinning).
+    * ascending (orderCol, tieCol) order, per `partCols` group — empty
+    * partCols = one global order, the token-budget shape; a
+    * low-cardinality partCols (per-source packing) hits the same
+    * one-task-per-group wall and gets groups × buckets parallelism
+    * here). Weights are cast to long — integral weights (token/byte
+    * counts) keep the arithmetic exact and cross-engine comparable.
+    * Same preconditions as the rank suite (null/NaN order values
+    * refused loudly; null weights refused — sum() would silently skip
+    * them and every later prefix would be wrong), same size switch
+    * (plain Window below [[smallRowThreshold]] rows, two-level above,
+    * `buckets > 0` forces two-level for spec pinning).
     */
-  def totalOrderRunningSum(df: DataFrame, orderCol: String, tieCol: String,
+  def totalOrderRunningSum(df: DataFrame, partCols: Seq[String],
+                           orderCol: String, tieCol: String,
                            weightCol: String, buckets: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val nb = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions * 4
+    val part = partCols.map(col)
     val w = col(weightCol).cast("long")
     val r = df.agg(min(col(orderCol).cast("double")).as("lo"),
         max(col(orderCol).cast("double")).as("hi"),
@@ -198,24 +203,28 @@ object Ranks {
     val ord = Seq(col(orderCol), col(tieCol))
     if (buckets == 0 && r.getLong(5) <= smallRowThreshold)
       return df.withColumn("run_sum",
-        sum(w).over(Window.orderBy(ord: _*)
+        sum(w).over(Window.partitionBy(part: _*).orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // bucket boundaries from the GLOBAL order-value range (one range
+    // agg, not one per group): per-group ranges would be tighter but
+    // cost a groups-sized pre-pass; balance only affects speed, never
+    // correctness (see the rank suite's boundary note)
     val bid =
       (if (hi == lo) lit(1)
        else width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi), lit(nb)))
         .as("_bid")
     val bucketed = df.withColumn("_bid", bid)
-    val wLocal = Window.partitionBy(col("_bid")).orderBy(ord: _*)
+    val wLocal = Window.partitionBy((part :+ col("_bid")): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed.withColumn("_lrun", sum(w).over(wLocal))
-    val wPrefix = Window.orderBy(col("_bid"))
+    val wPrefix = Window.partitionBy(part: _*).orderBy(col("_bid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("_bid"))
+    val offsets = bucketed.groupBy((part :+ col("_bid")): _*)
       .agg(sum(w).as("_bw"))
-      .select(col("_bid"),
-        coalesce(sum(col("_bw")).over(wPrefix), lit(0L)).as("_off"))
-    local.join(broadcast(offsets), Seq("_bid"))
+      .select((part :+ col("_bid") :+
+        coalesce(sum(col("_bw")).over(wPrefix), lit(0L)).as("_off")): _*)
+    local.join(broadcast(offsets), partCols :+ "_bid")
       .withColumn("run_sum", col("_off") + col("_lrun"))
       .drop("_bid", "_lrun", "_off")
   }

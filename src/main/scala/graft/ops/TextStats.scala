@@ -154,16 +154,20 @@ object TextStats {
     * chunk boundaries are pure integer arithmetic, reproducible on
     * any cluster layout.
     */
-  def packChunks(docs: DataFrame, budget: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  def packChunks(docs: DataFrame, budget: Int): DataFrame =
+    // cumulative offsets via the DISTRIBUTED grouped running sum: a
+    // plain Window partitioned on `source` runs one task per source
+    // (~5 at any scale — the rank-suite wall, hidden in an ext op);
+    // the two-level form engages above 2M rows, the gate scales keep
+    // the plain-Window plan the oracle pins (Ranks size switch).
+    // offset = exclusive prefix = inclusive run_sum − own tokens.
+    Ranks.totalOrderRunningSum(
+        docs.select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("source"), "doc_id", "doc_id", "n_tokens")
+      .withColumn("offset", col("run_sum") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
         expr(s"offset div $budget").as("chunk_id"))
-  }
 
   /** Per-document sliding-window chunking with overlap (the RAG /
     * long-context prep step, vs [[packChunks]]'s cross-document

@@ -141,23 +141,37 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val want = df.select(col("id"), sum(col("w")).over(wg).as("run_sum"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // forced two-level (buckets > 0) — the sf25 plan on small data
-    val got = graft.ops.Ranks.totalOrderRunningSum(df, "v", "id", "w",
-        buckets = 16)
+    val got = graft.ops.Ranks.totalOrderRunningSum(df, Seq.empty, "v", "id",
+        "w", buckets = 16)
       .select("id", "run_sum").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, "two-level running sum diverged from the Window form")
     // the size switch resolves to the plain Window below threshold
-    val switched = graft.ops.Ranks.totalOrderRunningSum(df, "v", "id", "w")
+    val switched = graft.ops.Ranks.totalOrderRunningSum(df, Seq.empty, "v",
+        "id", "w")
       .select("id", "run_sum").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(switched == want, "size-switched running sum diverged")
+    // GROUPED form (the packChunks shape: low-cardinality partition-by
+    // is one task per group under a plain Window) — forced two-level
+    // must equal the per-group Window
+    val grouped = df.withColumn("g", (col("id") % 3).cast("int"))
+    val wgrp = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantGrp = grouped.select(col("id"), sum(col("w")).over(wgrp).as("run_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotGrp = graft.ops.Ranks.totalOrderRunningSum(grouped, Seq("g"), "v",
+        "id", "w", buckets = 16)
+      .select("id", "run_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotGrp == wantGrp, "grouped two-level running sum diverged")
     // null weights are refused loudly — sum() would silently skip
     // them and every later prefix would be wrong
     val withNullW = df.withColumn("w",
       when(col("id") === 7L, lit(null).cast("long")).otherwise(col("w")))
     val e = intercept[IllegalArgumentException] {
-      graft.ops.Ranks.totalOrderRunningSum(withNullW, "v", "id", "w",
-        buckets = 16)
+      graft.ops.Ranks.totalOrderRunningSum(withNullW, Seq.empty, "v", "id",
+        "w", buckets = 16)
     }
     assert(e.getMessage.contains("null"))
   }
