@@ -2662,19 +2662,25 @@ object SparkEntry {
       // per-domain document cap (anti-bias step in corpus assembly):
       // keep at most 15 docs per source, chosen by hashed-id order so
       // the survivors are a deterministic pseudo-random subset rather
-      // than the first rows in storage order. One window pass; at
-      // scale the heavy-hitter domains are exactly the partitions AQE
-      // skew-handling splits.
+      // than the first rows in storage order. The cap runs as the
+      // BOUNDED-HEAP aggregate (TopK.topKPerGroup, r8 — was a plain
+      // Window partitioned on ~5 sources, i.e. one task per source
+      // fully sorting its group at any cluster size): map-side
+      // partial aggregation reduces every partition to ≤ 15 rows per
+      // source BEFORE the shuffle, nothing ever sorts the corpus, and
+      // the exchange carries 15·parts·sources rows. Heap order
+      // (value DESC, id ASC) realizes the window's (hash ASC, doc_id
+      // ASC) via the negated hash — same 15 rows per source, pinned
+      // by the unchanged oracle.
       Some("""SELECT doc_id, source FROM (
              |  SELECT doc_id, source,
              |         row_number() OVER (PARTITION BY source
              |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
              |  FROM documents) WHERE rn <= 15""".stripMargin),
-      (s, dir) => Tables.documents(s, dir)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy((col("doc_id") * 2654435761L) % 1000000007L, col("doc_id"))))
-        .filter(col("rn") <= 15)
+      (s, dir) => ops.TopK.topKPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            (-((col("doc_id") * 2654435761L) % 1000000007L)).as("_negk")),
+          "source", "_negk", "doc_id", k = 15)
         .select("doc_id", "source")),
 
     QueryDef("ext_stratified_sample",

@@ -228,4 +228,5 @@ object Ranks {
       .withColumn("run_sum", col("_off") + col("_lrun"))
       .drop("_bid", "_lrun", "_off")
   }
+
 }
