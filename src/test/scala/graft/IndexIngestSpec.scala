@@ -125,6 +125,54 @@ class IndexIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Double]("cosine") === 1.0)
   }
 
+  test("lifecycle fuzz: random append/compact/refit interleavings stay exact") {
+    // model-based check: the index is mutated by a seeded-random
+    // op sequence while a plain Map plays the oracle; after EVERY
+    // mutation, exhaustive-regime search (probe all cells, rerank >
+    // corpus) must equal brute force over the model — any divergence
+    // pinpoints the op that corrupted the index
+    val rnd = new scala.util.Random(59)
+    val tmp = Files.createTempDirectory("idx-fuzz").toString
+    val dir = s"$tmp/idx"
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { _ => nextId += 1; (nextId, vec(nextId.toInt)) }
+    var model = fresh(80)
+    Similarity.buildIvfPqIndex(model.toDF("vec_id", "embedding"), dir,
+      nlist = 8, m = 8, ksub = 16)
+    var nlist = 8
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (step <- 0 until 6) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          val batch = fresh(20 + rnd.nextInt(20))
+          Similarity.appendToIvfPqIndex(spark, dir,
+            batch.toDF("vec_id", "embedding"))
+          model ++= batch
+          ops += s"append(${batch.size})"
+        case 1 =>
+          Similarity.compactIndex(spark, dir)
+          ops += "compact"
+        case 2 =>
+          nlist = Seq(4, 8, 16)(rnd.nextInt(3))
+          Similarity.refitIvfPqIndex(spark, dir, nlist = nlist, m = 8,
+            ksub = 16)
+          ops += s"refit($nlist)"
+      }
+      val q = model.take(5).toDF("vec_id", "embedding")
+      val got = Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+          nprobe = nlist, rerank = model.size + 50)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val exact = Similarity.bruteForceTopK(q,
+          model.toDF("vec_id", "embedding"), k = 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got === exact,
+        s"diverged after step $step: ${ops.mkString(" -> ")}")
+      assert(spark.read.parquet(dir).count() === model.size.toLong,
+        s"row count diverged after step $step: ${ops.mkString(" -> ")}")
+    }
+  }
+
   test("fresh checkpoint's batch ids land on their own segments, never an old run's") {
     val base = emb(0 until 60)
     val tmp = Files.createTempDirectory("idx-ingest-2cp").toString
