@@ -3604,6 +3604,19 @@ object SparkEntry {
           e.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000))
         s.range(1).toDF("ok")
       }),
+      // the two-level GLOBAL running sum at anger scale: the catalog
+      // gates run it on documents (capped 15k rows — plain-Window
+      // regime by the size switch), so this probe drives the
+      // distributed form over lineitem's full row count (150M at
+      // sf25, unique (l_orderkey, l_linenumber) total order) where a
+      // bare sum().over(Window.orderBy) would be ONE task sorting
+      // 150M rows. Construction correctness is spec-pinned
+      // (ScaleSpec, forced buckets); this records its cost curve.
+      "bench_running_sum_fq" -> ((s: SparkSession, dir: String) =>
+        ops.Ranks.totalOrderRunningSum(
+          Tables.lineitem(s, dir).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity")),
+          Seq.empty, "l_orderkey", "l_linenumber", "l_quantity")),
       // production shape of agg_approx_distinct: the catalog gate
       // carries an exact count_distinct BASELINE inside its error
       // contract (a Catalyst Expand + full distinct shuffle that
