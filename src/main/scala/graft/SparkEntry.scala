@@ -2195,6 +2195,43 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_ivfpq_delta",
+      // the FRESHNESS composition (Similarity.ivfPqIndexedTopKWithDelta
+      // — what a serving layer queries between ingest batches): the
+      // persisted index holds the even half, the odd half is a
+      // NOT-YET-APPENDED delta searched by exact brute force and
+      // merged into the per-query top-k. Same recall contract as the
+      // family, measured per-query min hits 9/8/6 at sf0.01/0.1/1
+      // (tools.AppendProbe delta mode) — ABOVE the appended twin (the
+      // delta side is exact where the index side approximates, so
+      // half the corpus contributes perfect hits). Deltas are
+      // batch-sized by
+      // definition; if one outgrows brute force it should have been
+      // appended (the documented contract).
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = "target/graft-indexes/ivfpq_half_" + idxSuffix(dir)
+        buildIndexOnce(s"ivfpq_half|$dir") {
+          Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+            idxDir, nlist = 16, m = 8, ksub = 64, seed = 42L)
+        }
+        val merged = Similarity.ivfPqIndexedTopKWithDelta(s, idxDir,
+            emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10,
+            nprobe = 8, rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(merged, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_lsh_indexed",
       // The PERSISTED-index path — the 100 TB similarity story
       // (signatures precomputed once, corpus stored bucketed on the

@@ -61,6 +61,28 @@ object AppendProbe {
         f"mean=${stats.getDouble(2)}%.2f queries=${stats.getLong(3)}")
     }
 
+    if (mode == "delta") {
+      // ext_sim_ivfpq_delta's configuration: index on evens, odds as
+      // an unappended delta through ivfPqIndexedTopKWithDelta
+      val dir = s"$tmp/deltahalf"
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), dir,
+        nlist = 16, m = 8, ksub = 64, seed = 42L)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val merged = Similarity.ivfPqIndexedTopKWithDelta(spark, dir,
+          emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10,
+          nprobe = nprobe, rerank = rr)
+        .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+      val hits = Similarity.bruteForceTopK(qs, emb, k = 10)
+        .select("q_id", "c_id")
+        .join(merged, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+      val stats = hits.agg(min(col("hits")).as("min"),
+          avg(col("hits")).as("mean"), count(lit(1)).as("queries")).head()
+      println(f"[delta] min=${stats.getLong(0)} mean=${stats.getDouble(1)}%.2f " +
+        f"queries=${stats.getLong(2)}")
+    }
+
     if (mode == "cost" || mode == "both") {
       val dir = s"$tmp/full"
       val nlist = Dedup.semParams(n)
