@@ -526,7 +526,7 @@ object DedupIngest {
 
   /** Run tag = checkpoint identity (see [[startNearDup]]'s doc for the
     * stability/collision rationale). */
-  private def runTagOf(checkpointDir: String): String =
+  private[etl] def runTagOf(checkpointDir: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(checkpointDir.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString

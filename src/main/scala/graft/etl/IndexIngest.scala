@@ -56,30 +56,6 @@ object IndexIngest {
       }
       .start()
 
-  /** The composed embedding pipeline, end to end in ONE stream:
-    * vectors arrive → near-duplicates are rejected against the
-    * persisted corpus ([[DedupIngest.admitBatchEmbedding]]: banded
-    * sign-LSH admission, sequential semantics, O(batch) per trigger)
-    * → the batch's ADMITTED survivors are appended to the serving
-    * index under the same run-scoped segment. Exactly-once END TO
-    * END with no coordination: both stages key every write by
-    * `runTag-batchId` (admission: dynamic overwrite of its
-    * `_ingest_batch` partitions; index: dynamic overwrite of its
-    * seg), and the index stage re-reads the admitted rows FROM the
-    * corpus partition the admission stage just committed — a
-    * partition-pruned O(batch) read — so a crash anywhere in the
-    * trigger replays both stages into their own partitions. Between
-    * a batch landing in the corpus and its index append committing,
-    * queries that need the newest vectors compose the delta form
-    * ([[graft.ops.Similarity.ivfPqIndexedTopKWithDelta]]) over that
-    * same corpus partition.
-    *
-    * Bootstrap BOTH stores from one seed with
-    * [[bootstrapDedupedIvfPq]] before starting the stream — an index
-    * seeded separately from the dedup corpus would let near-dups of
-    * indexed vectors through. `idCol`/`embCol` name the stream's
-    * vector columns and are stored under the index's standard names.
-    */
   /** Bootstrap the composed pipeline's two stores COHERENTLY: the
     * seed set is admitted into the dedup corpus (in-seed near-dups
     * rejected with the operator's own sequential semantics) under the
@@ -146,6 +122,30 @@ object IndexIngest {
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
   }
 
+  /** The composed embedding pipeline, end to end in ONE stream:
+    * vectors arrive → near-duplicates are rejected against the
+    * persisted corpus ([[DedupIngest.admitBatchEmbedding]]: banded
+    * sign-LSH admission, sequential semantics, O(batch) per trigger)
+    * → the batch's ADMITTED survivors are appended to the serving
+    * index under the same run-scoped segment. Exactly-once END TO
+    * END with no coordination: both stages key every write by
+    * `runTag-batchId` (admission: dynamic overwrite of its
+    * `_ingest_batch` partitions; index: dynamic overwrite of its
+    * seg), and the index stage re-reads the admitted rows FROM the
+    * corpus partition the admission stage just committed — a
+    * partition-pruned O(batch) read — so a crash anywhere in the
+    * trigger replays both stages into their own partitions. Between
+    * a batch landing in the corpus and its index append committing,
+    * queries that need the newest vectors compose the delta form
+    * ([[graft.ops.Similarity.ivfPqIndexedTopKWithDelta]]) over that
+    * same corpus partition.
+    *
+    * Bootstrap BOTH stores from one seed with
+    * [[bootstrapDedupedIvfPq]] before starting the stream — an index
+    * seeded separately from the dedup corpus would let near-dups of
+    * indexed vectors through. `idCol`/`embCol` name the stream's
+    * vector columns and are stored under the index's standard names.
+    */
   def startDedupedIvfPqAppend(stream: DataFrame, corpusDir: String,
                               indexDir: String, checkpointDir: String,
                               idCol: String = "vec_id",
@@ -162,15 +162,18 @@ object IndexIngest {
       }
       .start()
 
-  /** Run tag = checkpoint identity, the [[DedupIngest]] rule: stable
-    * across resume of the same checkpoint (replays land on their own
-    * segments), distinct across fresh checkpoints (a new run's batch
-    * 0 never overwrites an old run's batch 0 — old segments stay as
-    * ordinary corpus content, which is correct: the rows ARE in the
-    * index).
+  /** Run tag = checkpoint identity — [[DedupIngest.runTagOf]], the
+    * ONE shared derivation: stable across resume of the same
+    * checkpoint (replays land on their own segments), distinct across
+    * fresh checkpoints (a new run's batch 0 never overwrites an old
+    * run's batch 0 — old segments stay as ordinary corpus content,
+    * which is correct: the rows ARE in the index). Sharing matters
+    * beyond taste: [[dedupedAppendBatch]] passes this tag into the
+    * admission stage as its `runTag`, so two implementations that
+    * ever diverged would key a resumed composed pipeline's admission
+    * partitions and index segments under DIFFERENT tags than prior
+    * runs — silently breaking replay-overwrites-itself.
     */
   private def runTagOf(checkpointDir: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    DedupIngest.runTagOf(checkpointDir)
 }

@@ -227,6 +227,7 @@ object Similarity {
     centroids.zipWithIndex.map { case (arr, i) => (i, arr.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
+    stampFreshEpoch(spark, dir, Seq("_centroids"))
   }
 
   /** Top-k against a [[buildIvfIndex]] directory. Centroids are read
@@ -239,6 +240,7 @@ object Similarity {
     */
   def ivfIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queries: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    requireEpochCoherent(spark, dir, Seq("_centroids"))
     val centroids = readIndexCentroids(spark, dir)
     val q = ivfProbeSide(queries, centroids, nprobe)
     // distinct probed cells: ≤ nlist ints, safe to collect regardless
@@ -484,6 +486,7 @@ object Similarity {
       yield (j, r, cbs(j)(r).toSeq)).toDF("sub", "code", "vals")
       .coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_codebooks")
+    stampFreshEpoch(spark, dir, Seq("_centroids", "_codebooks"))
   }
 
   /** Append a batch of new vectors to a [[buildIvfIndex]] directory
@@ -520,8 +523,10 @@ object Similarity {
     *    the same shape [[graft.etl.DedupIngest]] pins.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       batch: DataFrame, seg: Option[String] = None): Unit =
+                       batch: DataFrame, seg: Option[String] = None): Unit = {
+    requireEpochCoherent(spark, dir, Seq("_centroids"))
     writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir)), dir, seg)
+  }
 
   /** [[appendToIvfIndex]] for a [[buildIvfPqIndex]] directory: the
     * batch is assigned with the frozen centroids AND encoded with the
@@ -534,6 +539,7 @@ object Similarity {
                          batch: DataFrame, seg: Option[String] = None): Unit = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqEncodeExpr
+    requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
     val cbs = readIndexCodebooks(spark, dir)
     writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir))
       .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs))),
@@ -615,7 +621,22 @@ object Similarity {
   /** Shared fail-safe in-place rewrite: materialize the new tree at
     * `<dir>.compacting` (model tables copied forward only if the
     * rewrite didn't produce its own), then `dir` → `<dir>.old`,
-    * tmp → `dir`, delete `<dir>.old`. Loud on every filesystem step.
+    * tmp → `dir`, delete `<dir>.old`, per tree. Loud on every
+    * filesystem step.
+    *
+    * The data tree and the model tables are SEPARATE directories, so
+    * the swap cannot be one atomic rename — a crash between the
+    * renames can leave new data beside an old model (after a refit
+    * that combination returns WRONG NEIGHBORS: probes assign queries
+    * with stale centroids and ADC decodes new codes with old
+    * codebooks, no error anywhere). The model-EPOCH guard closes that
+    * hole: every tree carries a `_graft_epoch` marker (underscore
+    * prefix — parquet readers ignore it), builds/refits stamp one
+    * fresh UUID across all trees, compaction carries the old one
+    * forward, and every read/append path requires all present trees
+    * to agree ([[requireEpochCoherent]]) — a torn swap fails loudly
+    * on first use instead of serving silently wrong results, with
+    * `.old` trees on disk for recovery.
     */
   private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
                              dir: String)
@@ -630,13 +651,21 @@ object Similarity {
       .foreach(t => fs.delete(p(t), true))
     write(spark.read.parquet(base), tmpBase)
     // carry the (unchanged) model tables with the data tree so the
-    // swap is whole-index: compaction copies them forward, a refit
-    // already wrote fresh ones next to tmp
+    // swap is whole-index: compaction copies them forward (epoch
+    // markers travel inside the copied dirs), a refit already wrote
+    // fresh ones next to tmp
     Seq("_centroids", "_codebooks").foreach { suf =>
       if (!fs.exists(p(tmpBase + suf)) && fs.exists(p(base + suf)))
         org.apache.hadoop.fs.FileUtil.copy(fs, p(base + suf), fs,
           p(tmpBase + suf), false, hconf)
     }
+    // the rewritten DATA tree needs its epoch restored/written:
+    // Spark's write produced it without a marker. Compaction keeps
+    // the old epoch (model unchanged); a refit's write stamped a
+    // fresh epoch on all THREE tmp trees already (buildIvfPqIndex),
+    // so only stamp when absent.
+    if (readEpoch(fs, tmpBase).isEmpty)
+      readEpoch(fs, base).foreach(e => stampEpoch(fs, tmpBase, e))
     def swap(suf: String): Unit = if (fs.exists(p(tmpBase + suf))) {
       val old = p(base + suf + ".old")
       fs.delete(old, true)
@@ -648,6 +677,68 @@ object Similarity {
       fs.delete(old, true)
     }
     Seq("", "_centroids", "_codebooks").foreach(swap)
+  }
+
+  /** Model-epoch marker plumbing (see [[rewriteInPlace]]'s doc for
+    * why it exists). The marker is a tiny `_graft_epoch` text file at
+    * the tree root — underscore-prefixed, so every parquet
+    * reader/partition-discovery path ignores it, and appends (which
+    * only touch `seg=` partitions) leave it in place.
+    */
+  private def epochPath(tree: String) =
+    new org.apache.hadoop.fs.Path(tree.stripSuffix("/") + "/_graft_epoch")
+
+  private def stampEpoch(fs: org.apache.hadoop.fs.FileSystem, tree: String,
+                         epoch: String): Unit = {
+    val out = fs.create(epochPath(tree), true)
+    try out.write(epoch.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                        tree: String): Option[String] = {
+    val p = epochPath(tree)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Stamp one fresh epoch across an index's trees (build/refit). */
+  private def stampFreshEpoch(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, suffixes: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = java.util.UUID.randomUUID.toString
+    ("" +: suffixes).foreach(suf =>
+      stampEpoch(fs, dir.stripSuffix("/") + suf, epoch))
+  }
+
+  /** Refuse to read or append through a TORN index: all present
+    * epoch markers across the data tree and model tables must agree.
+    * Markers may be absent entirely (an index assembled by hand) —
+    * then there is nothing to compare and behavior is unchanged; a
+    * MIXED state (some trees one epoch, some another or missing where
+    * siblings have one) is exactly the crash-mid-swap signature and
+    * fails loudly with the recovery pointer.
+    */
+  private def requireEpochCoherent(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, suffixes: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs = ("" +: suffixes).map(suf =>
+      suf -> readEpoch(fs, dir.stripSuffix("/") + suf))
+    val present = epochs.collect { case (s, Some(e)) => (s, e) }
+    require(present.isEmpty || present.size == epochs.size &&
+        present.map(_._2).distinct.size == 1,
+      s"index at $dir is TORN — model-epoch markers disagree " +
+        s"(${epochs.map { case (s, e) => s"'$s'=${e.getOrElse("<absent>")}" }
+          .mkString(", ")}): a compaction/refit swap did not complete. " +
+        "Recover from the <tree>.old directories or rebuild the index.")
   }
 
   /** Top-k against a [[buildIvfPqIndex]] directory. Centroids and
@@ -735,6 +826,7 @@ object Similarity {
                                     nprobe: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqAdcExpr
+    requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
     val centroids = readIndexCentroids(spark, dir)
     val cbs = readIndexCodebooks(spark, dir)
     val probes = ivfProbeSide(queries, centroids, nprobe)

@@ -18,7 +18,13 @@ import graft.ops.{Dedup, Similarity}
   *     (nlist = semParams(n)) against appending a bounded 5000-row
   *     batch to it, so SCALE.md can record build-vs-append directly.
   *
-  * Usage: runMain graft.tools.AppendProbe <sfDir> [recall|cost|both]
+  *  3. DELTA — the `ext_sim_ivfpq_delta` configuration (index on the
+  *     even half, odd half as a NOT-appended delta through
+  *     [[graft.ops.Similarity.ivfPqIndexedTopKWithDelta]]) with the
+  *     same hit statistics — the numbers that entry's Scaladoc cites.
+  *
+  * Usage: runMain graft.tools.AppendProbe <sfDir> [recall|cost|delta|both] [nprobe]
+  * (`both` = recall + cost; `delta` is its own mode.)
   */
 object AppendProbe {
   def main(args: Array[String]): Unit = {

@@ -421,6 +421,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(overlap.toSet === exact)
   }
 
+  test("torn-swap guard: mismatched model epochs refuse loudly instead of serving") {
+    // simulate a crash between rewriteInPlace's renames: the data tree
+    // carries one epoch, the model tables another — new-data-beside-
+    // old-model would return wrong neighbors with no error, so every
+    // read/append path must refuse it
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-torn"
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    val q = corpus.filter(col("vec_id") === 0)
+    // coherent index serves fine
+    assert(Similarity.ivfPqIndexedTopK(spark, dir, q, k = 3,
+      nprobe = 3, rerank = 50).count() === 3L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir + "/_graft_epoch")
+    val out = fs.create(marker, true)
+    out.write("torn-other-epoch".getBytes("UTF-8")); out.close()
+    val eq = intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexedTopK(spark, dir, q, k = 3, nprobe = 3,
+        rerank = 50).count()
+    }
+    assert(eq.getMessage.contains("TORN"))
+    val ea = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, dir, oddBatch.limit(5))
+    }
+    assert(ea.getMessage.contains("TORN"))
+    // a rebuild restores coherence
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    assert(Similarity.ivfPqIndexedTopK(spark, dir, q, k = 3,
+      nprobe = 3, rerank = 50).count() === 3L)
+  }
+
   test("IVF append: exhaustive-regime exactness and pruned probe after append") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app"
     Similarity.buildIvfIndex(evenBase, dir, nlist = 8)
