@@ -125,6 +125,51 @@ class IndexIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Double]("cosine") === 1.0)
   }
 
+  test("deduped pipeline soak: 12 batches with repeated crash-replays stay exactly-once") {
+    // every batch is first run as a "crashed" attempt (both stages
+    // commit, the checkpoint never hears of it) and then replayed by
+    // the stream under the same id — the hardest schedule the
+    // exactly-once construction must absorb. Batches mix new ids,
+    // near-dups of bootstrap/corpus ids, and in-batch dups; the model
+    // is the sequential-greedy admission semantics.
+    val rnd = new scala.util.Random(61)
+    val tmp = Files.createTempDirectory("idx-pipe-soak").toString
+    val (corpus, idx, cp) = (s"$tmp/corpus", s"$tmp/idx", s"$tmp/cp")
+    IndexIngest.bootstrapDedupedIvfPq(
+      (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      corpus, idx, nlist = 8, m = 8, ksub = 16)
+    var admitted = (0 until 30).map(_.toLong).toSet
+    var nextId = 1000L
+    val stream = MemoryStream[(Long, Array[Float])]
+    for (b <- 0 until 12) {
+      // new vectors (admitted), plus dups of already-admitted seeds
+      // (rejected: exact copies, cosine 1 ≥ any threshold), plus one
+      // in-batch dup pair (second id rejected)
+      val newSeeds = (0 until 6).map(_ => { nextId += 1; nextId })
+      val dupOf = admitted.toSeq.sorted.apply(rnd.nextInt(admitted.size))
+      val pairSeed = { nextId += 1; nextId }
+      val batch =
+        newSeeds.map(id => (id, vec(id.toInt))) ++
+        Seq(({ nextId += 1; nextId }, vec(dupOf.toInt))) ++
+        Seq((pairSeed, vec(pairSeed.toInt)),
+          ({ nextId += 1; nextId }, vec(pairSeed.toInt)))
+      // crashed attempt, then the stream replays the same rows/id
+      IndexIngest.dedupedAppendBatch(batch.toDF("vec_id", "embedding"),
+        corpus, idx, cp, batchId = b.toLong)
+      stream.addData(batch: _*)
+      val q = IndexIngest.startDedupedIvfPqAppend(
+        stream.toDF().toDF("vec_id", "embedding"), corpus, idx, cp,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      admitted ++= newSeeds :+ pairSeed
+    }
+    val idxIds = spark.read.parquet(idx).select("c_id").as[Long].collect()
+    assert(idxIds.toSet === admitted, "index diverged from the admission model")
+    assert(idxIds.length === admitted.size, "crash-replays duplicated index rows")
+    assert(spark.read.parquet(corpus).select("vec_id").as[Long]
+      .collect().toSet === admitted)
+  }
+
   test("lifecycle fuzz: random append/compact/refit interleavings stay exact") {
     // model-based check: the index is mutated by a seeded-random
     // op sequence while a plain Map plays the oracle; after EVERY
