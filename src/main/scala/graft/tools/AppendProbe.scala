@@ -89,6 +89,34 @@ object AppendProbe {
         f"queries=${stats.getLong(2)}")
     }
 
+    if (mode == "lifecycle") {
+      // the full maintenance lifecycle at production sizing: one-time
+      // build, three bounded appends, a compaction folding the
+      // accumulated segments, a refit — the numbers SCALE.md's
+      // lifecycle table records per sf
+      val dir = s"$tmp/lifecycle"
+      val nlist = graft.ops.Dedup.semParams(n)
+      Similarity.clearIvfIndexCache()
+      Similarity.clearPqCodebookCache()
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val tBuild = t(Similarity.buildIvfPqIndex(emb, dir, nlist = nlist,
+        m = 8, ksub = 64, seed = 42L))
+      val batch = emb.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000)
+      val tAppends = (1 to 3).map(i => t(
+        Similarity.appendToIvfPqIndex(spark, dir, batch, seg = Some(s"b$i"))))
+      val tCompact = t(Similarity.compactIndex(spark, dir))
+      Similarity.clearIvfIndexCache()
+      Similarity.clearPqCodebookCache()
+      val tRefit = t(Similarity.refitIvfPqIndex(spark, dir, nlist = nlist,
+        m = 8, ksub = 64, seed = 43L))
+      println(f"[lifecycle] nlist=$nlist build=$tBuild%.1f " +
+        f"appends=${tAppends.map(x => f"$x%.1f").mkString(",")} " +
+        f"compact=$tCompact%.1f refit=$tRefit%.1f s " +
+        f"rows=${spark.read.parquet(dir).count()}")
+    }
+
     if (mode == "cost" || mode == "both") {
       val dir = s"$tmp/full"
       val nlist = Dedup.semParams(n)
