@@ -586,12 +586,30 @@ object Similarity {
     * deleted up-front so a retried compaction never swaps in a stale
     * half-write.
     */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // compaction PRESERVES stored cells/codes and copies the model
+    // forward, so running it on a TORN index (data tree from one
+    // model epoch, tables from another) would cement the tear — and
+    // rewriteInPlace's prologue deletes the `.compacting*` trees that
+    // are the tear's roll-forward recovery material. Refuse up front;
+    // the recovery for a torn index is [[refitIvfPqIndex]] (it
+    // re-derives everything from the raw vectors) or the roll-forward
+    // rename the error message describes.
+    val suffixes = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          dir.stripSuffix("/") + "_codebooks")))
+        Seq("_centroids", "_codebooks")
+      else Seq("_centroids")
+    }
+    requireEpochCoherent(spark, dir, suffixes)
     rewriteInPlace(spark, dir) { (rows, tmp) =>
       rows.withColumn("seg", lit("base"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("seg", "cell").parquet(tmp)
     }
+  }
 
   /** REFIT the quantizer of a [[buildIvfPqIndex]] directory over its
     * current contents — the deliberate offline answer to
@@ -738,7 +756,14 @@ object Similarity {
       s"index at $dir is TORN — model-epoch markers disagree " +
         s"(${epochs.map { case (s, e) => s"'$s'=${e.getOrElse("<absent>")}" }
           .mkString(", ")}): a compaction/refit swap did not complete. " +
-        "Recover from the <tree>.old directories or rebuild the index.")
+        "Recover by (a) rolling FORWARD: rename any surviving " +
+        s"$dir.compacting* trees over their live counterparts (they " +
+        "hold the interrupted rewrite's consistent versions), (b) " +
+        "rolling BACK from any <tree>.old directories (present only " +
+        "if the crash hit inside one swap's rename pair), or (c) " +
+        "refitIvfPqIndex — it re-derives the model and every stored " +
+        "cell/code from the raw vectors, which are valid regardless " +
+        "of the tear.")
   }
 
   /** Top-k against a [[buildIvfPqIndex]] directory. Centroids and
@@ -750,10 +775,15 @@ object Similarity {
     */
   def ivfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, k: Int = 10, nprobe: Int = 3,
-                       rerank: Int = 50): DataFrame =
+                       rerank: Int = 50): DataFrame = {
+    // once per CALL, not per chunk: a corpus-proportional query set
+    // splits into several chunks against the same directory, and the
+    // marker check is 3×(exists+read) filesystem round trips
+    requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
     queryChunks(queries, rerank)
       .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank))
       .reduce(_.unionByName(_))
+  }
 
   /** Freshness composition (the lambda shape): top-k over the
     * persisted index PLUS a small not-yet-appended delta corpus —
@@ -826,7 +856,6 @@ object Similarity {
                                     nprobe: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqAdcExpr
-    requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
     val centroids = readIndexCentroids(spark, dir)
     val cbs = readIndexCodebooks(spark, dir)
     val probes = ivfProbeSide(queries, centroids, nprobe)

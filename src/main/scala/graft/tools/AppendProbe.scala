@@ -17,19 +17,23 @@ import graft.ops.{Dedup, Similarity}
   *  2. COST — times the production-shaped full-corpus build
   *     (nlist = semParams(n)) against appending a bounded 5000-row
   *     batch to it, so SCALE.md can record build-vs-append directly.
-  *
   *  3. DELTA — the `ext_sim_ivfpq_delta` configuration (index on the
   *     even half, odd half as a NOT-appended delta through
   *     [[graft.ops.Similarity.ivfPqIndexedTopKWithDelta]]) with the
   *     same hit statistics — the numbers that entry's Scaladoc cites.
+  *  4. LIFECYCLE — build → three bounded appends → compaction →
+  *     refit at production sizing; SCALE.md's lifecycle table.
   *
-  * Usage: runMain graft.tools.AppendProbe <sfDir> [recall|cost|delta|both] [nprobe]
-  * (`both` = recall + cost; `delta` is its own mode.)
+  * Usage: runMain graft.tools.AppendProbe <sfDir> [recall|cost|delta|lifecycle|both] [nprobe]
+  * (`both` = recall + cost; `delta` and `lifecycle` are their own
+  * modes; an unknown mode fails loudly rather than printing nothing.)
   */
 object AppendProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val mode = args.lift(1).getOrElse("both")
+    require(Set("recall", "cost", "delta", "lifecycle", "both")(mode),
+      s"AppendProbe: unknown mode '$mode' — expected recall|cost|delta|lifecycle|both")
     val nprobe = args.lift(2).map(_.toInt).getOrElse(6)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tune(
@@ -43,6 +47,12 @@ object AppendProbe {
     val rr = math.min(10000L, math.max(100L, n / 25)).toInt
     val tmp = java.nio.file.Files.createTempDirectory("append-probe").toString
     println(s"n=$n rerank=$rr dir=$sfDir")
+    // ONE batch-shape policy for the cost and lifecycle modes — if the
+    // bound changes, both tables keep measuring the same batch
+    val boundedBatch = emb.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000)
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
 
     if (mode == "recall" || mode == "both") {
       val dir = s"$tmp/half"
@@ -98,14 +108,10 @@ object AppendProbe {
       val nlist = graft.ops.Dedup.semParams(n)
       Similarity.clearIvfIndexCache()
       Similarity.clearPqCodebookCache()
-      def t(body: => Unit): Double = {
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }
       val tBuild = t(Similarity.buildIvfPqIndex(emb, dir, nlist = nlist,
         m = 8, ksub = 64, seed = 42L))
-      val batch = emb.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000)
       val tAppends = (1 to 3).map(i => t(
-        Similarity.appendToIvfPqIndex(spark, dir, batch, seg = Some(s"b$i"))))
+        Similarity.appendToIvfPqIndex(spark, dir, boundedBatch, seg = Some(s"b$i"))))
       val tCompact = t(Similarity.compactIndex(spark, dir))
       Similarity.clearIvfIndexCache()
       Similarity.clearPqCodebookCache()
@@ -122,17 +128,11 @@ object AppendProbe {
       val nlist = Dedup.semParams(n)
       Similarity.clearIvfIndexCache()
       Similarity.clearPqCodebookCache()
-      val t0 = System.nanoTime()
-      Similarity.buildIvfPqIndex(emb, dir, nlist = nlist, m = 8, ksub = 64,
-        seed = 42L)
-      val buildS = (System.nanoTime() - t0) / 1e9
-      val batch = emb.filter(col("vec_id") % 20 === 1 && col("vec_id") < 100000)
-      val appends = (1 to 3).map { _ =>
-        val t1 = System.nanoTime()
-        Similarity.appendToIvfPqIndex(spark, dir, batch)
-        (System.nanoTime() - t1) / 1e9
-      }
-      println(f"[cost] nlist=$nlist build=$buildS%.1f s append(batch=${batch.count()})=" +
+      val buildS = t(Similarity.buildIvfPqIndex(emb, dir, nlist = nlist,
+        m = 8, ksub = 64, seed = 42L))
+      val appends = (1 to 3).map(_ =>
+        t(Similarity.appendToIvfPqIndex(spark, dir, boundedBatch)))
+      println(f"[cost] nlist=$nlist build=$buildS%.1f s append(batch=${boundedBatch.count()})=" +
         appends.map(t => f"$t%.1f").mkString(",") + f" s best=${appends.min}%.1f s")
     }
     spark.stop()

@@ -446,10 +446,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       Similarity.appendToIvfPqIndex(spark, dir, oddBatch.limit(5))
     }
     assert(ea.getMessage.contains("TORN"))
-    // a rebuild restores coherence
-    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
-    assert(Similarity.ivfPqIndexedTopK(spark, dir, q, k = 3,
-      nprobe = 3, rerank = 50).count() === 3L)
+    // compaction must refuse too: it preserves stored cells/codes and
+    // copies the model forward, which would CEMENT the tear (and its
+    // prologue deletes the .compacting* roll-forward recovery trees)
+    val ec = intercept[IllegalArgumentException] {
+      Similarity.compactIndex(spark, dir)
+    }
+    assert(ec.getMessage.contains("TORN"))
+    // refit is the documented one-shot RECOVERY: it re-derives the
+    // model and every stored cell/code from the raw vectors, which
+    // are valid regardless of the tear
+    Similarity.refitIvfPqIndex(spark, dir, nlist = 8, m = 8, ksub = 16)
+    val recovered = Similarity.ivfPqIndexedTopK(spark, dir, q, k = 3,
+        nprobe = 8, rerank = 300)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, evenBase, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(recovered === exact, "refit did not recover the torn index")
   }
 
   test("IVF append: exhaustive-regime exactness and pruned probe after append") {
