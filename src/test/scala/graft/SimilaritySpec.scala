@@ -465,6 +465,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recovered === exact, "refit did not recover the torn index")
   }
 
+  test("IVF (non-PQ) compaction: codebook-less index folds and stays exact") {
+    // compactIndex's model handling must work when only _centroids
+    // exists (buildIvfIndex layout — no codebooks to copy or check)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-compact"
+    Similarity.buildIvfIndex(evenBase, dir, nlist = 8)
+    Similarity.appendToIvfIndex(spark, dir, oddBatch.filter(col("vec_id") < 100))
+    Similarity.appendToIvfIndex(spark, dir, oddBatch.filter(col("vec_id") >= 100))
+    val q = corpus.filter(col("vec_id") < 10)
+    def res() = Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val before = res()
+    def files() = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val filesBefore = files()
+    Similarity.compactIndex(spark, dir)
+    assert(res() === before)
+    assert(files() <= 8 && files() < filesBefore)
+    assert(res() === Similarity.bruteForceTopK(q, corpus, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet)
+  }
+
   test("IVF append: exhaustive-regime exactness and pruned probe after append") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-app"
     Similarity.buildIvfIndex(evenBase, dir, nlist = 8)
