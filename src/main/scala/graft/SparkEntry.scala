@@ -2829,6 +2829,38 @@ object SparkEntry {
           .select(col("doc_id"), col("toks"), col("run_sum").as("cum_tokens"))
       }),
 
+    QueryDef("ext_token_budget_per_lang",
+      // per-GROUP token budgets — the language-rebalancing form of
+      // ext_token_budget ("5k tokens per language", the recipe ask
+      // behind balanced multilingual mixes): same deterministic epoch
+      // order, same crosses-budget-by-≤-1-doc semantics, but the
+      // running sum and the budget apply within each lang. Exercises
+      // the GROUPED two-level cumsum (partCols = lang) through the
+      // oracle gate — a plain per-lang Window is one task per
+      // language (~5) at any cluster size, the packChunks wall.
+      Some("""WITH w AS (SELECT doc_id, lang,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |                  (doc_id * 2654435761 + 99) % 1000000007 AS k
+             |           FROM documents),
+             |c AS (SELECT doc_id, lang, toks,
+             |             COALESCE(SUM(toks) OVER (PARTITION BY lang
+             |               ORDER BY k, doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+             |      FROM w)
+             |SELECT doc_id, lang, toks, CAST(pre + toks AS BIGINT) AS cum_tokens
+             |FROM c WHERE pre < 5000""".stripMargin),
+      (s, dir) => {
+        val weighted = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          ((col("doc_id") * 2654435761L + 99L) % 1000000007L).as("_k"))
+        ops.Ranks.totalOrderRunningSum(weighted, Seq("lang"), "_k",
+            "doc_id", "toks")
+          .filter(col("run_sum") - col("toks") < 5000L)
+          .select(col("doc_id"), col("lang"), col("toks"),
+            col("run_sum").as("cum_tokens"))
+      }),
+
     QueryDef("ext_decontaminate",
       // benchmark decontamination: drop every corpus doc that shares a
       // 5-token shingle with the held-out set (source = 'src0' stands
