@@ -85,13 +85,21 @@ object GraftSession {
     */
   def tuneFor(b: SparkSession.Builder, dataDir: String,
               cores: Int): SparkSession.Builder = {
+    // recursive sum of REGULAR files only: a partitioned or nested
+    // table layout puts the data arbitrarily deep, and File.length()
+    // on a directory returns the ~4KB inode size — a one-level sum
+    // silently under-sizes initialPartitionNum there (r8 ADVICE).
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids == null) 0L else kids.map(sizeOf).sum
+      } else f.length()
     val bytes =
       try {
         val d = new java.io.File(dataDir)
         if (d.isDirectory)
           d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => if (f.isDirectory) f.listFiles().map(_.length()).sum
-                      else f.length()).sum
+            .map(sizeOf).sum
         else 0L
       } catch { case _: Throwable => 0L }
     val initParts = math.max(cores.toLong,

@@ -3709,11 +3709,20 @@ object SparkEntry {
         // the RECALL-CONTRACT configuration: θ=0.6 (the SemDeDup
         // regime the documented floor is pinned to) with the
         // multi-seed LSH tier sized by the banding math
-        // (Dedup.semSeedsFor — L=1 at gate scales, 13 at sf25). This
-        // records what meeting the ≥0.6 per-label floor actually
-        // costs per sf; tools.SemProbe records the floor itself.
+        // (Dedup.semSeedsFor — L=1 at gate scales, 16 at sf25). The
+        // CORPUS is bounded to the fixed 100k-row prefix past sf5
+        // (the bounded-fixed-work pattern every other recall gate
+        // uses — r8 this entry ran L×n on the full corpus and was
+        // the sweep's slowest entry at 57.5 s, the only exp > 1)
+        // while the PARAMETERS stay sized from the FULL corpus
+        // (annParams/semSeedsFor via n), so the sweep measures the
+        // contract configuration's per-row cost at fixed work.
+        // tools.SemProbe records the floor itself, full-corpus.
         val n = Tables.cachedCount(s, dir, "embeddings")
-        Dedup.semanticNearDupPairsHybrid(Tables.embeddings(s, dir),
+        val emb = Tables.embeddings(s, dir)
+        val capped =
+          if (n > 100000L) emb.filter(col("vec_id") < 100000L) else emb
+        Dedup.semanticNearDupPairsHybrid(capped,
           threshold = 0.6, nassign = 3,
           nSeeds = Dedup.semSeedsFor(n, 0.6), n = n)
       })

@@ -67,6 +67,21 @@ object DedupIngest {
     fs.exists(p) && scan(p)
   }
 
+  /** The `_ingest_batch` partition values present under `dir` (empty
+    * if the directory does not exist) — the coherence probe behind
+    * [[admitBatchEmbedding]]'s band-index repair.
+    */
+  private def ingestParts(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_ingest_batch="))
+      .map(st => st.getPath.getName.stripPrefix("_ingest_batch="))
+      .toSet
+  }
+
   /** Admit one batch into the corpus directory (also usable from a
     * caller's own foreachBatch). Returns the number of admitted rows.
     */
@@ -830,7 +845,6 @@ object DedupIngest {
     val sbandsDir = corpusDir.stripSuffix("/") + "_sbands"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
-    val bootstrap = !hasCommittedData(fs, sbandsDir)
 
     val planes = graft.ops.Similarity.hyperplanes(bands * bitsPerBand, 64, seed)
     val mask = (1L << bitsPerBand) - 1
@@ -841,6 +855,39 @@ object DedupIngest {
       shiftright(sig, bi * bitsPerBand).bitwiseAND(lit(mask)) +
         lit(bi.toLong << bitsPerBand)
     }: _*)
+
+    // REPAIR before probing (r8 ADVICE): the corpus and `_sbands`
+    // partitions commit in two separate writes, and a crash between
+    // them followed by a restart under a FRESH checkpoint (the batch
+    // never replayed) would leave admitted vectors permanently absent
+    // from the band index — silently re-admitting their future
+    // near-duplicates. The band index is a deterministic function of
+    // the corpus rows and the sketch params, so any corpus partition
+    // absent from `_sbands` is rebuilt here (partition-pruned,
+    // O(missing rows); the detection itself is two directory
+    // listings). The current batch's own partition is excluded: the
+    // probe skips it and the admission below overwrites both stores
+    // anyway. A partition whose rows are ALL zero-norm legitimately
+    // has no postings and is re-derived (pruned, near-free) each
+    // batch rather than tracked.
+    val missingParts =
+      ingestParts(fs, corpusDir) -- ingestParts(fs, sbandsDir) - partVal
+    if (missingParts.nonEmpty) {
+      spark.read.parquet(corpusDir)
+        .filter(col("_ingest_batch").cast("string")
+          .isin(missingParts.toSeq: _*))
+        .withColumn("_r_nrm", normD(col(embCol)))
+        .filter(col("_r_nrm") > 0)
+        .withColumn("_r_sig", signBands(col(embCol), planes))
+        .select(col(idCol).as("_c_id"), col(embCol).as("_c_emb"),
+          col("_r_nrm").as("_c_nrm"),
+          explode(bandKeys(col("_r_sig"))).as("_bkey"),
+          col("_ingest_batch").cast("string").as("_ingest_batch"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch").parquet(sbandsDir)
+    }
+    val bootstrap = !hasCommittedData(fs, sbandsDir)
     val b = batch
       .withColumn("_nrm", normD(col(embCol)))
       .withColumn("_sig", signBands(col(embCol), planes))

@@ -26,6 +26,17 @@ import graft.ops.Similarity
   * near-duplicate vectors must not enter the index, and size
   * triggers so batches amortize the one-file-per-touched-cell commit
   * (SCALE.md's accumulate-to-≳100·nlist-rows policy).
+  *
+  * Segment growth is BOUNDED in-stream: `autoCompactSegments`
+  * (default 64 on the streaming entry points) folds the index's
+  * committed segments back to one `base` segment whenever the count
+  * reaches the threshold, inside the trigger, preserving the
+  * exactly-once construction — see [[appendBatch]] for why the
+  * compact-before-append ordering and the keep-current-segment rule
+  * make compaction commute with crash replay. Amortized cost is
+  * O(index / threshold) per batch; at a 60 s trigger the default
+  * folds roughly hourly instead of leaving ~1,440 segment
+  * directories per day for an operator to remember.
   */
 object IndexIngest {
 
@@ -33,11 +44,39 @@ object IndexIngest {
     * manual backfills that want streaming semantics) can drive the
     * exact code path the query runs, including a crash-replay under
     * the same batch id.
+    *
+    * `autoCompactSegments > 0` is the in-stream compaction policy
+    * (r8 VERDICT #4): without it a 60 s trigger accumulates ~1,440
+    * segment directories per DAY forever, and compaction stays a
+    * caller-remembered offline act. When the segment count reaches
+    * the threshold, the batch FIRST folds the index
+    * ([[graft.ops.Similarity.compactIndex]]) and then appends.
+    * Ordering and the keep-set are what preserve exactly-once:
+    * compaction runs BEFORE the append and keeps the current batch's
+    * own segment untouched, because that segment is the only one a
+    * checkpoint crash-replay can rewrite — every other segment
+    * belongs to a committed batch (foreachBatch for batch N only
+    * runs after N−1 committed) or to a dead run tag, and folding
+    * those into `base` commutes with any replay. Compaction itself
+    * is the fail-safe tmp+rename rewrite, so a crash mid-compact
+    * leaves the original or a recoverable `.old` tree, never a
+    * partial fold.
     */
   def appendBatch(batch: DataFrame, indexDir: String, checkpointDir: String,
-                  batchId: Long): Unit =
+                  batchId: Long, autoCompactSegments: Int = 0): Unit = {
+    val seg = s"${runTagOf(checkpointDir)}-$batchId"
+    maybeCompact(batch.sparkSession, indexDir, seg, autoCompactSegments)
     Similarity.appendToIvfPqIndex(batch.sparkSession, indexDir, batch,
-      seg = Some(s"${runTagOf(checkpointDir)}-$batchId"))
+      seg = Some(seg))
+  }
+
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, currentSeg: String,
+                           autoCompactSegments: Int): Unit =
+    if (autoCompactSegments > 0 &&
+        Similarity.segmentNames(spark, indexDir)
+          .count(_ != currentSeg) >= autoCompactSegments)
+      Similarity.compactIndex(spark, indexDir, keepSeg = Some(currentSeg))
 
   /** Resident maintenance stream: `stream` must carry the index
     * schema (`vec_id`, `embedding`). The index must already exist
@@ -47,12 +86,14 @@ object IndexIngest {
     */
   def startIvfPqAppend(stream: DataFrame, indexDir: String,
                        checkpointDir: String,
-                       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+                       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                       autoCompactSegments: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, indexDir, checkpointDir, batchId)
+        appendBatch(batch, indexDir, checkpointDir, batchId,
+          autoCompactSegments)
       }
       .start()
 
@@ -95,16 +136,19 @@ object IndexIngest {
                          batchId: Long, idCol: String = "vec_id",
                          embCol: String = "embedding",
                          threshold: Double = 0.8, bands: Int = 8,
-                         bitsPerBand: Int = 4, hashSeed: Long = 42L): Unit = {
+                         bitsPerBand: Int = 4, hashSeed: Long = 42L,
+                         autoCompactSegments: Int = 0): Unit = {
     val spark = batch.sparkSession
     val tag = runTagOf(checkpointDir)
     val n = DedupIngest.admitBatchEmbedding(spark, batch, corpusDir,
       batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
       runTag = tag)
-    if (n > 0)
+    if (n > 0) {
+      maybeCompact(spark, indexDir, s"$tag-$batchId", autoCompactSegments)
       Similarity.appendToIvfPqIndex(spark, indexDir,
         admittedOf(spark, corpusDir, s"$tag-$batchId", idCol, embCol),
         seg = Some(s"$tag-$batchId"))
+    }
   }
 
   /** A batch's admitted survivors, re-read FROM the corpus partition
@@ -152,13 +196,15 @@ object IndexIngest {
                               embCol: String = "embedding",
                               threshold: Double = 0.8, bands: Int = 8,
                               bitsPerBand: Int = 4, hashSeed: Long = 42L,
-                              trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+                              trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                              autoCompactSegments: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupedAppendBatch(batch, corpusDir, indexDir, checkpointDir,
-          batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed)
+          batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
+          autoCompactSegments)
       }
       .start()
 

@@ -889,8 +889,15 @@ object Dedup {
     * admitted range, and the cell tier's independent recall stacks on
     * top. Resolves to 1 at gate scales (8×4 bits ⇒ p_seed ≥ 0.79 at
     * θ=0.6 ⇒ L=1), so the catalog oracle is unaffected.
+    *
+    * The default target is 0.7, deliberately ABOVE the documented
+    * ≥ 0.6 per-label floor contract: r8 measured the sf25 floor at
+    * exactly 0.600 with a 0.6-sized L — zero margin, one unlucky
+    * seed from a contract breach. Sizing the LSH tier to 0.7 (L
+    * 13 → 16 at sf25, the cap; unchanged L=1 at gate scales and L=2
+    * at sf1) buys the headroom the contract is recorded with.
     */
-  def semSeedsFor(n: Long, theta: Double, lshTarget: Double = 0.6,
+  def semSeedsFor(n: Long, theta: Double, lshTarget: Double = 0.7,
                   maxSeeds: Int = 16, targetBucket: Int = 180): Int = {
     require(theta > -1.0 && theta < 1.0, s"cosine threshold out of range: $theta")
     require(lshTarget > 0.0 && lshTarget < 1.0, s"target out of range: $lshTarget")

@@ -97,12 +97,26 @@ object Ranks {
     // the two-level path on small data this way); the size switch
     // applies only to the default call
     if (buckets == 0 && r.getLong(4) <= smallRowThreshold) {
+      // row_number-BASED on purpose, not dense_rank/percent_rank/
+      // cume_dist: the two-level path below derives every output from
+      // the global row number, and the built-ins only coincide with
+      // that construction when (orderCol, tieCol) is a STRICT total
+      // order. Nothing enforces that uniqueness, so an input with
+      // duplicate (order, tie) pairs must not change answers depending
+      // on which side of the size switch it lands — both paths now
+      // compute the identical rn-based arithmetic (ntile already is).
       val w = Window.partitionBy(part: _*).orderBy(ord: _*)
+      val wn = Window.partitionBy(part: _*)
       return df
-        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(wn))
+        .withColumn("drnk", col("_rn"))
         .withColumn("quartile", ntile(ntiles).over(w).cast("long"))
-        .withColumn("prnk", percent_rank().over(w))
-        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("prnk",
+          when(col("_n") === 1L, 0.0)
+            .otherwise((col("_rn") - 1L).cast("double") / (col("_n") - 1L)))
+        .withColumn("cdist", col("_rn").cast("double") / col("_n"))
+        .drop("_rn", "_n")
     }
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
     // ascending bucket id follows the REQUESTED order direction, so

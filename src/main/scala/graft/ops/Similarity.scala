@@ -586,7 +586,8 @@ object Similarity {
     * deleted up-front so a retried compaction never swaps in a stale
     * half-write.
     */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   keepSeg: Option[String] = None): Unit = {
     // compaction PRESERVES stored cells/codes and copies the model
     // forward, so running it on a TORN index (data tree from one
     // model epoch, tables from another) would cement the tear — and
@@ -605,10 +606,35 @@ object Similarity {
     }
     requireEpochCoherent(spark, dir, suffixes)
     rewriteInPlace(spark, dir) { (rows, tmp) =>
-      rows.withColumn("seg", lit("base"))
+      // `keepSeg` survives the fold UNTOUCHED: the streaming append
+      // path compacts mid-run, and the in-flight batch's own segment
+      // may exist from a crashed attempt that the checkpoint will
+      // REPLAY — folding it into `base` would let the replayed
+      // dynamic overwrite of that segment duplicate every row it
+      // carried. Segments from earlier batch ids are checkpoint-
+      // committed and never replayed, so folding them is safe.
+      val seg = keepSeg
+        .map(s => when(col("seg") === lit(s), col("seg")).otherwise(lit("base")))
+        .getOrElse(lit("base"))
+      rows.withColumn("seg", seg)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("seg", "cell").parquet(tmp)
     }
+  }
+
+  /** Segment partition values present in an appended index directory
+    * — the observable the streaming auto-compaction policy thresholds
+    * on (one directory listing, no data read).
+    */
+  def segmentNames(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName.stripPrefix("seg="))
+      .toSeq
   }
 
   /** REFIT the quantizer of a [[buildIvfPqIndex]] directory over its
@@ -793,21 +819,55 @@ object Similarity {
     * pruned two-tier probe; the delta side is EXACT brute force
     * (deltas are batch-sized by definition — if the delta outgrows
     * brute force it should have been appended); the merged per-query
-    * top-k re-ranks the union. A row present in both sides (a delta
-    * that overlaps already-appended data) scores identically on both
-    * and is deduplicated before the final rank.
+    * top-k re-ranks the union. A `c_id` present on both sides keeps
+    * the DELTA side's score: for a delta that merely overlaps
+    * already-appended data the two scores are identical so the
+    * preference is free, but a delta that carries an UPDATED
+    * embedding for an indexed id must win — an arbitrary
+    * dropDuplicates could rank the stale indexed vector (r8 ADVICE).
     */
   def ivfPqIndexedTopKWithDelta(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, delta: DataFrame,
                                 queries: DataFrame, k: Int = 10,
-                                nprobe: Int = 3, rerank: Int = 50): DataFrame = {
-    val indexed = ivfPqIndexedTopK(spark, dir, queries, k, nprobe, rerank)
-    val fresh = bruteForceTopK(queries, delta, k)
-    TopK.topKByLongKey(
-        indexed.unionByName(fresh)
-          .dropDuplicates("q_id", "c_id")
-          .select(col("q_id"), col("c_id"), col("cosine")),
-        "q_id", "cosine", "c_id", k)
+                                nprobe: Int = 3, rerank: Int = 50): DataFrame =
+    mergeIndexedWithDelta(
+      ivfPqIndexedTopK(spark, dir, queries, k, nprobe, rerank),
+      bruteForceTopK(queries, delta, k), k)
+
+  /** Freshness composition for the LSH index family — the
+    * [[ivfPqIndexedTopKWithDelta]] lambda shape over a
+    * [[buildLshIndexAdaptive]] table, completing the symmetry between
+    * the two persisted families: bucket-pruned probe over the
+    * persisted index ∪ exact brute force over the not-yet-appended
+    * delta, merged per-query top-k with delta-side priority on id
+    * collision. Sketch params come from `<table>_meta` exactly like
+    * [[lshIndexedTopKAuto]].
+    */
+  def lshIndexedTopKWithDelta(spark: org.apache.spark.sql.SparkSession,
+                              table: String, delta: DataFrame,
+                              queries: DataFrame, k: Int = 10,
+                              probeDist: Int = 2,
+                              maxProbe: Int = 100000): DataFrame =
+    mergeIndexedWithDelta(
+      lshIndexedTopKAuto(spark, table, queries, k, probeDist, maxProbe),
+      bruteForceTopK(queries, delta, k), k)
+
+  /** Shared delta merge: union the two per-query candidate lists, on
+    * a (q_id, c_id) collision keep the DELTA row's cosine (struct max
+    * on (_side, cosine) — side dominates, so the freshest score
+    * survives regardless of which is numerically larger), then
+    * re-rank to the final top-k.
+    */
+  private def mergeIndexedWithDelta(indexed: DataFrame, fresh: DataFrame,
+                                    k: Int): DataFrame = {
+    val merged = indexed
+        .select(col("q_id"), col("c_id"), col("cosine"), lit(0).as("_side"))
+      .unionByName(fresh
+        .select(col("q_id"), col("c_id"), col("cosine"), lit(1).as("_side")))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(struct(col("_side"), col("cosine"))).as("_m"))
+      .select(col("q_id"), col("c_id"), col("_m.cosine").as("cosine"))
+    TopK.topKByLongKey(merged, "q_id", "cosine", "c_id", k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 

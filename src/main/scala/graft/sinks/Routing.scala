@@ -187,6 +187,17 @@ object Routing {
     */
   def ensureTableAndAppend(df: DataFrame, jdbcUrl: String, table: String,
                            ddl: String, props: java.util.Properties): Unit = {
+    ensureTable(jdbcUrl, table, ddl, props)
+    df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
+  }
+
+  /** The DDL-ensure half of [[ensureTableAndAppend]] alone — the
+    * shape a MERGE-sinking pipeline needs (ensure once, then
+    * [[upsertJdbc]] per batch; a blind append would duplicate on
+    * replay).
+    */
+  def ensureTable(jdbcUrl: String, table: String,
+                  ddl: String, props: java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
     try {
       // dialect-neutral IF NOT EXISTS: probe the catalog for THIS table
@@ -209,7 +220,6 @@ object Routing {
         try st.execute(s"CREATE TABLE $table ($ddl)") finally st.close()
       }
     } finally conn.close()
-    df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
   }
 
   /** Keyed JDBC upsert via standard SQL MERGE, executor-parallel and
@@ -280,12 +290,17 @@ object Routing {
     } else {
       def cast(c: String) =
         s"CAST(? AS ${sqlType(schema(schema.fieldIndex(c)).dataType)})"
+      // identifiers quoted UPPERCASE: Derby folds unquoted DDL to
+      // upper, so "COIN" matches every unquoted-created table, while
+      // raw rendering would choke on kline columns that are reserved
+      // words (TIMESTAMP, OPEN, CLOSE, YEAR, ...)
+      def q(c: String) = "\"" + c.toUpperCase + "\""
       val sql =
         s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d
            |ON ${keyCols.map(k =>
-          s"(t.$k = ${cast(k)} OR (t.$k IS NULL AND ${cast(k)} IS NULL))").mkString(" AND ")}
-           |WHEN MATCHED THEN UPDATE SET ${valCols.map(c => s"$c = ${cast(c)}").mkString(", ")}
-           |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+          s"(t.${q(k)} = ${cast(k)} OR (t.${q(k)} IS NULL AND ${cast(k)} IS NULL))").mkString(" AND ")}
+           |WHEN MATCHED THEN UPDATE SET ${valCols.map(c => s"${q(c)} = ${cast(c)}").mkString(", ")}
+           |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
            |VALUES (${cols.map(cast).mkString(", ")})""".stripMargin
       // parameter order = ON keys (each twice), SET values, INSERT row
       ((sql, (keyCols.flatMap(k => Seq(k, k)) ++ valCols ++ cols)

@@ -686,6 +686,39 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.sorted == Seq(0L, 1L, 11L), s"replay corrupted corpus: $ids")
   }
 
+  test("embedding admission: a corpus partition missing from the band index is rebuilt") {
+    // the crash shape the repair exists for: the corpus partition
+    // commits, the _sbands partition does not, and the run restarts
+    // under a FRESH checkpoint so the batch is never replayed — the
+    // admitted vectors would be permanently invisible to the probe and
+    // their near-dups silently re-admitted
+    val root = Files.createTempDirectory("embdup-repair").toString
+    val dir = root + "/corpus"
+    val v0 = embVec(); val v1 = embVec()
+    def admit(rows: Seq[(Long, Seq[Float])], id: Long, tag: String): Long =
+      DedupIngest.admitBatchEmbedding(spark,
+        rows.toDF("vec_id", "embedding"), dir, batchId = id,
+        threshold = 0.9, runTag = tag)
+    assert(admit(Seq((0L, v0)), 0L, "run1") == 1L)
+    assert(admit(Seq((1L, v1)), 1L, "run1") == 1L)
+    // simulate the torn commit: drop batch 1's band-index partition
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(
+      dir + "_sbands/_ingest_batch=run1-1")
+    assert(fs.exists(torn), "fixture drifted: expected sbands partition")
+    fs.delete(torn, true)
+    // fresh run tag (fresh checkpoint), near-dup of the now-unindexed
+    // v1: WITHOUT repair this would be admitted; the rebuilt index
+    // must reject it — and an honest new vector still gets through
+    assert(admit(Seq((10L, embDup(v1)), (11L, embVec())), 0L, "run2") == 1L)
+    val ids = spark.read.parquet(dir).select("vec_id").as[Long]
+      .collect().toSeq.sorted
+    assert(ids == Seq(0L, 1L, 11L), s"repair failed, corpus: $ids")
+    // the repaired partition is back on disk for the next probe
+    assert(fs.exists(torn), "repair did not rewrite the missing partition")
+  }
+
   test("embedding admission: zero-norm vectors admitted, never candidates") {
     val dir = Files.createTempDirectory("embdup-zero").toString + "/corpus"
     val zero = Seq.fill(64)(0.0f)

@@ -379,12 +379,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("semSeedsFor: 1 at gate scales, sized from the banding math at sf25") {
     // gate scales resolve to the 8×4 regime where one seed already
-    // clears the target — the catalog oracle is untouched
+    // clears the 0.7 default target — the catalog oracle is untouched
     assert(Dedup.semSeedsFor(500, 0.6) == 1)
     assert(Dedup.semSeedsFor(2000, 0.6) == 1)
     assert(Dedup.semSeedsFor(20000, 0.6) == 2) // sf1 (8×7: p_seed ≈ 0.51)
-    // sf25 (5×12): p_seed(θ=0.6) ≈ 0.073 → L = ln(0.4)/ln(0.927) ≈ 13
-    assert(Dedup.semSeedsFor(500000, 0.6) == 13)
+    // sf25: p_seed(θ=0.6) ≈ 0.073 → the 0.7 target asks ~17 seeds and
+    // lands on the cap (r8's 0.6 target sized L=13 and measured the
+    // floor at exactly 0.600 — the margin the raise exists to buy)
+    assert(Dedup.semSeedsFor(500000, 0.6) == 16)
+    assert(Dedup.semSeedsFor(500000, 0.6, lshTarget = 0.6) == 13)
     // the cap guards a low-θ request from silently asking for ~64 passes
     assert(Dedup.semSeedsFor(500000, 0.35) == 16)
     // tighter pairs need fewer seeds at the same scale

@@ -218,6 +218,47 @@ class IndexIngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("auto-compaction folds segments in-stream; contents and search pinned, crash-replay exact") {
+    val base = emb(0 until 100)
+    val tmp = Files.createTempDirectory("idx-autocompact").toString
+    val (auto, plain, cp) = (s"$tmp/auto", s"$tmp/plain", s"$tmp/cp")
+    Similarity.buildIvfPqIndex(base, auto, nlist = 8, m = 8, ksub = 16)
+    Similarity.buildIvfPqIndex(base, plain, nlist = 8, m = 8, ksub = 16)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    // 10 batches through the STREAMING entry point with a threshold of
+    // 3 — without the policy the run ends at 10+ segments; with it the
+    // count must stay bounded by threshold + the in-flight segment.
+    // Every batch is also run once as a "crashed" attempt before the
+    // stream replays it: the attempt may itself compact, so the replay
+    // exercises compact-then-overwrite — the interleave the
+    // keep-current-segment rule exists for.
+    for (b <- 0 until 10) {
+      val batch = (1000 + 40 * b until 1040 + 40 * b)
+        .map(i => (i.toLong, vec(i)))
+      IndexIngest.appendBatch(batch.toDF("vec_id", "embedding"), auto, cp,
+        batchId = b.toLong, autoCompactSegments = 3)
+      stream.addData(batch: _*)
+      val q = IndexIngest.startIvfPqAppend(
+        stream.toDF().toDF("vec_id", "embedding"), auto, cp,
+        trigger = Trigger.AvailableNow(), autoCompactSegments = 3)
+      q.awaitTermination()
+      Similarity.appendToIvfPqIndex(spark, plain,
+        batch.toDF("vec_id", "embedding"))
+    }
+    val segs = Similarity.segmentNames(spark, auto)
+    assert(segs.size <= 4, s"auto-compaction failed to bound segments: $segs")
+    assert(segs.contains("base"), s"no folded base segment: $segs")
+    // compaction must not create, drop, or re-encode a single row
+    assert(contents(auto) === contents(plain))
+    // search parity in the exhaustive regime: results pinned unchanged
+    val q = emb(0 until 5)
+    def res(d: String) = Similarity.ivfPqIndexedTopK(spark, d, q, k = 5,
+        nprobe = 8, rerank = 600)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(res(auto) === res(plain))
+  }
+
   test("fresh checkpoint's batch ids land on their own segments, never an old run's") {
     val base = emb(0 until 60)
     val tmp = Files.createTempDirectory("idx-ingest-2cp").toString

@@ -127,6 +127,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       "empty-partition two-level rank diverged from the global Window")
   }
 
+  test("rank suite: duplicate (order, tie) pairs rank identically on both sides of the size switch") {
+    // nothing enforces that (orderCol, tieCol) is a strict total
+    // order, so an input with duplicate pairs must not change answers
+    // depending on which side of the 2M-row switch it lands (r8
+    // ADVICE: the old dense_rank/percent_rank small path disagreed
+    // with the row_number-based two-level construction on ties)
+    val dup = Seq(
+      ("a", 5.0, 1L), ("a", 5.0, 1L), ("a", 5.0, 1L), // 3-way full dup
+      ("a", 3.0, 2L), ("a", 3.0, 2L), ("a", 1.0, 9L),
+      ("b", 7.0, 1L), ("b", 7.0, 1L)
+    ).toDF("g", "v", "id").repartition(4)
+    def suite(buckets: Int) =
+      graft.ops.Ranks.totalOrderRankSuite(dup, Seq("g"), "v", "id",
+          ntiles = 4, desc = true, buckets = buckets)
+        .groupBy("g", "v", "id")
+        // per duplicate group, the SET of row-level outputs must match
+        .agg(sort_array(collect_list(struct(col("drnk"), col("quartile"),
+          col("prnk"), col("cdist")))).as("ranks"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getSeq[Any](3).toString)).toSet
+    assert(suite(0) === suite(16),
+      "tie handling diverged between the small path and the two-level path")
+  }
+
   test("distributed running sum == single-Window cumulative sum; guards loud") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(43)

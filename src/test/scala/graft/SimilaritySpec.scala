@@ -421,6 +421,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(overlap.toSet === exact)
   }
 
+  test("delta-side priority: an updated embedding for an indexed id scores from the delta") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-delta-upd"
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    // the delta UPDATES indexed id 2 to be an exact copy of the query
+    // vector: the merged result must carry the delta's cosine (1.0) —
+    // an arbitrary dropDuplicates could keep the stale indexed score
+    // and rank id 2 anywhere (r8 ADVICE)
+    val qVec = corpus.filter(col("vec_id") === 4).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val q = Seq((999L, qVec)).toDF("vec_id", "embedding")
+    val delta = Seq((2L, qVec)).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqIndexedTopKWithDelta(spark, dir, delta, q,
+      k = 3, nprobe = 8, rerank = 300).filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") === 2L || top.getAs[Long]("c_id") === 4L)
+    val pair = Similarity.ivfPqIndexedTopKWithDelta(spark, dir, delta, q,
+        k = 3, nprobe = 8, rerank = 300)
+      .filter(col("c_id") === 2L).head()
+    assert(pair.getAs[Double]("cosine") === 1.0,
+      "collision kept the stale indexed score instead of the delta's")
+  }
+
+  test("LSH delta twin: index + unappended delta equals brute force over the union") {
+    Similarity.buildLshIndexAdaptive(evenBase, "graft_lsh_delta", dim = 64)
+    val q = corpus.filter(col("vec_id") < 10)
+    // probeDist ≥ nBits probes every bucket — the only approximation
+    // left is banding, removed, so the union must be exact
+    val got = Similarity.lshIndexedTopKWithDelta(spark, "graft_lsh_delta",
+        oddBatch, q, k = 5, probeDist = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === exact)
+    // overlap dedup: a delta repeating indexed rows must not duplicate
+    // (q_id, c_id) pairs or displace real neighbors
+    val overlap = Similarity.lshIndexedTopKWithDelta(spark, "graft_lsh_delta",
+        evenBase.limit(50).unionByName(oddBatch), q, k = 5, probeDist = 8)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(overlap.map(r => (r._1, r._2)).distinct.length === overlap.length)
+    assert(overlap.toSet === exact)
+  }
+
   test("torn-swap guard: mismatched model epochs refuse loudly instead of serving") {
     // simulate a crash between rewriteInPlace's renames: the data tree
     // carries one epoch, the model tables another — new-data-beside-
