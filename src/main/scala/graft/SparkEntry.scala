@@ -2232,6 +2232,43 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_lsh_delta",
+      // Freshness twin for the LSH index family
+      // (Similarity.lshIndexedTopKWithDelta — r8 VERDICT #5 symmetry
+      // ask): the persisted bucketed index holds the even half, the
+      // odd half is a NOT-YET-APPENDED delta searched by exact brute
+      // force and merged into the per-query top-k with delta-side
+      // priority on id collision — the same union-dedup semantics as
+      // ext_sim_ivfpq_delta, so both persisted families now answer
+      // "searchable before the next append lands". Same recall gate:
+      // ≥ 3 of the exact top-10 per query (the delta half alone is
+      // exact, so the floor has wide margin). Query slice bounded by
+      // the point-lookup probe budget exactly like ext_sim_lsh_indexed
+      // (index n = corpus/2 sizes the adaptive bits).
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 100000""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val n = Tables.cachedCount(s, dir, "embeddings")
+        val bound = lshIndexedQueryBound(
+          Similarity.probeMaskCount(Similarity.lshBits(n / 2)))
+        val qs = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound)
+        val table = "graft_lsh_dhalf_" + idxSuffix(dir)
+        buildIndexOnce(s"lsh_dhalf|$dir") {
+          Similarity.buildLshIndexAdaptive(emb.filter(col("vec_id") % 2 === 0),
+            table, dim = 64, seed = 42L, n = n / 2)
+        }
+        val merged = Similarity.lshIndexedTopKWithDelta(s, table,
+            emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(merged, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_lsh_indexed",
       // The PERSISTED-index path — the 100 TB similarity story
       // (signatures precomputed once, corpus stored bucketed on the
@@ -3491,6 +3528,15 @@ object SparkEntry {
         .updated("ext_sim_lsh", lshTopkOracleSql("q.vec_id % 50 = 0", bits))
         .updated("ext_sim_lsh_indexed",
           lshTopkOracleSql(s"q.vec_id % 50 = 0 AND q.vec_id < $bound", bits))
+    }
+    // the LSH delta twin's index covers HALF the corpus, so its probe
+    // budget (and query bound) follows lshBits(n/2), not lshBits(n)
+    val bitsHalf = Similarity.lshBits(nEmbeddings / 2)
+    if (bitsHalf != 8) {
+      val boundHalf = lshIndexedQueryBound(Similarity.probeMaskCount(bitsHalf))
+      m = m.updated("ext_sim_lsh_delta",
+        s"""SELECT vec_id AS q_id, true AS recall_ok
+           |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $boundHalf""".stripMargin)
     }
     // the banded ANN dedup self-sizes too (annParams): out of the
     // pinned (8 bands × 4 bits) regime, regenerate its hyperplane
