@@ -54,6 +54,13 @@ class OracleRegimeSpec extends AnyFunSuite {
       val bound = math.min(100000L, 50L * (90000 / masks))
       assert(m("ext_sim_lsh_indexed").contains(s"vec_id < $bound"),
         s"indexed-LSH oracle bound drifted at ($ne, $no)")
+      // the delta twin's index covers HALF the corpus, so its bound
+      // follows lshBits(n/2)
+      val masksHalf = graft.ops.Similarity.probeMaskCount(
+        graft.ops.Similarity.lshBits(ne / 2))
+      val boundHalf = math.min(100000L, 50L * (90000 / masksHalf))
+      assert(m("ext_sim_lsh_delta").contains(s"vec_id < $boundHalf"),
+        s"delta-LSH oracle bound drifted at ($ne, $no)")
     }
   }
 
@@ -62,7 +69,8 @@ class OracleRegimeSpec extends AnyFunSuite {
     val base = SparkEntry.oracleSql
     val changed = base.keySet.filter(k => m.get(k) != base.get(k))
     assert(changed == Set("ext_sim_lsh", "ext_sim_lsh_indexed",
-      "ext_dedup_embedding_ann", "ext_profile_columns"),
+      "ext_sim_lsh_delta", "ext_dedup_embedding_ann",
+      "ext_profile_columns"),
       s"unexpected oracle rewrites: $changed")
   }
 }

@@ -326,11 +326,14 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   ext_sim_ivfpq_delta — the delta side IS brute force by
     //                   contract (batch-sized), plus the family's
     //                   embedded brute-force recall baseline.
+    //   ext_sim_lsh_delta — same shape for the LSH family's twin:
+    //                   exact brute force over the batch-sized delta
+    //                   plus the embedded recall baseline.
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
       "ext_sim_ivfpq", "ext_sim_ivfpq_indexed", "ext_sim_ivfpq_appended",
-      "ext_sim_ivfpq_delta")
+      "ext_sim_ivfpq_delta", "ext_sim_lsh_delta")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
