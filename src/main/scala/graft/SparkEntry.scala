@@ -3648,6 +3648,29 @@ object SparkEntry {
         }
         Similarity.lshIndexedTopKAuto(s, table, fq(e), k = 10)
       }),
+      // fixed-work twin of ext_sim_lsh_delta, completing the _fq
+      // split for the LSH freshness gate: the catalog entry's cost is
+      // dominated by its CONTRACT side (an exact brute-force top-10
+      // baseline over the full corpus, plus a full-half delta so the
+      // recall gate has wide margin); the DESIGN cost in deployment
+      // is the bucket-pruned probe over the persisted index plus
+      // exact brute force over a BATCH-SIZED delta ("deltas are
+      // batch-sized by definition — if the delta outgrows brute force
+      // it should have been appended"). This probe measures exactly
+      // that: warm even-half index (shared buildIndexOnce key with
+      // the gate), fixed query set, 10k-row delta slice, no baseline.
+      "bench_sim_lsh_delta_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val n = Tables.cachedCount(s, dir, "embeddings")
+        val table = "graft_lsh_dhalf_" + idxSuffix(dir)
+        buildIndexOnce(s"lsh_dhalf|$dir") {
+          Similarity.buildLshIndexAdaptive(e.filter(col("vec_id") % 2 === 0),
+            table, dim = 64, seed = 42L, n = n / 2)
+        }
+        Similarity.lshIndexedTopKWithDelta(s, table,
+          e.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 20000),
+          fq(e), k = 10)
+      }),
       // ad-hoc (no-index) IVF probes keep the catalog's pinned
       // nlist=16: the ad-hoc form re-assigns every corpus row per
       // call, so production nlist would make the probe measure

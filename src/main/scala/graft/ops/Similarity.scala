@@ -637,6 +637,73 @@ object Similarity {
       .toSeq
   }
 
+  /** Operational description of a persisted IVF / IVF-PQ index
+    * directory — the observability surface an operator serving a
+    * 100 TB index needs before deciding to compact, refit, or page
+    * someone: one row PER SEGMENT with its cell/file/byte/row
+    * footprint, each row also carrying the index-level facts (model
+    * family, nlist from the frozen centroid table, PQ shape from the
+    * codebook table when present, and whether the `_graft_epoch`
+    * markers across data + model trees are coherent — `false` is the
+    * crash-mid-swap signature [[compactIndex]]/[[refitIvfPqIndex]]
+    * refuse on).
+    *
+    * Cost: one directory walk (files/bytes/cells) plus a per-segment
+    * `count(*)` that selects ZERO data columns — the scan is bounded
+    * by parquet footers, not vector bytes — and two tiny model-table
+    * reads. Safe to call on a torn or mid-ingest index: this reads
+    * metadata and refuses nothing (it REPORTS the refusal condition
+    * instead).
+    */
+  def describeIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import spark.implicits._
+    val base = dir.stripSuffix("/")
+    val root = new org.apache.hadoop.fs.Path(base)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $dir")
+    // per-segment directory footprint: cells, files, bytes
+    val perSeg = fs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .map { segSt =>
+        val seg = segSt.getPath.getName.stripPrefix("seg=")
+        val cells = fs.listStatus(segSt.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        val leaves = cells.flatMap(c => fs.listStatus(c.getPath))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        (seg, cells.length.toLong, leaves.length.toLong,
+          leaves.map(_.getLen).sum)
+      }.toSeq
+    // row counts: zero-column aggregate, parquet-footer bounded
+    val rowsBySeg = spark.read.parquet(base)
+      .groupBy(col("seg")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // frozen-model shape from the model tables (tiny by construction)
+    val hasPq = fs.exists(new org.apache.hadoop.fs.Path(base + "_codebooks"))
+    val nlist = spark.read.parquet(base + "_centroids").count().toInt
+    val (pqM, pqKsub) =
+      if (!hasPq) (0, 0)
+      else {
+        val cb = spark.read.parquet(base + "_codebooks")
+          .agg(max(col("sub")).as("m"),
+            (max(col("code")) + 1).as("k")).head()
+        (cb.getAs[Number](0).intValue() + 1, cb.getAs[Number](1).intValue())
+      }
+    // epoch coherence: all markers present must agree across trees
+    val trees = "" +: (if (hasPq) Seq("_centroids", "_codebooks")
+                       else Seq("_centroids"))
+    val epochs = trees.flatMap(suf => readEpoch(fs, base + suf))
+    val coherent = epochs.isEmpty ||
+      (epochs.size == trees.size && epochs.distinct.size == 1)
+    perSeg.map { case (seg, cells, files, bytes) =>
+      (seg, cells, files, bytes, rowsBySeg.getOrElse(seg, 0L),
+        if (hasPq) "ivfpq" else "ivf", nlist, pqM, pqKsub, coherent,
+        epochs.headOption.getOrElse(""))
+    }.toDF("seg", "cells", "files", "bytes", "rows", "model", "nlist",
+      "pq_m", "pq_ksub", "epoch_coherent", "epoch")
+      .orderBy(col("seg"))
+  }
+
   /** REFIT the quantizer of a [[buildIvfPqIndex]] directory over its
     * current contents — the deliberate offline answer to
     * distribution drift (appended data from a shifted distribution

@@ -544,4 +544,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"no partition pruning on cell in plan:\n$plan")
   }
+
+  test("describeIndex: per-segment footprint, frozen-model shape, epoch coherence") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-desc"
+    Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(spark, dir, oddBatch)
+    val d = Similarity.describeIndex(spark, dir).collect()
+    val segs = d.map(_.getAs[String]("seg")).toSet
+    assert(d.length == 2 && segs.contains("base"), s"segments: $segs")
+    // row accounting: base carries the build, the append its batch
+    assert(d.map(_.getAs[Long]("rows")).sum === corpus.count())
+    val base = d.find(_.getAs[String]("seg") == "base").get
+    assert(base.getAs[Long]("rows") === evenBase.count())
+    assert(base.getAs[Long]("cells") === 8L)
+    assert(d.forall(r => r.getAs[Long]("files") >= r.getAs[Long]("cells")))
+    assert(d.forall(_.getAs[Long]("bytes") > 0L))
+    // index-level facts repeat on every row
+    assert(d.forall(r => r.getAs[String]("model") == "ivfpq" &&
+      r.getAs[Int]("nlist") == 8 && r.getAs[Int]("pq_m") == 8 &&
+      r.getAs[Int]("pq_ksub") == 16 && r.getAs[Boolean]("epoch_coherent")))
+    // compaction folds to one segment and describe tracks it
+    Similarity.compactIndex(spark, dir)
+    val folded = Similarity.describeIndex(spark, dir).collect()
+    assert(folded.length == 1 &&
+      folded.head.getAs[Long]("rows") === corpus.count())
+    // a torn marker is REPORTED (not thrown): describe is the tool an
+    // operator reaches for exactly when the index is suspect
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir + "/_graft_epoch"), true)
+    out.write("torn-other-epoch".getBytes("UTF-8")); out.close()
+    val torn = Similarity.describeIndex(spark, dir).collect()
+    assert(torn.forall(!_.getAs[Boolean]("epoch_coherent")))
+    // plain-IVF family: model reported without PQ shape
+    val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-desc"
+    Similarity.buildIvfIndex(evenBase, ivfDir, nlist = 8)
+    val ivf = Similarity.describeIndex(spark, ivfDir).collect()
+    assert(ivf.forall(r => r.getAs[String]("model") == "ivf" &&
+      r.getAs[Int]("pq_m") == 0 && r.getAs[Boolean]("epoch_coherent")))
+  }
 }
