@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Telemetry
+
+/** Streaming telemetry: per-trigger history persisted as a parquet
+  * table (rows/durations/state/watermark per batch, partitioned by
+  * query name), flushed off the listener bus on demand.
+  */
+class TelemetrySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  // the listener bus delivers asynchronously: wait for the expected
+  // captures before flushing so the asserts can't race delivery
+  private def awaitPending(rec: Telemetry.Recorder, n: Int): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (rec.pending() < n && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(rec.pending() >= n, s"listener captured ${rec.pending()} < $n")
+  }
+
+  test("recorder persists one row per committed batch with true input counts") {
+    implicit val ctx = spark.sqlContext
+    val out = tmp("telemetry")
+    val rec = Telemetry.attach(spark, out)
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().writeStream.format("memory")
+      .queryName("telemetry_src").outputMode("append")
+      .option("checkpointLocation", tmp("cp-telemetry")).start()
+    try {
+      ms.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      ms.addData(4L, 5L)
+      q.processAllAvailable()
+      awaitPending(rec, 2)
+      assert(rec.flush() >= 2L)
+      val t = spark.read.parquet(out)
+        .filter(col("query_name") === "telemetry_src")
+      val byBatch = t.select("batch_id", "input_rows")
+        .as[(Long, Long)].collect().toMap
+      assert(byBatch(0L) === 3L && byBatch(1L) === 2L,
+        s"per-batch input rows wrong: $byBatch")
+      // identity + duration columns populated on every row
+      val rows = t.collect()
+      assert(rows.forall(r => r.getAs[String]("run_id").nonEmpty &&
+        r.getAs[String]("batch_ts").nonEmpty &&
+        r.getAs[Long]("batch_duration_ms") >= 0L))
+      // flush is drain-once: empty-batch progress events may trickle
+      // in, but no further DATA rows appear for the committed batches
+      Thread.sleep(200)
+      rec.flush()
+      assert(spark.read.parquet(out)
+        .filter(col("query_name") === "telemetry_src")
+        .filter(col("input_rows") > 0).count() === 2L)
+      // the falling-behind report at a 0ms trigger flags every batch
+      val lag = Telemetry.laggingBatches(spark, out, triggerMs = 0L)
+        .filter(col("query_name") === "telemetry_src")
+      assert(lag.count() === t.filter(col("batch_duration_ms") > 0).count())
+    } finally {
+      q.stop(); rec.stop()
+    }
+  }
+
+  test("one recorder separates concurrent queries by partition; detach stops capture") {
+    implicit val ctx = spark.sqlContext
+    val out = tmp("telemetry2")
+    val rec = Telemetry.attach(spark, out)
+    val msA = MemoryStream[Long]
+    val msB = MemoryStream[Long]
+    val qA = msA.toDF().writeStream.format("memory")
+      .queryName("telemetry_a").outputMode("append")
+      .option("checkpointLocation", tmp("cp-tel-a")).start()
+    val qB = msB.toDF().writeStream.format("memory")
+      .queryName("telemetry_b").outputMode("append")
+      .option("checkpointLocation", tmp("cp-tel-b")).start()
+    try {
+      msA.addData(1L, 2L); msB.addData(10L, 20L, 30L)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      awaitPending(rec, 2)
+      rec.flush()
+      val t = spark.read.parquet(out)
+      // partition pruning: reading one query's history scans one dir
+      val aScan = t.filter(col("query_name") === "telemetry_a")
+      assert(aScan.agg(sum("input_rows")).head().getLong(0) === 2L)
+      assert(t.filter(col("query_name") === "telemetry_b")
+        .agg(sum("input_rows")).head().getLong(0) === 3L)
+      // after detach, further progress is not captured: the new
+      // batch's rows never reach the table
+      Thread.sleep(200); rec.flush()
+      rec.stop()
+      msA.addData(3L); qA.processAllAvailable()
+      Thread.sleep(300)
+      assert(rec.pending() === 0)
+      assert(spark.read.parquet(out)
+        .filter(col("query_name") === "telemetry_a")
+        .agg(sum("input_rows")).head().getLong(0) === 2L)
+    } finally {
+      qA.stop(); qB.stop(); rec.stop()
+    }
+  }
+}
