@@ -107,4 +107,45 @@ class KlinePipelineE2eSpec extends AnyFunSuite with SparkTestBase {
     val n = spark.read.jdbc(url, "klines_e2e", props).count()
     assert(n === 6L, s"expected 6 rows (5 bars + null-key), got $n")
   }
+
+  test("flagship + telemetry: the ops record captures every committed trigger") {
+    // the composition a deployment actually runs: the flagship
+    // pipeline with streaming.Telemetry attached, so the ~1,440
+    // triggers/day leave a queryable history instead of rotated logs
+    implicit val ctx = spark.sqlContext
+    val t0 = 1704067200000L
+    val out = Files.createTempDirectory("kp-telemetry").toString
+    val rec = graft.streaming.Telemetry.attach(spark, out)
+    val ms = MemoryStream[String]
+    val q = KlinePipeline.longtimeJdbc(
+      ms.toDF().select(col("value").cast("binary").as("value")),
+      url, "klines_tel", props,
+      Files.createTempDirectory("kp-tel-cp").toString).start()
+    try {
+      ms.addData(klineJson("BTC", t0, 1.5), klineJson("ETH", t0, 2.5))
+      q.processAllAvailable()
+      ms.addData(klineJson("SOL", t0, 3.5))
+      q.processAllAvailable()
+      // the bus delivers asynchronously; wait for both data batches
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (rec.pending() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      rec.flush()
+      val hist = spark.read.parquet(out)
+        .filter(col("query_id") === q.id.toString)
+        .filter(col("input_rows") > 0)
+      // batch ids need not be contiguous (the watermarked dedup stage
+      // commits no-data batches to advance state) — assert the DATA
+      // batches' counts in commit order
+      val byBatch = hist.select("batch_id", "input_rows")
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      assert(byBatch === Seq(2L, 1L),
+        s"flagship history wrong: $byBatch")
+      // the falling-behind report runs over the pipeline's history
+      assert(graft.streaming.Telemetry.laggingBatches(spark, out, 0L)
+        .filter(col("query_id") === q.id.toString).count() >= 1L)
+    } finally {
+      q.stop(); rec.stop()
+    }
+  }
 }
