@@ -878,6 +878,69 @@ object Similarity {
       .reduce(_.unionByName(_))
   }
 
+  /** Recall-ADAPTIVE probe over a persisted IVF-PQ index: probe
+    * narrow first (`nprobe0` cells), then re-probe at `nprobeMax`
+    * ONLY the queries whose first pass looks beatable — the right
+    * probe-cost shape at scale, where a fixed wide nprobe pays the
+    * hard queries' bill for every easy one (most queries' neighbors
+    * live in their top-1/2 cells; a uniform nprobe=8 reads 4× the
+    * cells the easy majority needs).
+    *
+    * Escalation criterion, computed set-based in ONE pass over the
+    * query set (no driver-side per-query loop): a query escalates iff
+    * it returned fewer than `k` rows, OR its kth-neighbor cosine is
+    * below the cosine to its first NOT-probed centroid plus `margin`
+    * ([[graft.functions.CellCosinesExpr]] — the assignment loop
+    * emitting cell cosines, so the signal costs one fused expression
+    * over nlist centroids, not a second probe). The centroid cosine
+    * is the standard practical proxy for "could that cell still hold
+    * a better neighbor" (a cell whose CENTER already beats your kth
+    * hit very plausibly contains members that do); `margin` > 0
+    * escalates more eagerly, < 0 less.
+    *
+    * Both passes are the plain [[ivfPqIndexedTopK]], so the contract
+    * is exact by construction: escalated queries return EXACTLY the
+    * fixed-`nprobeMax` result, non-escalated queries exactly the
+    * fixed-`nprobe0` result — and since the top-`nprobeMax` cells are
+    * a superset of the top-`nprobe0` cells, an escalated query's
+    * recall can only improve. Total work = |easy|·nprobe0 +
+    * |hard|·nprobeMax probed cells (two partition-pruned scans).
+    */
+  def ivfPqIndexedTopKAdaptive(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, queries: DataFrame, k: Int = 10,
+                               nprobe0: Int = 2, nprobeMax: Int = 8,
+                               margin: Double = 0.0,
+                               rerank: Int = 50): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val centroids = readIndexCentroids(spark, dir)
+    val p0 = math.min(math.max(nprobe0, 1), centroids.length)
+    val pMax = math.min(math.max(nprobeMax, p0), centroids.length)
+    val first = ivfPqIndexedTopK(spark, dir, queries, k, p0, rerank)
+    if (pMax == p0) return first
+    // decision inputs: pass-1 hit count + kth cosine, and the cosine
+    // to the first unprobed centroid (element p0+1 of the ranked
+    // cell-cosine array; absent when nlist ≤ p0 ⇒ nothing unprobed)
+    val nextCos = queries.select(col("vec_id").as("q_id"),
+        toCol(graft.functions.CellCosinesExpr(centroids,
+          math.min(p0 + 1, centroids.length),
+          toExpr(col("embedding")))).as("_cc"))
+      .select(col("q_id"),
+        when(size(col("_cc")) > p0, element_at(col("_cc"), p0 + 1))
+          .otherwise(lit(-1.0)).as("next_cos"))
+    val stats = first.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"), min(col("cosine")).as("kth"))
+    // left join: a query with NO pass-1 rows (e.g. its probed cells
+    // are empty) has no stats row and must escalate
+    val escalated = nextCos.join(stats, Seq("q_id"), "left")
+      .filter(coalesce(col("hits"), lit(0L)) < k ||
+        col("kth") < col("next_cos") + margin)
+      .select(col("q_id"))
+    val hardQueries = queries.join(escalated,
+      queries("vec_id") === escalated("q_id"), "left_semi")
+    first.join(escalated, Seq("q_id"), "left_anti")
+      .unionByName(ivfPqIndexedTopK(spark, dir, hardQueries, k, pMax, rerank))
+  }
+
   /** Freshness composition (the lambda shape): top-k over the
     * persisted index PLUS a small not-yet-appended delta corpus —
     * what a serving layer queries between ingest batches, so new

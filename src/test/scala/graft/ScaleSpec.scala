@@ -329,11 +329,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   ext_sim_lsh_delta — same shape for the LSH family's twin:
     //                   exact brute force over the batch-sized delta
     //                   plus the embedded recall baseline.
+    //   ext_sim_ivfpq_adaptive — identical probe shapes to _indexed
+    //                   (both passes ARE that probe) plus the family's
+    //                   embedded brute-force recall baseline; the
+    //                   escalation decision itself is an equi-join.
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
       "ext_sim_ivfpq", "ext_sim_ivfpq_indexed", "ext_sim_ivfpq_appended",
-      "ext_sim_ivfpq_delta", "ext_sim_lsh_delta")
+      "ext_sim_ivfpq_delta", "ext_sim_lsh_delta", "ext_sim_ivfpq_adaptive")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -545,6 +545,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"no partition pruning on cell in plan:\n$plan")
   }
 
+  test("adaptive probe: escalated ≡ wide probe, non-escalated ≡ narrow, recall never below narrow") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-adapt"
+    Similarity.buildIvfPqIndex(corpus, dir, nlist = 8, m = 8, ksub = 16)
+    val q = corpus.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSet
+    val narrow = rows(Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+      nprobe = 1, rerank = 300))
+    val wide = rows(Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+      nprobe = 8, rerank = 300))
+    // margin +2 makes the criterion unbeatable: every query escalates
+    // and the result is EXACTLY the fixed-wide probe
+    assert(rows(Similarity.ivfPqIndexedTopKAdaptive(spark, dir, q, k = 5,
+      nprobe0 = 1, nprobeMax = 8, margin = 2.0, rerank = 300)) === wide)
+    // margin −3 disables the cosine criterion; every query finds 5
+    // hits in its top cell here, so nothing escalates: exactly narrow
+    assert(rows(Similarity.ivfPqIndexedTopKAdaptive(spark, dir, q, k = 5,
+      nprobe0 = 1, nprobeMax = 8, margin = -3.0, rerank = 300)) === narrow)
+    // default margin: per-query sets are one of the two fixed probes'
+    // (parity by construction), and recall vs exact never drops below
+    // the narrow probe's — escalated queries probe a superset of cells
+    val adapt = rows(Similarity.ivfPqIndexedTopKAdaptive(spark, dir, q,
+      k = 5, nprobe0 = 1, nprobeMax = 8, rerank = 300))
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long, Double, Long)]) =
+      (s.map(r => (r._1, r._2)) & exact).size.toDouble / exact.size
+    assert(recall(adapt) >= recall(narrow),
+      s"adaptive recall ${recall(adapt)} fell below narrow ${recall(narrow)}")
+    val byQ = adapt.groupBy(_._1)
+    assert(byQ.forall { case (qid, s) =>
+      val n = narrow.filter(_._1 == qid); val w = wide.filter(_._1 == qid)
+      s == n || s == w
+    }, "a query's adaptive rows match neither fixed probe")
+  }
+
   test("describeIndex: per-segment footprint, frozen-model shape, epoch coherence") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-desc"
     Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
