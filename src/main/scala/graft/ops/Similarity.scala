@@ -674,13 +674,32 @@ object Similarity {
         (seg, cells.length.toLong, leaves.length.toLong,
           leaves.map(_.getLen).sum)
       }.toSeq
-    // row counts: zero-column aggregate, parquet-footer bounded
-    val rowsBySeg = spark.read.parquet(base)
-      .groupBy(col("seg")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // frozen-model shape from the model tables (tiny by construction)
+    // row counts: zero-column aggregate, parquet-footer bounded. An
+    // index crashed mid-build may have seg dirs with no committed
+    // parquet yet — report zero rows rather than throw (r9 ADVICE:
+    // the report-don't-refuse contract must survive a torn build).
+    val rowsBySeg =
+      if (perSeg.isEmpty) Map.empty[String, Long]
+      else try {
+        spark.read.parquet(base)
+          .groupBy(col("seg")).agg(count(lit(1)).as("rows"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Map.empty[String, Long]
+      }
+    // frozen-model shape from the model tables (tiny by construction).
+    // A build that crashed before the centroid table committed has no
+    // model yet: report model="unknown"/nlist=0 instead of throwing —
+    // and since the data tree's epoch marker then has no model-tree
+    // counterpart, `coherent` comes out false below, which IS the
+    // torn-build signature the caller needs to see.
+    val hasCentroids =
+      fs.exists(new org.apache.hadoop.fs.Path(base + "_centroids"))
     val hasPq = fs.exists(new org.apache.hadoop.fs.Path(base + "_codebooks"))
-    val nlist = spark.read.parquet(base + "_centroids").count().toInt
+    val nlist =
+      if (hasCentroids) spark.read.parquet(base + "_centroids").count().toInt
+      else 0
     val (pqM, pqKsub) =
       if (!hasPq) (0, 0)
       else {
@@ -689,15 +708,19 @@ object Similarity {
             (max(col("code")) + 1).as("k")).head()
         (cb.getAs[Number](0).intValue() + 1, cb.getAs[Number](1).intValue())
       }
-    // epoch coherence: all markers present must agree across trees
+    // epoch coherence: all EXPECTED trees' markers must be present and
+    // agree — `_centroids` is always expected (every build writes it),
+    // `_codebooks` only when present (plain IVF has none)
     val trees = "" +: (if (hasPq) Seq("_centroids", "_codebooks")
                        else Seq("_centroids"))
     val epochs = trees.flatMap(suf => readEpoch(fs, base + suf))
     val coherent = epochs.isEmpty ||
       (epochs.size == trees.size && epochs.distinct.size == 1)
+    val model =
+      if (!hasCentroids) "unknown" else if (hasPq) "ivfpq" else "ivf"
     perSeg.map { case (seg, cells, files, bytes) =>
       (seg, cells, files, bytes, rowsBySeg.getOrElse(seg, 0L),
-        if (hasPq) "ivfpq" else "ivf", nlist, pqM, pqKsub, coherent,
+        model, nlist, pqM, pqKsub, coherent,
         epochs.headOption.getOrElse(""))
     }.toDF("seg", "cells", "files", "bytes", "rows", "model", "nlist",
       "pq_m", "pq_ksub", "epoch_coherent", "epoch")

@@ -281,11 +281,18 @@ object Routing {
     val cols = schema.fields.map(_.name).toSeq
     val valCols = cols.filterNot(keyCols.contains)
     if (jdbcUrl.startsWith("jdbc:postgresql:")) {
+      // identifiers quoted LOWERCASE: PostgreSQL folds unquoted DDL to
+      // lower, so "coin" matches every unquoted-created table, and
+      // quoting keeps reserved-word kline columns (timestamp, open,
+      // close, year, ...) valid — the same convention the Derby branch
+      // applies uppercase (r9 ADVICE: the two dialects must not
+      // diverge on which column names they can merge into)
+      def q(c: String) = "\"" + c.toLowerCase + "\""
       val sql =
-        s"""INSERT INTO $table (${cols.mkString(", ")})
+        s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
            |VALUES (${cols.map(_ => "?").mkString(", ")})
-           |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE
-           |SET ${valCols.map(c => s"$c = EXCLUDED.$c").mkString(", ")}""".stripMargin
+           |ON CONFLICT (${keyCols.map(q).mkString(", ")}) DO UPDATE
+           |SET ${valCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}""".stripMargin
       (sql, cols.map(schema.fieldIndex).toArray)
     } else {
       def cast(c: String) =

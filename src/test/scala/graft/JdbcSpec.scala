@@ -80,11 +80,19 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     val (pgSql, pgBind) = Routing.upsertStatement(
       "jdbc:postgresql://db:5432/graft", "latest", schema, Seq("coin"))
     assert(pgSql ==
-      """INSERT INTO latest (coin, ts, price)
+      """INSERT INTO latest ("coin", "ts", "price")
         |VALUES (?, ?, ?)
-        |ON CONFLICT (coin) DO UPDATE
-        |SET ts = EXCLUDED.ts, price = EXCLUDED.price""".stripMargin)
+        |ON CONFLICT ("coin") DO UPDATE
+        |SET "ts" = EXCLUDED."ts", "price" = EXCLUDED."price"""".stripMargin)
     assert(pgBind.toSeq == Seq(0, 1, 2))
+    // quoting symmetry with the Derby branch: a reserved-word or
+    // mixed-case column renders lowercase-quoted, never raw (PG folds
+    // unquoted identifiers to lower, so this matches unquoted DDL)
+    val rsvd = Seq(("BTC", 1L, 10.0)).toDF("coin", "TIMESTAMP", "Open").schema
+    val (pgSql2, _) = Routing.upsertStatement(
+      "jdbc:postgresql://db:5432/graft", "latest", rsvd, Seq("coin"))
+    assert(pgSql2.contains("\"timestamp\" = EXCLUDED.\"timestamp\"") &&
+      pgSql2.contains("\"open\" = EXCLUDED.\"open\""))
 
     val (dbySql, dbyBind) = Routing.upsertStatement(url, "latest", schema, Seq("coin"))
     assert(dbySql.startsWith("MERGE INTO latest t USING SYSIBM.SYSDUMMY1 d"))

@@ -619,5 +619,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val ivf = Similarity.describeIndex(spark, ivfDir).collect()
     assert(ivf.forall(r => r.getAs[String]("model") == "ivf" &&
       r.getAs[Int]("pq_m") == 0 && r.getAs[Boolean]("epoch_coherent")))
+    // a build crashed BEFORE the centroid table committed (data tree
+    // present, no model tables) is still reportable: model unknown,
+    // nlist 0, and the data tree's orphan epoch marker makes the
+    // incoherence visible — report-don't-refuse holds even here
+    fs.rename(new org.apache.hadoop.fs.Path(ivfDir + "_centroids"),
+      new org.apache.hadoop.fs.Path(ivfDir + "_centroids.hidden"))
+    val midBuild = Similarity.describeIndex(spark, ivfDir).collect()
+    assert(midBuild.nonEmpty && midBuild.forall(r =>
+      r.getAs[String]("model") == "unknown" && r.getAs[Int]("nlist") == 0 &&
+        !r.getAs[Boolean]("epoch_coherent")))
+    fs.rename(new org.apache.hadoop.fs.Path(ivfDir + "_centroids.hidden"),
+      new org.apache.hadoop.fs.Path(ivfDir + "_centroids"))
   }
 }

@@ -100,4 +100,53 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
       composed.getItem(0).getField("cell").as("ref")).collect()
     one.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("graft_cell_cosines ranks cells in exactly graft_top_cells' order") {
+    // the adaptive-probe escalation signal depends on the two
+    // expressions' duplicated argmin-k loops staying element-wise in
+    // sync: element i of cell_cosines must score the cell top_cells
+    // puts at position i (r9 ADVICE — the probe spec alone would not
+    // catch a desync, since its result matches a fixed probe either
+    // way). Covers ties (duplicated centroid) and the zero-norm row.
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val rnd = new scala.util.Random(17)
+    val centroids = Array.fill(19, 12)(rnd.nextGaussian())
+    centroids(9) = centroids(2).clone() // equal-score tie pair
+    val embs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextGaussian().toFloat))) :+
+      (200L, Array.fill(12)(0.0f)) // zero-norm: cosine undefined → −1
+    val df = embs.toDF("vec_id", "embedding")
+    val k = 5
+    val rows = df.select(col("embedding"),
+      toCol(graft.functions.TopCellsExpr(centroids, k, toExpr(col("embedding"))))
+        .as("cells"),
+      toCol(graft.functions.CellCosinesExpr(centroids, k, toExpr(col("embedding"))))
+        .as("cos")).collect()
+    def refCosine(e: Seq[Float], c: Array[Double]): Double = {
+      val dot = e.zip(c).map { case (x, y) => x.toDouble * y }.sum
+      val d = math.sqrt(e.map(x => x.toDouble * x).sum) *
+        math.sqrt(c.map(x => x * x).sum)
+      if (d > 0) dot / d else -1.0
+    }
+    rows.foreach { r =>
+      val e = r.getSeq[Float](0)
+      val cells = r.getSeq[Int](1)
+      val cos = r.getSeq[Double](2)
+      assert(cells.length == k && cos.length == k)
+      cells.zip(cos).foreach { case (cell, c) =>
+        val ref = refCosine(e, centroids(cell))
+        assert(math.abs(c - ref) < 1e-12,
+          s"cell $cell: cosine $c != independent $ref")
+      }
+      // the tie pair (cells 2 and 9 identical): if both ranked, they
+      // must be adjacent and in id order — the tie-break both loops
+      // claim to share
+      val i2 = cells.indexOf(2); val i9 = cells.indexOf(9)
+      if (i2 >= 0 && i9 >= 0) assert(i9 == i2 + 1,
+        s"tied cells not adjacent in id order: $cells")
+    }
+    // zero-norm row: every cosine is −1, the never-escalate value
+    val znRow = rows.find(_.getSeq[Float](0).forall(_ == 0.0f)).get
+    assert(znRow.getSeq[Double](2).forall(_ == -1.0))
+  }
 }

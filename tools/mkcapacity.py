@@ -21,9 +21,35 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 SCALE_MD = os.path.join(HERE, "..", "SCALE.md")
 
-# measured once for the committed fixtures (du -sb): parquet bytes on
-# disk at sf25 — the ratio base for the 100 TB projection
-SF25_BYTES = 5_340_660_433
+# parquet bytes on disk at sf25 — the ratio base for the 100 TB
+# projection. Derived from the fixture directory at run time; the
+# recorded constant is only a cross-check (r9 ADVICE: a regenerated
+# fixture must not silently drift the projection while the sheet
+# still claims to be machine-derived) and the fallback when the
+# fixture is absent on the machine running the tool.
+SF25_DIR = "/tmp/sfdata/sf25"
+SF25_BYTES_RECORDED = 5_340_660_433
+
+
+def _sf25_bytes() -> int:
+    if not os.path.isdir(SF25_DIR):
+        sys.stderr.write(f"mkcapacity: {SF25_DIR} absent — using recorded "
+                         f"constant {SF25_BYTES_RECORDED}\n")
+        return SF25_BYTES_RECORDED
+    total = 0
+    for root, _dirs, files in os.walk(SF25_DIR):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    if abs(total - SF25_BYTES_RECORDED) > 0.01 * SF25_BYTES_RECORDED:
+        raise SystemExit(
+            f"mkcapacity: sf25 fixture measures {total} bytes but the "
+            f"recorded constant is {SF25_BYTES_RECORDED} (>1% drift) — "
+            "the fixture was regenerated; update SF25_BYTES_RECORDED "
+            "deliberately so the projection base is a reviewed change.")
+    return total
+
+
+SF25_BYTES = _sf25_bytes()
 TARGET_BYTES = 100e12
 # reference cluster: 1000 executors x 4 cores, vs the 32-core bench box
 CLUSTER_CORES = 4000
