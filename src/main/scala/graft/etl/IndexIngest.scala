@@ -87,15 +87,19 @@ object IndexIngest {
   def startIvfPqAppend(stream: DataFrame, indexDir: String,
                        checkpointDir: String,
                        trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-                       autoCompactSegments: Int = 64): StreamingQuery =
-    stream.writeStream
+                       autoCompactSegments: Int = 64,
+                       queryName: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, indexDir, checkpointDir, batchId,
           autoCompactSegments)
       }
-      .start()
+    // named queries key the telemetry table's partitions, which is
+    // what Telemetry.healthView joins index posture against
+    queryName.fold(w)(w.queryName).start()
+  }
 
   /** Bootstrap the composed pipeline's two stores COHERENTLY: the
     * seed set is admitted into the dedup corpus (in-seed near-dups
@@ -197,8 +201,9 @@ object IndexIngest {
                               threshold: Double = 0.8, bands: Int = 8,
                               bitsPerBand: Int = 4, hashSeed: Long = 42L,
                               trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-                              autoCompactSegments: Int = 64): StreamingQuery =
-    stream.writeStream
+                              autoCompactSegments: Int = 64,
+                              queryName: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -206,7 +211,8 @@ object IndexIngest {
           batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
           autoCompactSegments)
       }
-      .start()
+    queryName.fold(w)(w.queryName).start()
+  }
 
   /** Run tag = checkpoint identity — [[DedupIngest.runTagOf]], the
     * ONE shared derivation: stable across resume of the same

@@ -148,4 +148,70 @@ class KlinePipelineE2eSpec extends AnyFunSuite with SparkTestBase {
       q.stop(); rec.stop()
     }
   }
+
+  test("health view: flagship lag + index segment posture in one operator table") {
+    // the single table an operator reads (r9 VERDICT #6): the kline
+    // JDBC flagship and the index-maintenance stream run under ONE
+    // telemetry recorder, and Telemetry.healthView joins each query's
+    // lag summary with describeIndex's segment posture for the
+    // queries that maintain an index — after a lagging, segment-heavy
+    // run, both failure signals surface in the same rows
+    implicit val ctx = spark.sqlContext
+    import graft.etl.IndexIngest
+    val t0 = 1704067200000L
+    val tmp = Files.createTempDirectory("kp-health").toString
+    val (telem, corpus, idx) = (s"$tmp/telem", s"$tmp/corpus", s"$tmp/idx")
+    val rec = graft.streaming.Telemetry.attach(spark, telem)
+    def vec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(32)(rnd.nextGaussian().toFloat)
+    }
+    IndexIngest.bootstrapDedupedIvfPq(
+      (0 until 20).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      corpus, idx, nlist = 4, m = 4, ksub = 16)
+    // flagship, named so the health view's rows are addressable
+    val ms = MemoryStream[String]
+    val q = KlinePipeline.longtimeJdbc(
+      ms.toDF().select(col("value").cast("binary").as("value")),
+      url, "klines_health", props,
+      Files.createTempDirectory("kp-health-cp").toString)
+      .queryName("kline_flagship").start()
+    // index maintenance: three AvailableNow rounds on one checkpoint
+    // = three committed segments beside base (threshold 64: no fold —
+    // the segment-heavy posture the view exists to surface)
+    val es = MemoryStream[(Long, Array[Float])]
+    val icp = s"$tmp/icp"
+    (0 until 3).foreach { r =>
+      es.addData((20 + 10 * r until 30 + 10 * r).map(i => (i.toLong, vec(i))): _*)
+      val iq = IndexIngest.startDedupedIvfPqAppend(
+        es.toDF().toDF("vec_id", "embedding"), corpus, idx, icp,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        queryName = Some("idx_maint"))
+      iq.awaitTermination()
+    }
+    try {
+      ms.addData(klineJson("BTC", t0, 1.5))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (rec.pending() < 4 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      rec.flush()
+      val hv = graft.streaming.Telemetry.healthView(spark, telem,
+        triggerMs = 0L, indexes = Map("idx_maint" -> idx))
+        .collect().map(r => r.getAs[String]("query_name") -> r).toMap
+      val flag = hv("kline_flagship")
+      assert(flag.getAs[Long]("batches") >= 1L &&
+        flag.getAs[Long]("lagging_batches") >= 1L)
+      assert(flag.isNullAt(flag.fieldIndex("index_segments")),
+        "flagship maintains no index — its index columns must be null")
+      val maint = hv("idx_maint")
+      assert(maint.getAs[Long]("lagging_batches") >= 1L)
+      assert(maint.getAs[Long]("index_segments") === 4L, // base + 3
+        s"segment posture wrong: ${maint}")
+      assert(maint.getAs[Long]("index_rows") === 50L)
+      assert(maint.getAs[Boolean]("index_epoch_coherent"))
+    } finally {
+      q.stop(); rec.stop()
+    }
+  }
 }
