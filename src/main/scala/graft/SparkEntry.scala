@@ -174,6 +174,16 @@ object SparkEntry {
   private def buildIndexOnce(key: String)(build: => Unit): Unit =
     builtIndexes.computeIfAbsent(key, _ => { build; true })
 
+  /** Same once-per-index memo for the adaptive probe's calibrated
+    * escalation margin: calibration is index state (a bounded-sample
+    * act at build time, amortized over every query the index serves),
+    * so the benched steady state reflects the query path, not a
+    * recalibration per run. */
+  private val calibratedMargins =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def calibratedMargin(key: String)(calibrate: => Double): Double =
+    calibratedMargins.computeIfAbsent(key, _ => calibrate)
+
   /** Filesystem-safe suffix for per-fixture index names/dirs. */
   private def idxSuffix(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
@@ -2150,21 +2160,24 @@ object SparkEntry {
       // recall-ADAPTIVE probe over the persisted IVF-PQ index
       // (Similarity.ivfPqIndexedTopKAdaptive): probe 3 cells first,
       // re-probe at 10 ONLY the queries whose kth-neighbor cosine an
-      // unprobed centroid (+0.3 margin) could still beat — at scale a
-      // fixed wide nprobe pays the hard queries' bill for every easy
-      // one. Both passes are the plain indexed probe, so escalated
-      // queries return EXACTLY the nprobe=10 rows and the rest exactly
-      // the nprobe=3 rows (parity spec-pinned in SimilaritySpec, plus
-      // the superset guarantee: escalation can only raise recall).
-      // Same ≥3-of-exact-top-10 contract as ext_sim_ivfpq_indexed;
-      // measured min hits 9/4/4 at sf0.01/0.1/1 (tools.AdaptiveProbe)
-      // — the +0.3 margin is sized for the UNIFORM fixture, where
-      // neighbor cosines (~0.45) sit far above centroid cosines
-      // (~0.2) and escalation must be eager to hold the floor (297 of
-      // 400 queries escalate at sf1); on clustered real data the
-      // centroid signal separates and the same mechanism escalates
-      // the hard tail only — the probe records both numbers so the
-      // trade is visible, not assumed.
+      // unprobed cell's centroid could still beat — at scale a fixed
+      // wide nprobe pays the hard queries' bill for every easy one.
+      // Both passes are the plain indexed probe, so escalated queries
+      // return EXACTLY the nprobe=10 rows and the rest exactly the
+      // nprobe=3 rows (parity spec-pinned in SimilaritySpec, plus the
+      // superset guarantee: escalation can only raise recall). The
+      // escalation margin is CALIBRATED FROM DATA per index
+      // (Similarity.calibrateAdaptiveMargin over a bounded 256-query
+      // sample on a stride disjoint from the gate queries, one
+      // floor-stricter minHits=5): on these uniform fixtures the
+      // sampled gap distribution barely separates easy from hard, so
+      // the calibrated margin lands high (−0.15/0.19/0.33 at
+      // sf0.01/0.1/1) and escalation is eager — measured min hits
+      // 4/3/4 vs narrow's 4/2/2 (tools.AdaptiveProbe, r10); on the
+      // CLUSTERED fixture the same rule calibrates 0.21, escalates
+      // 5.1% and runs 0.51x the fixed-wide wall at the identical
+      // below3=0 floor (SCALE.md r10 table) — one rule, measured on
+      // both fixtures instead of a fixture-tuned constant.
       Some("""SELECT vec_id AS q_id, true AS recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
       (s, dir) => {
@@ -2177,8 +2190,17 @@ object SparkEntry {
           Similarity.buildIvfPqIndex(emb, idxDir, nlist = 16, m = 8,
             ksub = 64, seed = 42L)
         }
+        // once-per-index like the build itself: the margin is index
+        // state, not per-query work
+        val margin = calibratedMargin(s"ivfpq|$dir") {
+          Similarity.calibrateAdaptiveMargin(s, idxDir,
+            emb.filter(col("vec_id") % 97 === 13).orderBy("vec_id")
+              .limit(256),
+            k = 10, nprobe0 = 3, minHits = 5, rerank = rr)
+        }
         val adaptive = Similarity.ivfPqIndexedTopKAdaptive(s, idxDir, qs,
-            k = 10, nprobe0 = 3, nprobeMax = 10, margin = 0.3, rerank = rr)
+            k = 10, nprobe0 = 3, nprobeMax = 10, margin = margin,
+            rerank = rr)
           .select(col("q_id"), col("c_id"), lit(1).as("hit"))
         Similarity.bruteForceTopK(qs, emb, k = 10)
           .select("q_id", "c_id")

@@ -934,34 +934,144 @@ object Similarity {
                                nprobe0: Int = 2, nprobeMax: Int = 8,
                                margin: Double = 0.0,
                                rerank: Int = 50): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val centroids = readIndexCentroids(spark, dir)
     val p0 = math.min(math.max(nprobe0, 1), centroids.length)
     val pMax = math.min(math.max(nprobeMax, p0), centroids.length)
+    // materialize the narrow pass and the escalation set: both are
+    // query-bounded (≤ nq·k and ≤ nq rows), and both sit on MULTIPLE
+    // branches of the final plan (stats, anti-join, semi-join) — left
+    // lazy, the narrow probe subtree re-executes once per branch and
+    // the "cheap first pass" costs 3× itself (measured 2.9× wide on
+    // the clustered fixture before this cut)
     val first = ivfPqIndexedTopK(spark, dir, queries, k, p0, rerank)
+      .localCheckpoint()
     if (pMax == p0) return first
-    // decision inputs: pass-1 hit count + kth cosine, and the cosine
-    // to the first unprobed centroid (element p0+1 of the ranked
-    // cell-cosine array; absent when nlist ≤ p0 ⇒ nothing unprobed)
-    val nextCos = queries.select(col("vec_id").as("q_id"),
-        toCol(graft.functions.CellCosinesExpr(centroids,
-          math.min(p0 + 1, centroids.length),
-          toExpr(col("embedding")))).as("_cc"))
-      .select(col("q_id"),
-        when(size(col("_cc")) > p0, element_at(col("_cc"), p0 + 1))
-          .otherwise(lit(-1.0)).as("next_cos"))
-    val stats = first.groupBy(col("q_id"))
-      .agg(count(lit(1)).as("hits"), min(col("cosine")).as("kth"))
-    // left join: a query with NO pass-1 rows (e.g. its probed cells
-    // are empty) has no stats row and must escalate
-    val escalated = nextCos.join(stats, Seq("q_id"), "left")
-      .filter(coalesce(col("hits"), lit(0L)) < k ||
-        col("kth") < col("next_cos") + margin)
-      .select(col("q_id"))
+    val escalated = adaptiveEscalations(queries, first, centroids, k, p0,
+      margin).localCheckpoint()
     val hardQueries = queries.join(escalated,
       queries("vec_id") === escalated("q_id"), "left_semi")
     first.join(escalated, Seq("q_id"), "left_anti")
       .unionByName(ivfPqIndexedTopK(spark, dir, hardQueries, k, pMax, rerank))
+  }
+
+  /** The adaptive probe's escalation set (one `q_id` column): queries
+    * whose narrow pass `first` is beatable — fewer than `k` rows
+    * returned, or kth cosine below the first unprobed centroid's
+    * cosine plus `margin`. Factored out so the evidence probe
+    * (`tools.AdaptiveProbe`) measures the EXACT escalation fraction
+    * the query path acts on, not an estimate.
+    */
+  private[graft] def adaptiveEscalations(queries: DataFrame, first: DataFrame,
+                                         centroids: Array[Array[Double]],
+                                         k: Int, p0: Int,
+                                         margin: Double): DataFrame = {
+    // decision inputs: pass-1 hit count + kth cosine, and the cosine
+    // to the first unprobed centroid (element p0+1 of the ranked
+    // cell-cosine array; absent when nlist ≤ p0 ⇒ nothing unprobed)
+    val nextCos = nextCentroidCosine(queries, centroids, p0)
+    val stats = first.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"), min(col("cosine")).as("kth"))
+    // left join: a query with NO pass-1 rows (e.g. its probed cells
+    // are empty) has no stats row and must escalate
+    nextCos.join(stats, Seq("q_id"), "left")
+      .filter(coalesce(col("hits"), lit(0L)) < k ||
+        col("kth") < col("next_cos") + margin)
+      .select(col("q_id"))
+  }
+
+  /** The MAX cosine over each query's NOT-probed cells at narrow
+    * width `p0` ([[graft.functions.CellCosinesExpr]] with k = nlist —
+    * the assignment loop with cosines fused in, one expression over
+    * nlist centroids either way). The max over ALL unprobed cells,
+    * not just the next-by-assignment-score one: cells are probed in
+    * `‖c‖²/2 − x·c` order, so an unprobed cell further down the score
+    * ranking can still carry the highest COSINE when centroid norms
+    * are uneven (a mixed or fat cell) — exactly the blind spot where
+    * the single-next-centroid signal measured hits=0 queries that
+    * never escalated on the clustered fixture. −1 when nothing is
+    * unprobed (nlist ≤ p0) or the query has zero norm.
+    */
+  private def nextCentroidCosine(queries: DataFrame,
+                                 centroids: Array[Array[Double]],
+                                 p0: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    queries.select(col("vec_id").as("q_id"),
+        toCol(graft.functions.CellCosinesExpr(centroids, centroids.length,
+          toExpr(col("embedding")))).as("_cc"))
+      .select(col("q_id"),
+        when(size(col("_cc")) > p0,
+          array_max(slice(col("_cc"), p0 + 1, centroids.length)))
+          .otherwise(lit(-1.0)).as("next_cos"))
+  }
+
+  /** Calibrate the adaptive probe's escalation margin FROM DATA
+    * (r9 VERDICT #1 — the hardcoded +0.3 was sized for the uniform
+    * fixture and measured nowhere else): run the narrow pass over a
+    * bounded `sample` of queries, compare against the exact top-k on
+    * the index's own contents, and set the margin from the
+    * distribution of per-query `gap = kth-cosine − next-centroid-
+    * cosine` — the exact quantity the escalation test thresholds
+    * (a query escalates iff its gap < margin).
+    *
+    *   - Every sampled query that MISSES the recall floor (`minHits`
+    *     of the exact top-k) at the narrow width must escalate, so
+    *     the margin is the max failing gap + `eps`.
+    *   - When the whole sample holds the floor narrow (clustered
+    *     data — neighbors concentrated in the top cells, centroid
+    *     signal well separated), the margin falls back to the
+    *     `safetyQuantile` of the gap distribution: the hardest few
+    *     percent still escalate as insurance for the unsampled tail.
+    *
+    * On uniform data the gap barely separates easy from hard queries,
+    * so the failing max drives the margin HIGH and most queries
+    * escalate — the eager behavior the uniform recall floors require.
+    * On clustered data the same rule yields a SMALL margin and the
+    * wide pass prices only the tail. One rule, fixture-appropriate
+    * cost — measured in `tools.AdaptiveProbe` on both fixtures.
+    *
+    * Cost: one bounded brute-force (|sample| × corpus — calibrate
+    * with a few hundred queries, the sample size bounds the work at
+    * every corpus scale) plus one narrow probe; a once-per-index act
+    * like the kmeans fit itself, amortized over every query the
+    * index ever serves.
+    */
+  def calibrateAdaptiveMargin(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, sample: DataFrame, k: Int = 10,
+                              nprobe0: Int = 2, minHits: Int = 3,
+                              rerank: Int = 50,
+                              safetyQuantile: Double = 0.05,
+                              eps: Double = 0.02): Double = {
+    val centroids = readIndexCentroids(spark, dir)
+    val p0 = math.min(math.max(nprobe0, 1), centroids.length)
+    if (p0 == centroids.length) return 0.0 // nothing is ever unprobed
+    val narrow = ivfPqIndexedTopK(spark, dir, sample, k, p0, rerank)
+    val corpus = spark.read.parquet(dir.stripSuffix("/"))
+      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
+    // ground truth per sampled query; zero-norm queries (no exact
+    // rows, unfixable by escalation) drop out here by construction
+    val exact = bruteForceTopK(sample, corpus, k).select("q_id", "c_id")
+    val hits = exact.join(
+        narrow.select(col("q_id"), col("c_id"), lit(1).as("h")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id").agg(sum(coalesce(col("h"), lit(0))).as("hits"))
+    val kth = narrow.groupBy("q_id")
+      .agg(min(col("cosine")).as("kth"), count(lit(1)).as("returned"))
+    val gaps = hits
+      .join(kth, Seq("q_id"), "left")
+      .join(nextCentroidCosine(sample, centroids, p0), Seq("q_id"))
+      .select(
+        (coalesce(col("kth"), lit(-1.0)) - col("next_cos")).as("gap"),
+        (col("hits") >= minHits &&
+          coalesce(col("returned"), lit(0L)) >= k).as("ok"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    require(gaps.nonEmpty, "calibrateAdaptiveMargin: empty sample")
+    val failing = gaps.collect { case (g, false) => g }
+    if (failing.nonEmpty) failing.max + eps
+    else {
+      val sorted = gaps.map(_._1).sorted
+      sorted(math.min(sorted.length - 1,
+        (safetyQuantile * sorted.length).toInt))
+    }
   }
 
   /** Freshness composition (the lambda shape): top-k over the

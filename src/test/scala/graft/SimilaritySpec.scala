@@ -581,6 +581,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }, "a query's adaptive rows match neither fixed probe")
   }
 
+  test("calibrated margin escalates every sampled floor-misser; clustered fixture deterministic") {
+    // the r10 configuration: the escalation margin comes from
+    // calibrateAdaptiveMargin, whose contract is (a) every sampled
+    // query that misses the recall floor at the narrow width has
+    // gap < margin, i.e. WILL escalate under the calibrated value,
+    // and (b) on an all-passing sample the safety quantile keeps a
+    // small escalation reserve. Pinned on the clustered shape the
+    // feature exists for.
+    val emb = graft.tools.ClusteredFixture
+      .frame(spark, n = 2000, dim = 32, nClusters = 10, noise = 0.35,
+        bgFrac = 0.15, seed = 7L).localCheckpoint()
+    // determinism under any partitioning: the generator is keyed by
+    // vec_id, not by split (reruns/appends must see identical bytes)
+    val again = graft.tools.ClusteredFixture
+      .frame(spark, n = 2000, dim = 32, nClusters = 10, noise = 0.35,
+        bgFrac = 0.15, seed = 7L).repartition(7)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+      .zip(again).forall { case ((i1, v1), (i2, v2)) =>
+        i1 == i2 && v1.sameElements(v2) })
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-cal"
+    Similarity.buildIvfPqIndex(emb, dir, nlist = 8, m = 8, ksub = 16)
+    val sample = emb.filter(col("vec_id") % 7 === 1).orderBy("vec_id")
+      .limit(128)
+    val margin = Similarity.calibrateAdaptiveMargin(spark, dir, sample,
+      k = 10, nprobe0 = 2, minHits = 5, rerank = 100)
+    // (a) replay the calibration decision: under the returned margin,
+    // every sampled query below the floor is in the escalation set
+    val narrow = Similarity.ivfPqIndexedTopK(spark, dir, sample, k = 10,
+      nprobe = 2, rerank = 100).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(sample, emb, k = 10)
+      .select("q_id", "c_id")
+    val failing = exact.join(
+        narrow.select(col("q_id"), col("c_id"), lit(1).as("h")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id").agg(sum(coalesce(col("h"), lit(0))).as("hits"))
+      .filter(col("hits") < 5).select("q_id")
+      .as[Long].collect().toSet
+    val centroids = Similarity.readIndexCentroids(spark, dir)
+    val escalated = Similarity.adaptiveEscalations(sample, narrow,
+        centroids, k = 10, p0 = 2, margin = margin)
+      .as[Long].collect().toSet
+    assert(failing.subsetOf(escalated),
+      s"calibrated margin $margin missed failing queries ${failing -- escalated}")
+    // (b) and the adaptive probe at that margin matches the wide
+    // probe's floor on the sample (floor-missers all escalated to the
+    // wide result; everyone else held ≥5 narrow by definition)
+    def minHits(res: org.apache.spark.sql.DataFrame): Long = exact.join(
+        res.select(col("q_id"), col("c_id"), lit(1).as("h")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id").agg(sum(coalesce(col("h"), lit(0))).as("hits"))
+      .agg(min("hits")).head().getLong(0)
+    val wideFloor = minHits(Similarity.ivfPqIndexedTopK(spark, dir, sample,
+      k = 10, nprobe = 8, rerank = 100))
+    val adaptFloor = minHits(Similarity.ivfPqIndexedTopKAdaptive(spark, dir,
+      sample, k = 10, nprobe0 = 2, nprobeMax = 8, margin = margin,
+      rerank = 100))
+    assert(adaptFloor >= math.min(5L, wideFloor),
+      s"adaptive floor $adaptFloor below min(5, wide=$wideFloor)")
+  }
+
   test("describeIndex: per-segment footprint, frozen-model shape, epoch coherence") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-desc"
     Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)
