@@ -1074,6 +1074,107 @@ object Similarity {
     }
   }
 
+  /** Outcome of [[adviseProbeMode]]: the calibrated margin, the exact
+    * escalation fraction the adaptive probe would act on over the
+    * sample, the fitted per-call overhead and marginal per-query cost
+    * of each probe mode, and the recommendation for the
+    * large-workload (marginal-cost) regime with its measured
+    * break-even query count. Every field is a measurement on THIS
+    * index on THIS machine — the advice carries its own evidence.
+    * `breakEvenQueries` = the per-call query-batch size above which
+    * adaptive is cheaper (0 = always, Long.MaxValue = never at any
+    * batch size).
+    */
+  final case class ProbeModeAdvice(margin: Double,
+                                   escalationFraction: Double,
+                                   adaptiveOverhead: Double,
+                                   adaptivePerQuery: Double,
+                                   wideOverhead: Double,
+                                   widePerQuery: Double,
+                                   breakEvenQueries: Long,
+                                   recommendAdaptive: Boolean)
+
+  /** Measure, once per index, which probe mode is cheaper HERE — the
+    * operator-facing answer to "fixed or adaptive?" that SCALE.md's
+    * fixture table otherwise leaves as reading homework. The adaptive
+    * probe's economy is corpus-shape- and workload-dependent: its
+    * second pass and escalation signal cost a fixed per-CALL overhead
+    * that dominates tiny query batches, while its narrow-pass saving
+    * is per-QUERY and dominates production batches. A raw wall A/B on
+    * a bounded sample therefore mispredicts the production regime —
+    * on the clustered evidence fixture, 256 sampled queries measure
+    * adaptive ≈ wide (overhead-bound) while the 2000-query workload
+    * measures 0.51× — so the advice fits the two regimes apart with
+    * a TWO-POINT fit: time both modes interleaved at half and full
+    * sample (2 rounds each, per-cell min — same-run ratios are the
+    * stable signal on a drifting box), solve `wall = overhead +
+    * perQuery·n` per mode, and recommend on the MARGINAL per-query
+    * cost, reporting the break-even batch size where the overhead
+    * amortizes. When the marginals measure inverted (uniform-ish data
+    * where escalation is near-total and adaptive's marginal exceeds
+    * wide's), the recommendation is fixed at every batch size —
+    * honest, that is the fixture where adaptive loses. Cost: four
+    * bounded probe passes on top of calibration's brute-force pass —
+    * once-per-index work in the same class as the k-means fit,
+    * amortized over every query the index ever serves. Recall is NOT
+    * part of the decision because the adaptive contract already pins
+    * it: escalated queries return exactly the wide rows and
+    * escalation only widens probed cells, so at the calibrated margin
+    * the floors match by construction (spec-pinned in
+    * SimilaritySpec). The sample must carry (vec_id, embedding) rows
+    * — the same shape [[calibrateAdaptiveMargin]] takes.
+    */
+  def adviseProbeMode(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, sample: DataFrame, k: Int = 10,
+                      nprobe0: Int = 2, nprobeMax: Int = 8,
+                      minHits: Int = 3, rerank: Int = 50): ProbeModeAdvice = {
+    val margin = calibrateAdaptiveMargin(spark, dir, sample, k, nprobe0,
+      minHits, rerank)
+    val centroids = readIndexCentroids(spark, dir)
+    val p0 = math.min(math.max(nprobe0, 1), centroids.length)
+    val pMax = math.min(math.max(nprobeMax, p0), centroids.length)
+    val full = sample.localCheckpoint()
+    val nFull = full.count()
+    require(nFull >= 8, s"adviseProbeMode: sample has $nFull rows — the " +
+      "two-point fit needs at least 8 (use the 256-query calibration sample)")
+    val nHalf = nFull / 2
+    val half = full.orderBy(col("vec_id")).limit(nHalf.toInt).localCheckpoint()
+    val narrow = ivfPqIndexedTopK(spark, dir, full, k, p0, rerank)
+      .localCheckpoint()
+    val escalated =
+      adaptiveEscalations(full, narrow, centroids, k, p0, margin).count()
+    def wall(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
+    }
+    def adaptive(qs: DataFrame)() = ivfPqIndexedTopKAdaptive(spark, dir, qs,
+      k, p0, pMax, margin, rerank)
+    def wide(qs: DataFrame)() = ivfPqIndexedTopK(spark, dir, qs, k, pMax,
+      rerank)
+    // interleaved best-of-2 per (mode, size) cell
+    val walls = (1 to 2).map { _ =>
+      (wall(adaptive(half)), wall(wide(half)),
+        wall(adaptive(full)), wall(wide(full)))
+    }
+    val (aHalf, wHalf) = (walls.map(_._1).min, walls.map(_._2).min)
+    val (aFull, wFull) = (walls.map(_._3).min, walls.map(_._4).min)
+    // per-mode fit; marginals clamped at 0 (a noisy run can measure
+    // the larger batch faster — that reads as "free queries", not a
+    // negative cost)
+    def fit(wHalfS: Double, wFullS: Double): (Double, Double) = {
+      val m = math.max(0.0, (wFullS - wHalfS) / (nFull - nHalf))
+      (math.max(0.0, wHalfS - m * nHalf), m)
+    }
+    val (oA, mA) = fit(aHalf, aFull)
+    val (oW, mW) = fit(wHalf, wFull)
+    val recommend = if (mW != mA) mA < mW else aFull < wFull
+    val breakEven =
+      if (mW <= mA) Long.MaxValue
+      else math.max(0L, math.ceil((oA - oW) / (mW - mA)).toLong)
+    ProbeModeAdvice(margin,
+      if (nFull == 0) 0.0 else escalated.toDouble / nFull,
+      oA, mA, oW, mW, breakEven, recommend)
+  }
+
   /** Freshness composition (the lambda shape): top-k over the
     * persisted index PLUS a small not-yet-appended delta corpus —
     * what a serving layer queries between ingest batches, so new

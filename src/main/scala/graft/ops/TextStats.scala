@@ -208,15 +208,20 @@ object TextStats {
     * Shape: bigram occurrences re-join their corpus counts on the
     * (w1, w2) key — a shuffle join, as the bigram vocabulary outgrows
     * any broadcast (same call as TF-IDF's term join); per-doc rollup
-    * is one partial-agg shuffle on doc_id. The final `ntile` runs
-    * over ONE ROW PER DOCUMENT (corpus-scale inputs reduced first);
-    * at 100 TB swap it for approx-quantile thresholds on like_micro —
-    * same tiers up to sketch error, no global sort.
+    * is one partial-agg shuffle on doc_id. The final tiering runs
+    * over ONE ROW PER DOCUMENT (corpus-scale inputs reduced first)
+    * through [[Ranks.totalOrderRankSuite]] — the size-switched
+    * two-level construction, so past its threshold the global ntile
+    * is bucketed local ranks + broadcast prefix offsets (groups ×
+    * buckets parallelism with EXACT ntile arithmetic) instead of one
+    * task sorting every document; (score desc, doc_id) is the total
+    * order the suite requires and the oracle's tiebreak already pins.
     *
     * Output: (doc_id, n_bigrams, like_micro, tier 1..tiers) — docs
     * with < 2 tokens surface with n_bigrams = 0 in the tail tier.
     */
-  def lmQualityTiers(docs: DataFrame, tiers: Int = 4): DataFrame = {
+  def lmQualityTiers(docs: DataFrame, tiers: Int = 4,
+                     rankBuckets: Int = 0): DataFrame = {
     val tok = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
       .filter(col("t") =!= "")
@@ -241,10 +246,12 @@ object TextStats {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("like_micro"), lit(0L)).as("like_micro"))
-    perDoc.withColumn("tier",
-      ntile(tiers).over(org.apache.spark.sql.expressions.Window
-        .orderBy((col("like_micro").cast("double") /
-          greatest(col("n_bigrams"), lit(1L))).desc, col("doc_id")))
-        .cast("long"))
+    Ranks.totalOrderRankSuite(
+        perDoc.withColumn("_score", col("like_micro").cast("double") /
+          greatest(col("n_bigrams"), lit(1L))),
+        partCols = Seq.empty, orderCol = "_score", tieCol = "doc_id",
+        ntiles = tiers, desc = true, buckets = rankBuckets)
+      .select(col("doc_id"), col("n_bigrams"), col("like_micro"),
+        col("quartile").as("tier"))
   }
 }

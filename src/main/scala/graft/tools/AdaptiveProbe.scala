@@ -129,6 +129,19 @@ object AdaptiveProbe {
       walls.map(_._3).min)
     println(f"wall narrow=$wn%.2fs adaptive=$wa%.2fs wide=$ww%.2fs " +
       f"adaptive/wide=${wa / ww}%.2f")
+    // operator-facing recommendation: the once-per-index call a user
+    // would make (bounded to the calibration sample; two-point fit
+    // separating per-call overhead from marginal per-query cost)
+    val advice = Similarity.adviseProbeMode(spark, dir, cal, k = 10,
+      nprobe0 = p0, nprobeMax = pMax, minHits = calMinHits, rerank = rr)
+    val be = if (advice.breakEvenQueries == Long.MaxValue) "never"
+      else advice.breakEvenQueries.toString
+    println(f"advice margin=${advice.margin}%.3f " +
+      f"escFrac=${advice.escalationFraction}%.3f " +
+      f"adaptive=${advice.adaptiveOverhead}%.2fs+${advice.adaptivePerQuery * 1000}%.2fms/q " +
+      f"wide=${advice.wideOverhead}%.2fs+${advice.widePerQuery * 1000}%.2fms/q " +
+      s"breakEven=$be " +
+      s"recommend=${if (advice.recommendAdaptive) "adaptive" else "fixed"}")
     spark.stop()
   }
 }

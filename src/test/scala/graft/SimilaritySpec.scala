@@ -642,6 +642,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"adaptive floor $adaptFloor below min(5, wide=$wideFloor)")
   }
 
+  test("adviseProbeMode: advice fields replay the decisions it measured") {
+    // the recommendation is a packaged measurement, so every field
+    // must be reproducible from the primitives it claims to have run:
+    // the margin IS calibrateAdaptiveMargin's, the escalation
+    // fraction IS adaptiveEscalations' count at that margin, and the
+    // verdict/break-even ARE the marginal-cost comparison (walls are
+    // box-dependent, so the spec pins consistency, not magnitudes)
+    val emb = graft.tools.ClusteredFixture
+      .frame(spark, n = 1500, dim = 32, nClusters = 8, noise = 0.35,
+        bgFrac = 0.15, seed = 11L).localCheckpoint()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-advise"
+    Similarity.buildIvfPqIndex(emb, dir, nlist = 8, m = 8, ksub = 16)
+    val sample = emb.filter(col("vec_id") % 5 === 2).orderBy("vec_id")
+      .limit(96)
+    val advice = Similarity.adviseProbeMode(spark, dir, sample, k = 10,
+      nprobe0 = 2, nprobeMax = 8, minHits = 5, rerank = 100)
+    val margin = Similarity.calibrateAdaptiveMargin(spark, dir, sample,
+      k = 10, nprobe0 = 2, minHits = 5, rerank = 100)
+    assert(advice.margin === margin)
+    val narrow = Similarity.ivfPqIndexedTopK(spark, dir, sample, k = 10,
+      nprobe = 2, rerank = 100).localCheckpoint()
+    val esc = Similarity.adaptiveEscalations(sample, narrow,
+      Similarity.readIndexCentroids(spark, dir), k = 10, p0 = 2,
+      margin = margin).count()
+    assert(advice.escalationFraction === esc.toDouble / sample.count())
+    // fitted costs are non-negative by the clamp contract
+    assert(advice.adaptiveOverhead >= 0 && advice.adaptivePerQuery >= 0)
+    assert(advice.wideOverhead >= 0 && advice.widePerQuery >= 0)
+    // verdict consistency: marginal-cost regime decides; break-even
+    // is finite exactly when adaptive's marginal is strictly cheaper
+    if (advice.adaptivePerQuery < advice.widePerQuery) {
+      assert(advice.recommendAdaptive)
+      assert(advice.breakEvenQueries < Long.MaxValue)
+    } else if (advice.adaptivePerQuery > advice.widePerQuery) {
+      assert(!advice.recommendAdaptive)
+      assert(advice.breakEvenQueries == Long.MaxValue)
+    } else assert(advice.breakEvenQueries == Long.MaxValue)
+    // a sample too small for the fit refuses loudly
+    val tiny = intercept[IllegalArgumentException] {
+      Similarity.adviseProbeMode(spark, dir, sample.limit(4), k = 10,
+        nprobe0 = 2, nprobeMax = 8, minHits = 5, rerank = 100)
+    }
+    assert(tiny.getMessage.contains("two-point fit"))
+  }
+
   test("describeIndex: per-segment footprint, frozen-model shape, epoch coherence") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-desc"
     Similarity.buildIvfPqIndex(evenBase, dir, nlist = 8, m = 8, ksub = 16)

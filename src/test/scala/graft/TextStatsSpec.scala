@@ -79,6 +79,16 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     val v = docs.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct.size
     val perBigram = math.floor(1e9 * 2 / (1.0 + v)).toLong
     assert(out(5L)._2 == 5L * perBigram, s"v=$v got=${out(5L)}")
+    // the tiering is Ranks.totalOrderRankSuite, so past the size
+    // switch the global ntile becomes the two-level bucketed form —
+    // pin path parity here by forcing buckets on the same input
+    val twoLevel = TextStats
+      .lmQualityTiers(docs.toDF("doc_id", "text"), tiers = 3,
+        rankBuckets = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("like_micro"),
+          r.getAs[Long]("tier"))).toMap
+    assert(twoLevel == out, "two-level tiering diverged from plain ntile")
   }
 
   test("langId picks the language with most marker hits; ties go to max code") {
