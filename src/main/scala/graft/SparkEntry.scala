@@ -2059,6 +2059,44 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_binary",
+      // ZERO-TRAINING binary scan tier (Similarity.binaryTopK —
+      // SimHash estimator, Charikar 2002): vectors compress to 248
+      // random-hyperplane signs packed 62-per-BIGINT (32 bytes, 8×
+      // under the raw vector, with no k-means fit to train/persist/
+      // refit/epoch-guard), the scan ranks by Hamming distance — 4
+      // xor+bit_count ops per candidate, the cheapest scan arithmetic
+      // in the family — and the top-rerank candidates rerank exactly
+      // (the shared PQ rerank tier). The right first tier when the
+      // corpus churns faster than a quantizer should be refitted; no
+      // bucket-miss recall cliff (vs the LSH bucket form). 248 bits
+      // because Hamming over b bits takes b+1 values: at 62 bits tie
+      // plateaus swamp the rerank boundary as n grows (measured min
+      // 2-of-top-10 at 2k vectors). Random planes aren't
+      // SQL-expressible, so the pinned contract is RECALL like
+      // ext_sim_pq: ≥ 3 of the exact cosine top-10 per query with the
+      // same corpus-scaled rerank budget (4% of n, floor 100/cap 10k);
+      // measured per-query min hits (tools.BinaryProbe) recorded in
+      // COVERAGE.md — bound kept at 3 for family-uniform drift
+      // headroom.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val bin = Similarity.binaryTopK(qs, emb, k = 10, nBits = 248,
+            rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(bin, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_pq",
       // Product quantization (Jégou et al. 2011): the corpus
       // compresses to 8-byte codes (64-dim float32 = 256 B → 32×
@@ -2305,17 +2343,24 @@ object SparkEntry {
       // priority on id collision — the same union-dedup semantics as
       // ext_sim_ivfpq_delta, so both persisted families now answer
       // "searchable before the next append lands". Same recall gate:
-      // ≥ 3 of the exact top-10 per query (the delta half alone is
-      // exact, so the floor has wide margin). Query slice bounded by
-      // the point-lookup probe budget exactly like ext_sim_lsh_indexed
-      // (index n = corpus/2 sizes the adaptive bits).
+      // ≥ 3 of the exact top-10 per query. The delta half alone is
+      // exact, but a query whose top-10 skews to the INDEX half leans
+      // entirely on the bucket probe, and at the 8-bit sf1 regime
+      // radius 2 left one such query below the floor (the r10 full
+      // sf1 pass caught q_id 14400 — this entry postdates the r8 sf1
+      // sweep, so sf1 had never been measured); the probe runs at
+      // radius 3 here, 2.5× the masks for ~1.7× per-even-neighbor
+      // bucket recall at 8 bits, and the query slice is bounded by
+      // the SAME radius-3 probe budget (shared probeMaskCount — the
+      // bound and the probe cannot drift apart).
       Some("""SELECT vec_id AS q_id, true AS recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 100000""".stripMargin),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val n = Tables.cachedCount(s, dir, "embeddings")
         val bound = lshIndexedQueryBound(
-          Similarity.probeMaskCount(Similarity.lshBits(n / 2)))
+          Similarity.probeMaskCount(Similarity.lshBits(n / 2),
+            probeDist = 3))
         val qs = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound)
         val table = "graft_lsh_dhalf_" + idxSuffix(dir)
         buildIndexOnce(s"lsh_dhalf|$dir") {
@@ -2323,7 +2368,7 @@ object SparkEntry {
             table, dim = 64, seed = 42L, n = n / 2)
         }
         val merged = Similarity.lshIndexedTopKWithDelta(s, table,
-            emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10)
+            emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10, probeDist = 3)
           .select(col("q_id"), col("c_id"), lit(1).as("hit"))
         Similarity.bruteForceTopK(qs, emb, k = 10)
           .select("q_id", "c_id")
@@ -3597,7 +3642,9 @@ object SparkEntry {
     // budget (and query bound) follows lshBits(n/2), not lshBits(n)
     val bitsHalf = Similarity.lshBits(nEmbeddings / 2)
     if (bitsHalf != 8) {
-      val boundHalf = lshIndexedQueryBound(Similarity.probeMaskCount(bitsHalf))
+      // radius 3, matching the catalog entry's probe (see its comment)
+      val boundHalf = lshIndexedQueryBound(
+        Similarity.probeMaskCount(bitsHalf, probeDist = 3))
       m = m.updated("ext_sim_lsh_delta",
         s"""SELECT vec_id AS q_id, true AS recall_ok
            |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $boundHalf""".stripMargin)
@@ -3733,7 +3780,7 @@ object SparkEntry {
         }
         Similarity.lshIndexedTopKWithDelta(s, table,
           e.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 20000),
-          fq(e), k = 10)
+          fq(e), k = 10, probeDist = 3)
       }),
       // ad-hoc (no-index) IVF probes keep the catalog's pinned
       // nlist=16: the ad-hoc form re-assigns every corpus row per
@@ -3758,6 +3805,14 @@ object SparkEntry {
       "bench_sim_pq_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
         Similarity.pqTopK(fq(e), e, k = 10, m = 8, ksub = 64,
+          rerank = rerank(Tables.cachedCount(s, dir, "embeddings")))
+      }),
+      // fixed-work twin for ext_sim_binary (the gate embeds the
+      // brute-force baseline; this measures the design alone): the
+      // sign-code scan + exact rerank over a bounded query set
+      "bench_sim_binary_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.binaryTopK(fq(e), e, k = 10, nBits = 248,
           rerank = rerank(Tables.cachedCount(s, dir, "embeddings")))
       }),
       "bench_sim_ivfpq_fq" -> ((s: SparkSession, dir: String) => {

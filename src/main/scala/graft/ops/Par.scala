@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Stream-side parallelism guard for broadcast-join pipelines.
@@ -24,8 +25,12 @@ object Par {
     * into ~`ceil(bytes / maxPartitionBytes)` tasks (openCostInBytes
     * makes many-small-files scans wider than this estimate, which
     * only errs toward a harmless repartition); a LocalRelation is
-    * driver-local (width 1); any other leaf (RDD-backed plans,
-    * streaming sources) is assumed already wide so spread stays a
+    * driver-local (width 1); a LogicalRDD (cached/checkpointed input)
+    * reports its RDD's ACTUAL partition count — a localCheckpoint of
+    * a one-split fixture kept its single partition, the old
+    * assume-wide rule believed it, and a probe pinned an 8M-pair
+    * similarity scan to one task for 289 s; any other leaf
+    * (streaming sources) is assumed already wide so spread stays a
     * no-op rather than injecting a shuffle into an unknown plan.
     */
   private def estimatedScanWidth(df: DataFrame, assumeWide: Int): Long =
@@ -35,6 +40,7 @@ object Par {
         val maxSplit = math.max(1L, df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
         math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
       case _: LocalRelation => 1L
+      case lrdd: LogicalRDD => math.max(1, lrdd.rdd.getNumPartitions).toLong
       case _ => assumeWide.toLong
     }.sum
 

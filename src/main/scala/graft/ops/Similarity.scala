@@ -375,12 +375,19 @@ object Similarity {
     val cbs = pqCodebooks(corpus, m, ksub, seed)
     // code table: (c_id, 8-byte code) — the only thing the scan
     // reads. Spread BEFORE the encode projection (m·ksub·dsub madds
-    // per row) so it runs wide, not at raw scan width.
+    // per row) so it runs wide, not at raw scan width. PERSISTED for
+    // the same reason as binaryTopKChunk's code table: the non-equi
+    // candidate join is a BroadcastNestedLoopJoin whose codegen
+    // defers the unevaluated encode projection into the per-pair
+    // loop — unpersisted, the m·ksub·dsub-madd encode re-ran per
+    // candidate (4× smaller constant than the binary tier's signing,
+    // so it hid inside the sweep numbers instead of dominating them).
     val codes = spread(corpus)
       .select(col("vec_id").as("c_id"),
         toCol(PqEncodeExpr(toExpr(col("embedding")), cbs)).as("code"),
         normD(col("embedding")).as("c_nrm"))
       .filter(col("c_nrm") > 0).drop("c_nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
     val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
@@ -408,6 +415,91 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"))
     TopK.topKByLongKey(fetched, "q_id", "cosine", "c_id", k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+  }
+
+  /** ZERO-TRAINING binary scan tier (SimHash estimator, Charikar
+    * 2002 / Goemans–Williamson: P[sign differs] = angle/π): every
+    * vector compresses to `nBits` random-hyperplane signs packed
+    * 62-per-BIGINT into a small fixed array
+    * ([[graft.functions.SignBandsExpr]] per word — the banded-LSH
+    * signing loop reused as-is; default 248 bits = 4 words = 32 B,
+    * 8× smaller than the 256 B raw vector). The similarity scan
+    * ranks candidates by Hamming distance — `words` xor+bit_count
+    * ops per candidate via `zip_with`/`aggregate` over the 4-element
+    * array, the cheapest scan arithmetic any tier here has — and the
+    * per-query top-`rerank` candidates fetch their raw vectors for
+    * exact cosine rerank (the [[pqTopK]] rerank tier, shared).
+    *
+    * Why not fewer bits: Hamming over b bits takes only b+1 distinct
+    * values, so at 62 bits a growing corpus piles ties onto the
+    * rerank boundary and recall decays with n (measured min hits
+    * 2-of-top-10 at just 2k uniform vectors); 248 bits quarters the
+    * estimator variance and keeps the tie plateaus thin. Where it
+    * sits in the family: PQ at 8 B approximates the dot product
+    * through trained codebooks and wins recall-per-byte on
+    * structured corpora; the sign code needs NO training pass — no
+    * model to fit, persist, refit on drift, or epoch-guard — so it
+    * is the right FIRST tier when the corpus churns faster than a
+    * quantizer should be refitted, or the cheap pre-filter in front
+    * of an exact or PQ rerank. Distinct from [[lshTopK]], which
+    * BUCKETS by sign bits and reads only colliding buckets: the scan
+    * form pays the full (codes × queries) pass but has no
+    * bucket-miss recall cliff — brute force's recall robustness at
+    * 1/8 of its scan bytes. At 100 TB of raw vectors the code table
+    * is ~12.5 TB and the rerank tier touches rerank·|queries| rows —
+    * the [[pqTopK]] economics with the fit-free trade above.
+    * Query-set growth is bounded by the same [[queryChunks]] budget
+    * as the PQ family (per-task selection state, chunk-union
+    * row-identical).
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                 nBits: Int = 248, rerank: Int = 50, seed: Long = 42L,
+                 dim: Int = 64): DataFrame =
+    queryChunks(queries, rerank)
+      .map(qc => binaryTopKChunk(qc, corpus, k, nBits, rerank, seed, dim))
+      .reduce(_.unionByName(_))
+
+  private def binaryTopKChunk(queries: DataFrame, corpus: DataFrame,
+                              k: Int, nBits: Int, rerank: Int, seed: Long,
+                              dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.signBands
+    val planes = hyperplanes(nBits, dim, seed)
+    // 62-bit words: each is one fused SignBandsExpr signing pass
+    val blocks = planes.grouped(62).toSeq
+    def sig(c: org.apache.spark.sql.Column) =
+      array(blocks.map(b => signBands(c, b)): _*)
+    // code table: (c_id, words·8-byte sign code) — all the scan
+    // reads. PERSISTED (plan-keyed, memory-and-disk) because the
+    // non-equi candidate join compiles to BroadcastNestedLoopJoin,
+    // whose codegen defers unevaluated stream-side projection
+    // variables into the per-build-row loop — unpersisted, the
+    // 248-plane signing re-ran PER CANDIDATE PAIR (measured 16 s of
+    // a 17 s sf1 selection stage; the materialized twin ran 1.0 s).
+    // The cache boundary evaluates each row ONCE at fill, and
+    // encode-once-scan-many is this tier's design anyway — the same
+    // once-per-JVM precedent as the cached PQ codebooks and IVF fits.
+    val codes = spread(corpus)
+      .select(col("vec_id").as("c_id"), sig(col("embedding")).as("c_sig"),
+        normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0).drop("c_nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), normD(col("embedding")).as("q_nrm"))
+      .filter(col("q_nrm") > 0)
+    val qs = q.select(col("q_id"), sig(col("q_emb")).as("q_sig"))
+    // negated Hamming so the shared max-heap top-k keeps the closest;
+    // graft_hamming is the codegen'd word loop (the HOF form
+    // interpreted two lambdas per candidate pair — 289 s at the sf1
+    // catalog config for a scan whose PQ-ADC twin runs seconds)
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val scored = codes.join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .withColumn("nham",
+        -toCol(graft.functions.HammingExpr(toExpr(col("c_sig")),
+          toExpr(col("q_sig")))).cast("double"))
+      .select(col("q_id"), col("c_id"), col("nham"))
+    val cands = TopK.topKByLongKey(scored, "q_id", "nham", "c_id", rerank)
+      .select("q_id", "c_id")
+    exactRerank(cands, corpus, q, k)
   }
 
   /** Classic IVF-PQ (Jégou et al. 2011, the composition [[pqTopK]]'s
@@ -1395,16 +1487,15 @@ object Similarity {
     math.min(20, math.max(8, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
-  /** Multiprobe mask count for (nBits, probeDist ≤ 2): the size of
-    * the Hamming ball a probe explodes into — callers sizing a query
-    * set against [[lshIndexedTopK]]'s maxProbe contract divide by
-    * this. */
+  /** Multiprobe mask count for (nBits, probeDist): the size of the
+    * Hamming ball a probe explodes into (Σ C(nBits, i) for i ≤
+    * probeDist) — callers sizing a query set against
+    * [[lshIndexedTopK]]'s maxProbe contract divide by this. */
   private[graft] def probeMaskCount(nBits: Int, probeDist: Int = 2): Int =
-    (0 to probeDist).map {
-      case 0 => 1
-      case 1 => nBits
-      case 2 => nBits * (nBits - 1) / 2
-      case d => throw new IllegalArgumentException(s"probeDist $d unsupported")
+    (0 to probeDist).map { d =>
+      var c = 1L
+      for (i <- 1 to d) c = c * (nBits - i + 1) / i
+      c.toInt
     }.sum
 
   /** [[lshTopK]] with nBits sized from the corpus row count (one

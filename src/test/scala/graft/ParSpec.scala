@@ -30,13 +30,24 @@ class ParSpec extends AnyFunSuite with SparkTestBase {
 
   test("spread does not inject a shuffle into non-file plans") {
     import spark.implicits._
-    // RDD-backed / unknown leaves are assumed wide (spread must never
-    // add an exchange it cannot justify from the plan)
-    val rddDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq((1L, "a")), 8)).toDF("id", "v")
-    assert(Par.spread(rddDf) eq rddDf)
     // driver-local relations are width-1 by construction → spread
     val local = Seq((1L, "a")).toDF("id", "v")
     assert(Par.spread(local) ne local)
+  }
+
+  test("spread reads a checkpointed plan's ACTUAL partition count") {
+    import spark.implicits._
+    // a LogicalRDD leaf carries its RDD's real width: a narrow
+    // checkpoint must spread (the old assume-wide rule pinned an
+    // 8M-pair scan to one task when a one-split fixture was
+    // localCheckpoint'd), a wide one must stay untouched
+    val wideEnough = spark.sessionState.conf.numShufflePartitions
+    val narrow = (1L to 100L).toDF("id").repartition(1).localCheckpoint()
+    assert(Par.spread(narrow) ne narrow,
+      "1-partition checkpoint must be re-spread")
+    val wide = (1L to 100L).toDF("id").repartition(wideEnough)
+      .localCheckpoint()
+    assert(Par.spread(wide) eq wide,
+      "already-wide checkpoint must not pay an extra exchange")
   }
 }

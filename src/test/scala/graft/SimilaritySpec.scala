@@ -71,6 +71,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"PQ recall $recall collapsed")
   }
 
+  test("binary sign-code top-k: planted duplicate, recall, chunk parity, determinism") {
+    // identical vectors have identical sign codes (Hamming 0), so the
+    // planted twin must lead the scan tier and survive exact rerank
+    val res = Similarity.binaryTopK(
+      corpus.filter(col("vec_id") === 0), corpus, k = 5, rerank = 20)
+    val top = res.filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L,
+      "identical vector has Hamming 0 and survives rerank")
+    assert(top.getAs[Double]("cosine") == 1.0)
+    // recall vs brute force: uniform Gaussian vectors are the angle
+    // estimator's worst case (every cosine near 0, neighbors barely
+    // separated) — the substantial-not-perfect floor the IVF test
+    // uses, at the catalog's ~20% rerank depth
+    val q = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.binaryTopK(q, corpus, k = 5, rerank = 40)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"binary recall $recall collapsed")
+    // deterministic: fixed planes + fixed input ⇒ identical rows
+    val again = Similarity.binaryTopK(q, corpus, k = 5, rerank = 40)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(again == approx)
+  }
+
   test("IVF-PQ composition finds the planted duplicate; recall compounds sanely") {
     val res = Similarity.ivfPqTopK(
       corpus.filter(col("vec_id") === 0), corpus, k = 5, nlist = 8, nprobe = 3)
