@@ -354,6 +354,57 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"unplanned cross products in: $offenders")
   }
 
+  test("no heavy encode projection fused under a nested-loop join (BNLJ deferral guard)") {
+    // BroadcastNestedLoopJoin's whole-stage codegen splices
+    // UNEVALUATED stream-side projection variables into the
+    // per-build-row loop, so an encode projection (sign packing, PQ
+    // encode) fused into a BNLJ stage silently re-runs per candidate
+    // PAIR instead of per row — the late-r10 defect that cost the PQ
+    // scan 4–5× and the first-cut binary tier ~30× (SCALE.md
+    // late-r10 §2; fixed by persisting the code tables, whose cache
+    // boundary evaluates each row once). This guard mechanically pins
+    // the boundary: in EVERY catalog and bench plan, no SignBandsExpr
+    // / PqEncodeExpr may sit in a Project/Filter chain fused directly
+    // under a nested-loop join's streamed side. AQE is disabled for
+    // the build so the physical tree (not an adaptive wrapper) is
+    // walkable.
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan,
+      WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def fusedProjects(p: SparkPlan): Seq[ProjectExec] = p match {
+      case pr: ProjectExec => pr +: fusedProjects(pr.child)
+      case f: FilterExec => fusedProjects(f.child)
+      case w: WholeStageCodegenExec => fusedProjects(w.child)
+      case _ => Nil // exchange / cached scan / input adapter: boundary
+    }
+    def heavy(pr: ProjectExec): Boolean = pr.projectList.exists(_.find {
+      case _: graft.functions.SignBandsExpr => true
+      case _: graft.functions.PqEncodeExpr => true
+      case _ => false
+    }.isDefined)
+    val dir = "/root/testdata/sf0.001"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = (SparkEntry.queries ++ SparkEntry.benchQueries).toSeq
+        .flatMap { case (name, fn) =>
+          val plan = fn(spark, dir).queryExecution.executedPlan
+          val bad = plan.collect {
+            case b: BroadcastNestedLoopJoinExec =>
+              val streamed = b.buildSide match {
+                case BuildRight => b.left
+                case BuildLeft => b.right
+              }
+              fusedProjects(streamed).exists(heavy)
+          }.exists(identity)
+          if (bad) Some(name) else None
+        }
+      assert(offenders.isEmpty,
+        s"encode projection fused under a nested-loop join in: $offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("_metadata column: file-level lineage rides along any parquet scan") {
     val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("_metadata.file_path").as("src_file"),
