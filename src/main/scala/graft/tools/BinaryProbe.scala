@@ -44,10 +44,23 @@ object BinaryProbe {
 
     // NOT checkpointed: binaryTopK's stream-side spread() estimates
     // width from FILE relations — an RDD-backed (checkpointed) leaf
-    // is assumed wide, so a one-split fixture would pin the whole
-    // codes × queries scan to ONE task (measured 289 s at sf1 for a
-    // scan the file-backed catalog entry runs in seconds)
-    val emb = Tables.embeddings(spark, sfDir)
+    // previously assumed wide, so a one-split fixture would pin the
+    // whole codes × queries scan to ONE task (measured 289 s at sf1
+    // for a scan the file-backed catalog entry runs in seconds; Par
+    // now reads the real width, but the probe keeps the file-backed
+    // shape the catalog entry has). `clustered:<n>` uses the
+    // ClusteredFixture generator (repartitioned wide) — the shape
+    // real embedding corpora have, same fixture the adaptive-probe
+    // evidence uses.
+    val emb =
+      if (sfDir.startsWith("clustered:")) {
+        val p = sfDir.stripPrefix("clustered:").split(':')
+        ClusteredFixture.frame(spark, p(0).toLong,
+            nClusters = p.lift(1).map(_.toInt).getOrElse(50),
+            noise = p.lift(2).map(_.toDouble).getOrElse(0.35),
+            bgFrac = p.lift(3).map(_.toDouble).getOrElse(0.1))
+          .repartition(cpus.toInt)
+      } else Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val rr = math.min(10000L, math.max(100L, n / 25)).toInt
     val qs = emb.filter(col("vec_id") % 50 === 0).localCheckpoint()
