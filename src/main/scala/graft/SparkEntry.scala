@@ -2097,6 +2097,40 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_binary_indexed",
+      // PERSISTED form of the binary tier (Similarity.buildBinaryIndex
+      // / binaryIndexedTopK): one self-contained table of (id, 32-byte
+      // packed sign code, vector) + a (nbits, dim, seed) meta —
+      // planes reconstruct deterministically from the seed, so stored
+      // codes equal recomputed codes and the probe returns EXACTLY
+      // the ad-hoc binaryTopK rows (spec-pinned row parity). The
+      // steady-state probe reads ONLY the code columns (ReadSchema
+      // spec-asserted vector-free — at 100 TB of vectors the scan
+      // tier is the ~12.5 TB of stored codes) and the exact rerank
+      // re-reads the same table pruned to candidate ids. Same recall
+      // contract as the ad-hoc entry, identical floors by parity.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
+        buildIndexOnce(s"binary|$dir") {
+          Similarity.buildBinaryIndex(emb, idxDir, nBits = 248, seed = 42L)
+        }
+        val bin = Similarity.binaryIndexedTopK(s, idxDir, qs, k = 10,
+            rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(bin, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_pq",
       // Product quantization (Jégou et al. 2011): the corpus
       // compresses to 8-byte codes (64-dim float32 = 256 B → 32×
@@ -3813,6 +3847,18 @@ object SparkEntry {
       "bench_sim_binary_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
         Similarity.binaryTopK(fq(e), e, k = 10, nBits = 248,
+          rerank = rerank(Tables.cachedCount(s, dir, "embeddings")))
+      }),
+      // persisted-form twin: stored-code Hamming scan + rerank from
+      // the index table (build cached once per JVM, like the other
+      // _indexed_fq probes)
+      "bench_sim_binary_indexed_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
+        buildIndexOnce(s"binary|$dir") {
+          Similarity.buildBinaryIndex(e, idxDir, nBits = 248, seed = 42L)
+        }
+        Similarity.binaryIndexedTopK(s, idxDir, fq(e), k = 10,
           rerank = rerank(Tables.cachedCount(s, dir, "embeddings")))
       }),
       "bench_sim_ivfpq_fq" -> ((s: SparkSession, dir: String) => {

@@ -502,6 +502,76 @@ object Similarity {
     exactRerank(cands, corpus, q, k)
   }
 
+  /** Persist the binary scan tier: ONE self-contained table carrying
+    * (c_id, packed sign code, vector), plus `<dir>_meta` holding
+    * (nbits, dim, seed) — the planes are deterministic from the seed
+    * ([[hyperplanes]]), so a query session reconstructs the signing
+    * from three scalars; a probe whose params drifted from the
+    * stored code table would silently rank noise, which is why the
+    * meta travels WITH the index (the LSH family's `<table>_meta`
+    * rule). The scan tier reads ONLY (c_id, c_sig) — parquet column
+    * pruning keeps the 256 B vectors on disk (spec-asserted
+    * ReadSchema) — and the exact rerank re-reads the SAME table
+    * pruned to (c_id, embedding) for just the candidate ids. Codes
+    * are STORED, not recomputed, so the steady-state probe pays
+    * Hamming + rerank only; at 100 TB of vectors the scan tier is
+    * the ~12.5 TB code columns. Zero-norm vectors are excluded at
+    * build like the ad-hoc path (their cosine is NaN-undefined).
+    */
+  def buildBinaryIndex(corpus: DataFrame, dir: String, nBits: Int = 248,
+                       seed: Long = 42L, dim: Int = 64): Unit = {
+    import graft.functions.VectorFunctions.signBands
+    val spark = corpus.sparkSession
+    val blocks = hyperplanes(nBits, dim, seed).grouped(62).toSeq
+    spread(corpus)
+      .select(col("vec_id").as("c_id"),
+        array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig"),
+        col("embedding"), normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0).drop("c_nrm")
+      .write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    Seq((nBits, dim, seed)).toDF("nbits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "_meta")
+  }
+
+  /** Probe a [[buildBinaryIndex]] table: identical rows to the
+    * ad-hoc [[binaryTopK]] at the same (nBits, dim, seed) by
+    * construction — stored codes equal recomputed codes because the
+    * signing is deterministic, and both paths share the rerank tier
+    * — so the persisted form is a pure I/O-shape change: the scan
+    * reads 32 B stored codes instead of signing 256 B vectors per
+    * call. Query-set growth bounded by the same [[queryChunks]]
+    * budget as the rest of the family.
+    */
+  def binaryIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, queries: DataFrame, k: Int = 10,
+                        rerank: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.signBands
+    val m = spark.read.parquet(dir + "_meta").head()
+    val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
+      m.getAs[Long]("seed")).grouped(62).toSeq
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    // scan tier: stored codes only — the vector column stays on disk
+    val codes = spark.read.parquet(dir).select(col("c_id"), col("c_sig"))
+    val rerankCorpus = spark.read.parquet(dir)
+      .select(col("c_id").as("vec_id"), col("embedding"))
+    queryChunks(queries, rerank).map { qc =>
+      val q = qc.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), normD(col("embedding")).as("q_nrm"))
+        .filter(col("q_nrm") > 0)
+      val qs = q.select(col("q_id"),
+        array(blocks.map(b => signBands(col("q_emb"), b)): _*).as("q_sig"))
+      val scored = codes.join(broadcast(qs), col("q_id") =!= col("c_id"))
+        .withColumn("nham",
+          -toCol(graft.functions.HammingExpr(toExpr(col("c_sig")),
+            toExpr(col("q_sig")))).cast("double"))
+        .select(col("q_id"), col("c_id"), col("nham"))
+      val cands = TopK.topKByLongKey(scored, "q_id", "nham", "c_id", rerank)
+        .select("q_id", "c_id")
+      exactRerank(cands, rerankCorpus, q, k)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Classic IVF-PQ (Jégou et al. 2011, the composition [[pqTopK]]'s
     * doc promises): the coarse quantizer assigns every code to a cell
     * and a query's ADC scan reads ONLY its `nprobe` probed cells —

@@ -343,7 +343,7 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
       "ext_sim_ivfpq", "ext_sim_ivfpq_indexed", "ext_sim_ivfpq_appended",
       "ext_sim_ivfpq_delta", "ext_sim_lsh_delta", "ext_sim_ivfpq_adaptive",
-      "ext_sim_binary")
+      "ext_sim_binary", "ext_sim_binary_indexed")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

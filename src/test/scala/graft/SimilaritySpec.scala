@@ -97,6 +97,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(again == approx)
   }
 
+  test("persisted binary index: vector-free scan tier, identical rows to binaryTopK") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-binary-idx"
+    Similarity.buildBinaryIndex(corpus, dir)
+    val q = corpus.filter(col("vec_id") < 10)
+    val indexed = Similarity.binaryIndexedTopK(spark, dir, q, k = 5,
+      rerank = 40)
+    // the Hamming scan reads stored codes WITHOUT the raw vectors
+    val plan = indexed.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s => s.contains("c_sig") && !s.contains("embedding")),
+      s"code-tier scan not column-pruned:\n${readSchemas.mkString("\n")}")
+    // identical rows to the ad-hoc path: stored codes equal recomputed
+    // codes (deterministic signing from the meta's seed)
+    val adhoc = Similarity.binaryTopK(q, corpus, k = 5, rerank = 40)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val got = indexed.as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === adhoc)
+    val top = indexed.filter(col("q_id") === 0 && col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") == 100L &&
+      top.getAs[Double]("cosine") == 1.0)
+  }
+
   test("IVF-PQ composition finds the planted duplicate; recall compounds sanely") {
     val res = Similarity.ivfPqTopK(
       corpus.filter(col("vec_id") === 0), corpus, k = 5, nlist = 8, nprobe = 3)
