@@ -572,6 +572,46 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** Append a batch to a [[buildBinaryIndex]] table. The binary tier
+    * is the one index family with NO frozen-model caveat: the planes
+    * are data-independent (deterministic from the stored seed), so
+    * an appended row gets byte-identical codes to a full rebuild —
+    * append-forever with zero drift, no refit ever needed. O(batch)
+    * compute, plain parquet append; zero-norm rows excluded like the
+    * build. Replay caveat matches the bulk-append rule of the other
+    * families: a blind re-append duplicates the batch — streaming
+    * callers key batches idempotently (the IndexIngest rule) or
+    * dedup on id at read.
+    */
+  def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, batch: DataFrame): Unit = {
+    import graft.functions.VectorFunctions.signBands
+    val m = spark.read.parquet(dir + "_meta").head()
+    val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
+      m.getAs[Long]("seed")).grouped(62).toSeq
+    batch
+      .select(col("vec_id").as("c_id"),
+        array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig"),
+        col("embedding"), normD(col("embedding")).as("c_nrm"))
+      .filter(col("c_nrm") > 0).drop("c_nrm")
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Freshness composition for the binary family — the
+    * [[ivfPqIndexedTopKWithDelta]] lambda shape: stored-code Hamming
+    * probe over the persisted index ∪ exact brute force over the
+    * not-yet-appended delta, merged per-query top-k with delta-side
+    * priority on id collision. Completes the symmetry: all THREE
+    * persisted families now answer search-before-append.
+    */
+  def binaryIndexedTopKWithDelta(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, delta: DataFrame,
+                                 queries: DataFrame, k: Int = 10,
+                                 rerank: Int = 50): DataFrame =
+    mergeIndexedWithDelta(
+      binaryIndexedTopK(spark, dir, queries, k, rerank),
+      bruteForceTopK(queries, delta, k), k)
+
   /** Classic IVF-PQ (Jégou et al. 2011, the composition [[pqTopK]]'s
     * doc promises): the coarse quantizer assigns every code to a cell
     * and a query's ADC scan reads ONLY its `nprobe` probed cells —

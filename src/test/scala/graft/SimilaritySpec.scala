@@ -119,6 +119,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       top.getAs[Double]("cosine") == 1.0)
   }
 
+  test("binary index append: byte-identical to a rebuild; delta twin equals brute force over the union") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+    val odd = corpus.filter(col("vec_id") % 2 =!= 0)
+    // append-forever with ZERO drift: the planes are data-independent
+    // (deterministic from the stored seed), so build-half + append
+    // must equal a full rebuild row for row — no frozen-model caveat,
+    // the only index family where that holds exactly
+    val appended = s"$tmp/graft-binary-app"
+    Similarity.buildBinaryIndex(even, appended)
+    Similarity.appendToBinaryIndex(spark, appended, odd)
+    val full = s"$tmp/graft-binary-full"
+    Similarity.buildBinaryIndex(corpus, full)
+    def stored(d: String) = spark.read.parquet(d)
+      .select(col("c_id"), col("c_sig"))
+      .as[(Long, Seq[Long])].collect().toSet
+    assert(stored(appended) === stored(full))
+    val q = corpus.filter(col("vec_id") < 10)
+    def probe(d: String) = Similarity.binaryIndexedTopK(spark, d, q,
+      k = 5, rerank = 40).as[(Long, Long, Double, Long)].collect().toSet
+    assert(probe(appended) === probe(full))
+    // delta twin in the exhaustive regime: index on evens + odd delta
+    // must equal exact brute force over the whole corpus
+    val half = s"$tmp/graft-binary-half"
+    Similarity.buildBinaryIndex(even, half)
+    val merged = Similarity.binaryIndexedTopKWithDelta(spark, half, odd, q,
+        k = 5, rerank = 300)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 5)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(merged === exact)
+  }
+
   test("IVF-PQ composition finds the planted duplicate; recall compounds sanely") {
     val res = Similarity.ivfPqTopK(
       corpus.filter(col("vec_id") === 0), corpus, k = 5, nlist = 8, nprobe = 3)
