@@ -2240,7 +2240,11 @@ object SparkEntry {
       // superset guarantee: escalation can only raise recall). The
       // escalation margin is CALIBRATED FROM DATA per index
       // (Similarity.calibrateAdaptiveMargin over a bounded 256-query
-      // sample on a stride disjoint from the gate queries, one
+      // sample on a MOSTLY-disjoint stride from the gate queries —
+      // %97==13 and %50==0 intersect every lcm(97,50)=4850 ids by
+      // CRT, so a handful of gate queries can land in the sample;
+      // the recall contract is measured on the gate set regardless,
+      // so the overlap biases nothing it could hide — one
       // floor-stricter minHits=5): on these uniform fixtures the
       // sampled gap distribution barely separates easy from hard, so
       // the calibrated margin lands high (−0.15/0.19/0.33 at

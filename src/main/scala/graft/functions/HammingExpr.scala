@@ -10,10 +10,18 @@ import org.apache.spark.sql.types._
   * (`array<bigint>`, each element one 62-bit word from
   * [[SignBandsExpr]]).
   *
-  * Semantics are IDENTICAL to the higher-order-function formulation
+  * Semantics match the higher-order-function formulation
   * `aggregate(zip_with(a,b,(x,y)->bit_count(x^y)), 0, +)` — per-word
-  * xor popcounts summed left-to-right over the shorter prefix — so
-  * swapping it in changes nothing the oracle can see. The difference
+  * xor popcounts summed left-to-right — for EQUAL-LENGTH inputs,
+  * which is every caller here (both sides pack the same nBits into
+  * the same word count). On MISMATCHED lengths the two diverge:
+  * `zip_with` null-pads the shorter array so the HOF sum comes back
+  * NULL, while this expression sums the shared prefix and ignores
+  * the tail — a deliberate simplification, not an equivalence (a
+  * length mismatch means the codes came from different signing
+  * configs and any distance is noise; neither answer is "right").
+  * For the equal-length case the swap changes nothing the oracle can
+  * see. The difference that matters
   * is execution: the HOF path allocates an intermediate array and
   * interprets two lambdas per CANDIDATE PAIR, which put the binary
   * scan tier two orders of magnitude off its own design point
@@ -26,7 +34,8 @@ import org.apache.spark.sql.types._
   * Nulls: null array → null result (BinaryExpression's null-safe
   * contract). Null *elements* contribute 0 on both execution paths
   * (guard emitted only when the schema admits element nulls); length
-  * mismatch uses the shorter prefix, matching zip_with.
+  * mismatch uses the shorter prefix (diverging from zip_with's
+  * null-pad — see above).
   */
 case class HammingExpr(left: Expression, right: Expression)
     extends BinaryExpression {

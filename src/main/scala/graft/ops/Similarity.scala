@@ -343,6 +343,58 @@ object Similarity {
       .map(qc => pqTopKChunk(qc, corpus, k, m, ksub, rerank, seed))
       .reduce(_.unionByName(_))
 
+  /** Registry of the ad-hoc scan tiers' persisted code tables
+    * ([[pqTopK]]/[[binaryTopK]] — encode-once-scan-many plans that
+    * MUST be materialized or BroadcastNestedLoopJoin codegen re-runs
+    * the encode per candidate PAIR, the r10 5–7× defect), keyed by
+    * (canonicalized corpus plan, tier parameters). The MEMO is the
+    * dedup — Spark's own CacheManager CANNOT dedup these plans: the
+    * encode expressions carry plane/codebook ARRAYS whose case-class
+    * equality is by reference, so two calls over the same corpus
+    * build plans `sameResult` rejects and each would persist its own
+    * copy (worse than the r10 ADVICE's already-cached-warning
+    * reading: repeat calls on ONE corpus leaked one entry per call).
+    * Returning the one memoized DataFrame makes every chunk and
+    * every later call hit the identical plan object. Entries live
+    * until [[releaseScanCaches]] — MEMORY_AND_DISK evicts under
+    * pressure, so growth is a footprint concern, not correctness,
+    * but a long-lived session cycling many corpora should release
+    * between them. Staleness contract matches any persisted plan:
+    * rewriting the corpus's files under the same path serves the
+    * cached codes until release.
+    */
+  private val scanCaches =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, String, String), DataFrame]
+
+  private def scanTierCached(corpus: DataFrame, tierKey: String)
+                            (build: => DataFrame): DataFrame = synchronized {
+    // semanticHash + canonical plan text: the text alone can elide
+    // fields past spark.sql.debug.maxToStringFields; the hash alone
+    // can collide — together they key the corpus identity safely
+    val key = (corpus.semanticHash(),
+      corpus.queryExecution.analyzed.canonicalized.toString, tierKey)
+    scanCaches.getOrElseUpdate(key,
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Drop every scan-tier cache [[pqTopK]]/[[binaryTopK]] registered
+    * this JVM — the release hook for sessions that query many
+    * distinct ad-hoc corpora (the persisted-index paths store their
+    * codes on disk and never enter this registry). Blocking=false:
+    * in-flight jobs over a released plan still complete; the next
+    * call over the same corpus simply re-encodes and re-persists.
+    */
+  def releaseScanCaches(): Unit = synchronized {
+    scanCaches.values.foreach(_.unpersist(false))
+    scanCaches.clear()
+  }
+
+  /** Live scan-tier cache count — observability for the release
+    * hook's tests and for an operator deciding whether a long-lived
+    * session needs a release.
+    */
+  def scanCacheCount: Int = synchronized { scanCaches.size }
+
   /** Map-side selection-state bound for the rerank-tier top-k. The
     * candidate selection keeps a 16·rerank-byte buffer PER QUERY PER
     * TASK (graft_top_k_pairs partial aggregation), so an unbounded
@@ -382,12 +434,16 @@ object Similarity {
     // loop — unpersisted, the m·ksub·dsub-madd encode re-ran per
     // candidate (4× smaller constant than the binary tier's signing,
     // so it hid inside the sweep numbers instead of dominating them).
-    val codes = spread(corpus)
-      .select(col("vec_id").as("c_id"),
-        toCol(PqEncodeExpr(toExpr(col("embedding")), cbs)).as("code"),
-        normD(col("embedding")).as("c_nrm"))
-      .filter(col("c_nrm") > 0).drop("c_nrm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scanTierCached: one memoized plan per (corpus, pq params) per
+    // JVM, released via releaseScanCaches (r10 ADVICE — unbounded
+    // growth over many corpora).
+    val codes = scanTierCached(corpus, s"pq:$m:$ksub:$seed") {
+      spread(corpus)
+        .select(col("vec_id").as("c_id"),
+          toCol(PqEncodeExpr(toExpr(col("embedding")), cbs)).as("code"),
+          normD(col("embedding")).as("c_nrm"))
+        .filter(col("c_nrm") > 0).drop("c_nrm")
+    }
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
     val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
@@ -477,12 +533,15 @@ object Similarity {
     // a 17 s sf1 selection stage; the materialized twin ran 1.0 s).
     // The cache boundary evaluates each row ONCE at fill, and
     // encode-once-scan-many is this tier's design anyway — the same
-    // once-per-JVM precedent as the cached PQ codebooks and IVF fits.
-    val codes = spread(corpus)
-      .select(col("vec_id").as("c_id"), sig(col("embedding")).as("c_sig"),
-        normD(col("embedding")).as("c_nrm"))
-      .filter(col("c_nrm") > 0).drop("c_nrm")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // once-per-JVM precedent as the cached PQ codebooks and IVF
+    // fits. scanTierCached: one memoized plan per (corpus, signing
+    // params) per JVM, released via releaseScanCaches (r10 ADVICE).
+    val codes = scanTierCached(corpus, s"binary:$nBits:$seed:$dim") {
+      spread(corpus)
+        .select(col("vec_id").as("c_id"), sig(col("embedding")).as("c_sig"),
+          normD(col("embedding")).as("c_nrm"))
+        .filter(col("c_nrm") > 0).drop("c_nrm")
+    }
     val q = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), normD(col("embedding")).as("q_nrm"))
       .filter(col("q_nrm") > 0)
@@ -1369,9 +1428,15 @@ object Similarity {
     val (oA, mA) = fit(aHalf, aFull)
     val (oW, mW) = fit(wHalf, wFull)
     val recommend = if (mW != mA) mA < mW else aFull < wFull
+    // the two advice fields must agree on a marginal-cost TIE: the
+    // recommendation falls back to the full-sample walls, so the
+    // break-even follows the same verdict — 0 ("adaptive from any
+    // batch size", its wall was lower at equal marginals) when
+    // recommending, never otherwise
     val breakEven =
-      if (mW <= mA) Long.MaxValue
-      else math.max(0L, math.ceil((oA - oW) / (mW - mA)).toLong)
+      if (mW > mA) math.max(0L, math.ceil((oA - oW) / (mW - mA)).toLong)
+      else if (mW == mA && recommend) 0L
+      else Long.MaxValue
     ProbeModeAdvice(margin,
       if (nFull == 0) 0.0 else escalated.toDouble / nFull,
       oA, mA, oW, mW, breakEven, recommend)

@@ -163,8 +163,13 @@ object Telemetry {
     * `minBatchTs` (ISO-8601 UTC, the progress event's own format —
     * lexicographic compare is chronological for that format). Every
     * partition is rewritten through the same fail-safe swap; a
-    * partition left completely empty keeps one empty file so the
-    * table stays readable.
+    * partition left completely EMPTY is deleted outright — whether
+    * Spark emitted a zero-row part file for it is version-dependent,
+    * and both alternatives are worse (a file-less dir fails schema
+    * inference on the next read; a zero-row file costs a footer per
+    * read forever). A table whose every partition emptied reads
+    * as no-partitions until the recorder's next flush recreates it,
+    * exactly like before its first flush.
     */
   def retain(spark: SparkSession, outDir: String,
              minBatchTs: String): Int =
@@ -227,10 +232,26 @@ object Telemetry {
         transform(spark.read.parquet(dir.toString))
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        val old = new Path(root, dir.getName + ".old")
-        require(fs.rename(dir, old), s"swap-out rename failed: $dir")
-        require(fs.rename(tmp, dir), s"swap-in rename failed: $tmp")
-        fs.delete(old, true)
+        // zero surviving rows → drop the partition entirely, NEVER
+        // swap it in: whether Spark emits a zero-row part file is
+        // version-dependent (a file-less dir would poison schema
+        // inference on the next read; a zero-row file is dead weight
+        // that still costs a footer per read). Deleting makes the
+        // outcome deterministic either way — reads simply stop
+        // seeing this query_name, the correct answer for "retention
+        // removed its every row". The row probe is footer-bounded
+        // (isEmpty = limit 1 over one freshly-written file).
+        val emptied = dataFiles(spark, tmp).isEmpty ||
+          spark.read.parquet(tmp.toString).isEmpty
+        if (emptied) {
+          fs.delete(tmp, true)
+          fs.delete(dir, true)
+        } else {
+          val old = new Path(root, dir.getName + ".old")
+          require(fs.rename(dir, old), s"swap-out rename failed: $dir")
+          require(fs.rename(tmp, dir), s"swap-in rename failed: $tmp")
+          fs.delete(old, true)
+        }
         folded += 1
       }
     }

@@ -18,7 +18,8 @@ import graft.ops.Similarity
   * floor" is a measured statement per fixture, not an asserted one.
   *
   * `margin = auto` runs [[graft.ops.Similarity.calibrateAdaptiveMargin]]
-  * on a bounded 256-query sample disjoint from the probe queries and
+  * on a bounded 256-query sample on a mostly-disjoint stride from
+  * the probe queries (%97 vs %50 intersect every 4850 ids) and
   * reports the calibrated value — the configuration the catalog
   * entry `ext_sim_ivfpq_adaptive` ships.
   *
@@ -61,8 +62,9 @@ object AdaptiveProbe {
       .createTempDirectory("adaptive-probe").toString + "/idx"
     Similarity.buildIvfPqIndex(emb, dir, nlist = nlist, m = 8, ksub = 64,
       seed = 42L)
-    // calibration sample: bounded, deterministic, disjoint stride
-    // from the probe queries (%97 vs %50) — the catalog entry's shape
+    // calibration sample: bounded, deterministic, a mostly-disjoint
+    // stride from the probe queries (%97 vs %50 — CRT makes them
+    // intersect every 4850 ids) — the catalog entry's shape
     val cal = emb.filter(col("vec_id") % 97 === 13)
       .orderBy("vec_id").limit(256)
     val margin =

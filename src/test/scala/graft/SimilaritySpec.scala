@@ -97,6 +97,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(again == approx)
   }
 
+  test("scan-tier caches: persist once per corpus plan, released on demand") {
+    // r10 ADVICE: the ad-hoc PQ/binary scan tiers persisted their
+    // code tables with no release path — one executor-storage entry
+    // per distinct corpus plan for the JVM lifetime. Pin the whole
+    // lifecycle: register-once (no per-chunk or per-call re-persist
+    // of the same plan), release, re-persist-after-release with
+    // identical results.
+    Similarity.releaseScanCaches()
+    assert(Similarity.scanCacheCount == 0)
+    val q = corpus.filter(col("vec_id") < 5)
+    val r1 = Similarity.binaryTopK(q, corpus, k = 5, rerank = 40)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val afterFirst = Similarity.scanCacheCount
+    assert(afterFirst == 1, s"one corpus plan must register once, got $afterFirst")
+    // same corpus again: the CacheManager already holds the plan, so
+    // nothing new registers (and no 'already cached' re-persist)
+    Similarity.binaryTopK(q, corpus, k = 5, rerank = 40).count()
+    assert(Similarity.scanCacheCount == afterFirst)
+    // a distinct tier over the same corpus is a distinct plan
+    Similarity.pqTopK(q, corpus, k = 5, rerank = 40).count()
+    assert(Similarity.scanCacheCount == afterFirst + 1)
+    Similarity.releaseScanCaches()
+    assert(Similarity.scanCacheCount == 0)
+    // post-release: the path re-persists and stays correct
+    val r2 = Similarity.binaryTopK(q, corpus, k = 5, rerank = 40)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(r2 == r1)
+    assert(Similarity.scanCacheCount == 1)
+    Similarity.releaseScanCaches()
+  }
+
   test("persisted binary index: vector-free scan tier, identical rows to binaryTopK") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-binary-idx"
     Similarity.buildBinaryIndex(corpus, dir)

@@ -168,6 +168,17 @@ class TelemetrySpec extends AnyFunSuite with SparkTestBase {
         .filter(col("query_name") === "telemetry_c")
       assert(kept.count() === expected)
       assert(kept.select("batch_ts").as[String].collect().forall(_ >= cutoff))
+      // retention past ALL rows: the emptied partition is DELETED —
+      // never swapped in as a file-less dir that would break schema
+      // inference — and once every partition empties, the root reads
+      // as no-partitions exactly like before the first flush (here:
+      // this is the only partition, so the dir is the whole table)
+      Telemetry.retain(spark, out, "9999-12-31T00:00:00.000Z")
+      assert(!fs.exists(part),
+        "partition emptied by retention must be deleted, not left file-less")
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(out)).forall(st =>
+        !st.getPath.getName.startsWith("query_name=")),
+        "no partition dir may survive a retain past all rows")
     } finally {
       q.stop(); rec.stop()
     }
