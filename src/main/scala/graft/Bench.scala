@@ -24,12 +24,20 @@ object Bench {
     val nameFilters = args.lift(0).getOrElse("").split(',').toSeq
     val excluded = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
       .split(',').filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_BENCH_ONLY keeps exactly the named entries — the
+    // inverse of EXCLUDE, for sweeps whose fixture carries only the
+    // tables a short list reads (the sf100 rung generates lineitem/
+    // orders/embeddings but not events; an unlisted entry would fail
+    // on the missing file, not measure anything)
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(',').filter(_.nonEmpty).toSet
     // catalog queries + the fixed-query-set scale probes (benchQueries
     // — bench-only, no oracle; their correctness twins are in the
     // catalog)
     val all = SparkEntry.queries ++ SparkEntry.benchQueries
     def selected = all.filter(q =>
-      nameFilters.exists(q._1.contains) && !excluded(q._1))
+      nameFilters.exists(q._1.contains) && !excluded(q._1) &&
+        (only.isEmpty || only(q._1)))
     // names dropped by SPARK_GRAFT_BENCH_EXCLUDE are RECORDED in the
     // artifact — silent truncation reads as coverage (VERDICT r6 #8)
     val excludedHit = all.keySet.intersect(excluded).toSeq.sorted

@@ -2118,7 +2118,12 @@ object SparkEntry {
         val qs = emb.filter(col("vec_id") % 50 === 0)
         val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
         buildIndexOnce(s"binary|$dir") {
-          Similarity.buildBinaryIndex(emb, idxDir, nBits = 248, seed = 42L)
+          // label stored beside the codes (metaCols) so the SAME
+          // index serves both this unfiltered probe (label pruned at
+          // the scan — the vector-free ReadSchema assert still holds)
+          // and ext_sim_filtered's pushed-predicate probe
+          Similarity.buildBinaryIndex(emb, idxDir, nBits = 248, seed = 42L,
+            metaCols = Seq("label"))
         }
         val bin = Similarity.binaryIndexedTopK(s, idxDir, qs, k = 10,
             rerank = rr)
@@ -2126,6 +2131,45 @@ object SparkEntry {
         Similarity.bruteForceTopK(qs, emb, k = 10)
           .select("q_id", "c_id")
           .join(bin, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
+    QueryDef("ext_sim_filtered",
+      // FILTERED ANN — the production vector-store operator: top-k
+      // under a metadata predicate (here label = 3, ~10 % of the
+      // corpus), with the filter pushed INTO the stored-code scan
+      // (Similarity.binaryIndexedTopK's `predicate` over a
+      // metaCols-bearing buildBinaryIndex — parquet PushedFilters,
+      // spec-asserted) so Hamming selection ranks only qualifying
+      // rows and every query returns k results. The tempting
+      // alternative — post-filter the UNFILTERED top-k — silently
+      // under-returns ~k/10 rows at this selectivity and its recall
+      // vs the filtered truth collapses (spec pins the contrast).
+      // Contract: recall vs the FILTERED exact cosine top-10 — the
+      // same ≥ 3-of-10 family bound, same corpus-scaled rerank
+      // budget; the filtered regime is STRICTLY easier than the
+      // unfiltered entries' (the budget covers 10× more of the
+      // qualifying corpus), so the family floor carries.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
+        buildIndexOnce(s"binary|$dir") {
+          Similarity.buildBinaryIndex(emb, idxDir, nBits = 248, seed = 42L,
+            metaCols = Seq("label"))
+        }
+        val res = Similarity.binaryIndexedTopK(s, idxDir, qs, k = 10,
+            rerank = rr, predicate = Some(col("label") === 3))
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb.filter(col("label") === 3), k = 10)
+          .select("q_id", "c_id")
+          .join(res, Seq("q_id", "c_id"), "left")
           .groupBy("q_id")
           .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))

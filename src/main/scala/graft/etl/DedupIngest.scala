@@ -228,7 +228,16 @@ object DedupIngest {
         else None
       }
 
-    val admitted = incrementalAdmissionPlan(spark, batch, fpsDir,
+    // stabilize the BATCH before planning: the admission plan reads
+    // it on both bloom branches and keep-first scans it again, so
+    // unpersisted the streaming SOURCE would be re-read 3-4× per
+    // trigger — for a Kafka range that is 3-4 broker re-fetches per
+    // batch, and the per-source numInputRows metric counts every
+    // scan (observed 3.4× inflation in the StreamingPerf telemetry
+    // before this boundary; the corpus row count was the truth). One
+    // cache fill reads the source exactly once.
+    val stable = batch.persist()
+    val admitted = incrementalAdmissionPlan(spark, stable, fpsDir,
       prior.map(serializeBloom), partVal, key, tiebreaker).persist()
     try {
       val n = admitted.count()
@@ -279,7 +288,10 @@ object DedupIngest {
           .partitionBy("_ingest_batch").parquet(corpusDir)
       }
       n
-    } finally admitted.unpersist()
+    } finally {
+      admitted.unpersist()
+      stable.unpersist()
+    }
   }
 
   /** The admission DECISION as a lazy plan — separated so the spec can
@@ -363,9 +375,10 @@ object DedupIngest {
   def startIncremental(stream: DataFrame, corpusDir: String, checkpointDir: String,
                        key: String, tiebreaker: String,
                        expectedItems: Long = 10000000L, fpp: Double = 0.01,
-                       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+                       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                       queryName: Option[String] = None): StreamingQuery = {
     val tag = runTagOf(checkpointDir)
-    stream.writeStream
+    val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -374,7 +387,9 @@ object DedupIngest {
           runTag = tag)
         ()
       }
-      .start()
+    // named queries key the telemetry table's partitions (the
+    // Telemetry.healthView / StreamingPerf join key)
+    queryName.fold(w)(w.queryName).start()
   }
 
   private def bloomChainDir(checkpointDir: String): String =

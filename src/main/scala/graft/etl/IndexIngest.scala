@@ -72,11 +72,54 @@ object IndexIngest {
 
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, currentSeg: String,
-                           autoCompactSegments: Int): Unit =
+                           autoCompactSegments: Int,
+                           compact: (org.apache.spark.sql.SparkSession,
+                             String, Option[String]) => Unit =
+                             Similarity.compactIndex(_, _, _)): Unit =
     if (autoCompactSegments > 0 &&
         Similarity.segmentNames(spark, indexDir)
           .count(_ != currentSeg) >= autoCompactSegments)
-      Similarity.compactIndex(spark, indexDir, keepSeg = Some(currentSeg))
+      compact(spark, indexDir, Some(currentSeg))
+
+  /** [[appendBatch]] for a [[graft.ops.Similarity.buildBinaryIndex]]
+    * directory — the zero-training family under the same
+    * exactly-once construction: signing is deterministic from the
+    * stored seed, so a crash-replay of batch N recomputes the
+    * identical `seg=runTag-N` partition and dynamic-overwrites
+    * itself in place. In-stream compaction goes through
+    * [[graft.ops.Similarity.compactBinaryIndex]] (the flat tier has
+    * no cells to preserve) with the same compact-before-append
+    * ordering and keep-current-segment rule.
+    */
+  def appendBinaryBatch(batch: DataFrame, indexDir: String,
+                        checkpointDir: String, batchId: Long,
+                        autoCompactSegments: Int = 0): Unit = {
+    val seg = s"${runTagOf(checkpointDir)}-$batchId"
+    maybeCompact(batch.sparkSession, indexDir, seg, autoCompactSegments,
+      Similarity.compactBinaryIndex(_, _, _))
+    Similarity.appendToBinaryIndex(batch.sparkSession, indexDir, batch,
+      seg = Some(seg))
+  }
+
+  /** [[startIvfPqAppend]] for the binary family. The index must
+    * already exist ([[graft.ops.Similarity.buildBinaryIndex]] — over
+    * any non-empty corpus: there is no model to fit, so unlike the
+    * IVF bootstrap the seed set's distribution constrains nothing).
+    */
+  def startBinaryAppend(stream: DataFrame, indexDir: String,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                        autoCompactSegments: Int = 64,
+                        queryName: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBinaryBatch(batch, indexDir, checkpointDir, batchId,
+          autoCompactSegments)
+      }
+    queryName.fold(w)(w.queryName).start()
+  }
 
   /** Resident maintenance stream: `stream` must carry the index
     * schema (`vec_id`, `embedding`). The index must already exist
@@ -208,6 +251,85 @@ object IndexIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupedAppendBatch(batch, corpusDir, indexDir, checkpointDir,
+          batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
+          autoCompactSegments)
+      }
+    queryName.fold(w)(w.queryName).start()
+  }
+
+  /** [[bootstrapDedupedIvfPq]] for the binary family: seed set
+    * admitted into the dedup corpus under the reserved pre-stream
+    * partition `-1`, index built over exactly the admitted
+    * survivors — one origin for both stores. No quantizer to fit, so
+    * the only bootstrap requirement is a non-empty admitted set
+    * (an empty data tree has no schema to probe).
+    */
+  def bootstrapDedupedBinary(seed: DataFrame, corpusDir: String,
+                             indexDir: String,
+                             idCol: String = "vec_id",
+                             embCol: String = "embedding",
+                             threshold: Double = 0.8, bands: Int = 8,
+                             bitsPerBand: Int = 4, hashSeed: Long = 42L,
+                             nBits: Int = 248, dim: Int = 64): Unit = {
+    val spark = seed.sparkSession
+    val n = DedupIngest.admitBatchEmbedding(spark, seed, corpusDir,
+      batchId = -1L, idCol, embCol, threshold, bands, bitsPerBand,
+      hashSeed)
+    require(n > 0, "bootstrapDedupedBinary: no seed rows admitted — " +
+      "an empty index data tree has no schema to serve")
+    Similarity.buildBinaryIndex(admittedOf(spark, corpusDir, "-1", idCol,
+      embCol), indexDir, nBits = nBits, seed = hashSeed, dim = dim)
+  }
+
+  /** [[dedupedAppendBatch]] for the binary family: admit (near-dups
+    * rejected against the persisted corpus), then append the batch's
+    * admitted survivors to the binary index under the same
+    * run-scoped segment — both stages idempotent under replay, the
+    * index stage re-reading FROM the corpus partition the admission
+    * stage committed.
+    */
+  def dedupedBinaryAppendBatch(batch: DataFrame, corpusDir: String,
+                               indexDir: String, checkpointDir: String,
+                               batchId: Long, idCol: String = "vec_id",
+                               embCol: String = "embedding",
+                               threshold: Double = 0.8, bands: Int = 8,
+                               bitsPerBand: Int = 4, hashSeed: Long = 42L,
+                               autoCompactSegments: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val tag = runTagOf(checkpointDir)
+    val n = DedupIngest.admitBatchEmbedding(spark, batch, corpusDir,
+      batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
+      runTag = tag)
+    if (n > 0) {
+      maybeCompact(spark, indexDir, s"$tag-$batchId", autoCompactSegments,
+        Similarity.compactBinaryIndex(_, _, _))
+      Similarity.appendToBinaryIndex(spark, indexDir,
+        admittedOf(spark, corpusDir, s"$tag-$batchId", idCol, embCol),
+        seg = Some(s"$tag-$batchId"))
+    }
+  }
+
+  /** [[startDedupedIvfPqAppend]] for the binary family — the composed
+    * vectors-arrive → near-dups-rejected → admitted-survivors-indexed
+    * pipeline with the zero-training tier as the serving index;
+    * between a batch's corpus commit and its index append, freshness
+    * queries compose [[graft.ops.Similarity.binaryIndexedTopKWithDelta]]
+    * over the same corpus partition.
+    */
+  def startDedupedBinaryAppend(stream: DataFrame, corpusDir: String,
+                               indexDir: String, checkpointDir: String,
+                               idCol: String = "vec_id",
+                               embCol: String = "embedding",
+                               threshold: Double = 0.8, bands: Int = 8,
+                               bitsPerBand: Int = 4, hashSeed: Long = 42L,
+                               trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                               autoCompactSegments: Int = 64,
+                               queryName: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupedBinaryAppendBatch(batch, corpusDir, indexDir, checkpointDir,
           batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
           autoCompactSegments)
       }

@@ -79,11 +79,18 @@ object KlineIngest {
       .option("rowsPerSecond", rowsPerSecond.toString).load()
       .select(to_json(struct(
         element_at(coins, (col("value") % 4 + 1).cast("int")).as("coin"),
-        unix_millis(col("timestamp")).as("timestamp"),
+        // open time MINUTE-aligned like a real candle: the feed then
+        // re-sends each (coin, interval, minute) key many times per
+        // cycle — the duplicate-heavy shape the reference's
+        // overlapping REST fetches produce and its keyed dedup exists
+        // for (raw rate-source ms stamps would make every row a
+        // unique key, a feed no kline API emits)
+        (expr("unix_millis(timestamp) div 60000") * 60000L).as("timestamp"),
         (rand() * 100).as("open"), (rand() * 100).as("high"),
         (rand() * 100).as("low"), (rand() * 100).as("close"),
         (rand() * 10).as("volume"),
-        (unix_millis(col("timestamp")) + 59999L).as("close_time"),
+        (expr("unix_millis(timestamp) div 60000") * 60000L + 59999L)
+          .as("close_time"),
         (rand() * 1000).as("quote_asset_volume"),
         (col("value") % 100).cast("int").as("number_of_trades"),
         (rand() * 5).as("taker_buy_base_asset_volume"),

@@ -578,19 +578,35 @@ object Similarity {
     * build like the ad-hoc path (their cosine is NaN-undefined).
     */
   def buildBinaryIndex(corpus: DataFrame, dir: String, nBits: Int = 248,
-                       seed: Long = 42L, dim: Int = 64): Unit = {
+                       seed: Long = 42L, dim: Int = 64,
+                       metaCols: Seq[String] = Nil): Unit = {
     import graft.functions.VectorFunctions.signBands
     val spark = corpus.sparkSession
     val blocks = hyperplanes(nBits, dim, seed).grouped(62).toSeq
+    // seg-partitioned like the IVF families (base = the build), so
+    // streaming appends get run-scoped dynamic-overwrite segments —
+    // the exactly-once construction ([[appendToBinaryIndex]]) — and
+    // compaction/describe see one layout across all three families.
+    // `metaCols` stores extra metadata columns WITH the codes so
+    // [[binaryIndexedTopK]]'s predicate pushes into the parquet scan
+    // (the filtered-search path) — they cost their width at build
+    // and nothing on unfiltered probes (column pruning).
     spread(corpus)
-      .select(col("vec_id").as("c_id"),
-        array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig"),
-        col("embedding"), normD(col("embedding")).as("c_nrm"))
+      .select(col("vec_id").as("c_id") +:
+        array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig") +:
+        col("embedding") +: normD(col("embedding")).as("c_nrm") +:
+        metaCols.map(col): _*)
       .filter(col("c_nrm") > 0).drop("c_nrm")
-      .write.mode("overwrite").parquet(dir)
+      .withColumn("seg", lit("base"))
+      .write.mode("overwrite").partitionBy("seg").parquet(dir)
     import spark.implicits._
     Seq((nBits, dim, seed)).toDF("nbits", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(dir + "_meta")
+    // the torn-swap signature the guard catches here: a crashed
+    // rebuild-with-different-params leaves old codes beside a new
+    // meta (or vice versa) — Hamming over codes signed with other
+    // planes ranks NOISE with no error anywhere
+    stampFreshEpoch(spark, dir, Seq("_meta"))
   }
 
   /** Probe a [[buildBinaryIndex]] table: identical rows to the
@@ -604,15 +620,27 @@ object Similarity {
     */
   def binaryIndexedTopK(spark: org.apache.spark.sql.SparkSession,
                         dir: String, queries: DataFrame, k: Int = 10,
-                        rerank: Int = 50): DataFrame = {
+                        rerank: Int = 50,
+                        predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import graft.functions.VectorFunctions.signBands
+    requireEpochCoherent(spark, dir, Seq("_meta"))
     val m = spark.read.parquet(dir + "_meta").head()
     val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
       m.getAs[Long]("seed")).grouped(62).toSeq
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    // FILTERED search ([[buildBinaryIndex]]'s `metaCols`): the
+    // predicate restricts the corpus BEFORE Hamming candidate
+    // selection — applied to the stored rows, it reaches the parquet
+    // scan as a pushed filter (spec-asserted), so selection ranks
+    // only qualifying rows and every query still gets k results.
+    // Post-filtering the unfiltered top-k instead silently
+    // under-returns: a 1 % predicate leaves ~k/100 survivors.
+    def qualify(df: DataFrame) = predicate.fold(df)(df.filter)
     // scan tier: stored codes only — the vector column stays on disk
-    val codes = spark.read.parquet(dir).select(col("c_id"), col("c_sig"))
-    val rerankCorpus = spark.read.parquet(dir)
+    val codes = qualify(spark.read.parquet(dir))
+      .select(col("c_id"), col("c_sig"))
+    val rerankCorpus = qualify(spark.read.parquet(dir))
       .select(col("c_id").as("vec_id"), col("embedding"))
     queryChunks(queries, rerank).map { qc =>
       val q = qc.select(col("vec_id").as("q_id"),
@@ -636,24 +664,87 @@ object Similarity {
     * are data-independent (deterministic from the stored seed), so
     * an appended row gets byte-identical codes to a full rebuild —
     * append-forever with zero drift, no refit ever needed. O(batch)
-    * compute, plain parquet append; zero-norm rows excluded like the
-    * build. Replay caveat matches the bulk-append rule of the other
-    * families: a blind re-append duplicates the batch — streaming
-    * callers key batches idempotently (the IndexIngest rule) or
-    * dedup on id at read.
+    * compute, zero-norm rows excluded like the build.
+    *
+    * `seg` picks the retry semantics exactly like
+    * [[appendToIvfIndex]] — the binary family's pitch (no model to
+    * refit: the churning-corpus tier) makes it the family MOST
+    * likely to sit under a stream, so it gets the same
+    * exactly-once construction, not a replay caveat (r10 VERDICT
+    * #1):
+    *  - `None` (bulk/ad-hoc): append under a fresh random segment; a
+    *    failed-and-retried append can leave duplicates (rebuild or
+    *    dedup-verify on failure).
+    *  - `Some(id)` (the streaming layer — [[graft.etl.IndexIngest]]
+    *    passes its run-scoped `runTag-batchId`): dynamic partition
+    *    OVERWRITE of exactly the seg partition the batch writes.
+    *    Signing is deterministic from the stored seed, so a replay
+    *    recomputes the identical partition and overwrites itself in
+    *    place.
     */
   def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-                          dir: String, batch: DataFrame): Unit = {
+                          dir: String, batch: DataFrame,
+                          seg: Option[String] = None): Unit = {
     import graft.functions.VectorFunctions.signBands
+    requireEpochCoherent(spark, dir, Seq("_meta"))
     val m = spark.read.parquet(dir + "_meta").head()
     val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
       m.getAs[Long]("seed")).grouped(62).toSeq
-    batch
-      .select(col("vec_id").as("c_id"),
-        array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig"),
-        col("embedding"), normD(col("embedding")).as("c_nrm"))
+    // an index built with `metaCols` stores metadata beside the
+    // codes; appended rows must carry the SAME columns or the mixed
+    // file schemas would surface nulls under the filtered probe —
+    // derive the stored set from the live schema and require it of
+    // the batch (a missing column fails analysis loudly here)
+    val storedMeta = spark.read.parquet(dir).schema.fieldNames
+      .filterNot(Set("c_id", "c_sig", "embedding", "seg")).toSeq
+    val tagged = batch
+      .select(col("vec_id").as("c_id") +:
+        array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig") +:
+        col("embedding") +: normD(col("embedding")).as("c_nrm") +:
+        storedMeta.map(col): _*)
       .filter(col("c_nrm") > 0).drop("c_nrm")
-      .write.mode("append").parquet(dir)
+      .withColumn("seg", lit(seg.getOrElse(
+        "adhoc-" + java.util.UUID.randomUUID.toString.take(8))))
+    seg match {
+      case Some(_) => tagged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg").parquet(dir)
+      case None => tagged.write.mode("append")
+        .partitionBy("seg").parquet(dir)
+    }
+  }
+
+  /** Compact an appended [[buildBinaryIndex]] directory: every
+    * append leaves its own `seg=` partition, so a maintained index
+    * accumulates one directory per batch forever; compaction folds
+    * ALL segments back into a single fresh `base` segment sized to
+    * `targetBytesPerFile` parquet files. Codes are STORED and
+    * signing params untouched (`_meta` copied forward, epoch
+    * preserved), so search results cannot change — the same
+    * O(index)-by-nature offline act as [[compactIndex]], through the
+    * same fail-safe tmp+rename rewrite, with the same
+    * `keepSeg`-survives rule that makes in-stream compaction commute
+    * with crash replay ([[graft.etl.IndexIngest]]).
+    */
+  def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, keepSeg: Option[String] = None,
+                         targetBytesPerFile: Long = 128L << 20): Unit = {
+    requireEpochCoherent(spark, dir, Seq("_meta"))
+    // size the folded tree from the live tree's byte footprint — the
+    // flat tier has no cell structure to inherit a file count from
+    val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(root).getLength
+    val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) /
+      targetBytesPerFile).toInt
+    rewriteInPlace(spark, dir, suffixes = Seq("_meta")) { (rows, tmp) =>
+      val segCol = keepSeg
+        .map(s => when(col("seg") === lit(s), col("seg")).otherwise(lit("base")))
+        .getOrElse(lit("base"))
+      rows.withColumn("seg", segCol)
+        .repartition(nFiles)
+        .write.mode("overwrite").partitionBy("seg").parquet(tmp)
+    }
   }
 
   /** Freshness composition for the binary family — the
@@ -923,41 +1014,71 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(base)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no index at $dir")
-    // per-segment directory footprint: cells, files, bytes
+    def dataLeaves(p: org.apache.hadoop.fs.Path) = fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    // per-segment directory footprint: cells, files, bytes. The IVF
+    // families nest cell= under seg=; the binary family's segments
+    // hold files directly (cells = 0); a hand-assembled or
+    // pre-segmentation FLAT tree (data files at the root, no seg=
+    // dirs) reports as one synthetic "(flat)" segment so the tool
+    // covers every layout it can meet.
     val perSeg = fs.listStatus(root).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
       .map { segSt =>
         val seg = segSt.getPath.getName.stripPrefix("seg=")
         val cells = fs.listStatus(segSt.getPath)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        val leaves = cells.flatMap(c => fs.listStatus(c.getPath))
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        val leaves =
+          if (cells.nonEmpty) cells.flatMap(c => dataLeaves(c.getPath))
+          else dataLeaves(segSt.getPath)
         (seg, cells.length.toLong, leaves.length.toLong,
           leaves.map(_.getLen).sum)
       }.toSeq
+    val flatLeaves =
+      if (perSeg.nonEmpty) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else dataLeaves(root)
+    val segmented = perSeg.nonEmpty
+    val allSegs =
+      if (segmented) perSeg
+      else if (flatLeaves.nonEmpty)
+        Seq(("(flat)", 0L, flatLeaves.length.toLong,
+          flatLeaves.map(_.getLen).sum))
+      else Seq.empty
     // row counts: zero-column aggregate, parquet-footer bounded. An
     // index crashed mid-build may have seg dirs with no committed
     // parquet yet — report zero rows rather than throw (r9 ADVICE:
     // the report-don't-refuse contract must survive a torn build).
     val rowsBySeg =
-      if (perSeg.isEmpty) Map.empty[String, Long]
+      if (allSegs.isEmpty) Map.empty[String, Long]
       else try {
-        spark.read.parquet(base)
-          .groupBy(col("seg")).agg(count(lit(1)).as("rows"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (segmented)
+          spark.read.parquet(base)
+            .groupBy(col("seg")).agg(count(lit(1)).as("rows"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        else Map("(flat)" -> spark.read.parquet(base).count())
       } catch {
         case _: org.apache.spark.sql.AnalysisException =>
           Map.empty[String, Long]
       }
     // frozen-model shape from the model tables (tiny by construction).
-    // A build that crashed before the centroid table committed has no
-    // model yet: report model="unknown"/nlist=0 instead of throwing —
-    // and since the data tree's epoch marker then has no model-tree
+    // A build that crashed before its model table committed has no
+    // model yet: report model="unknown" instead of throwing — and
+    // since the data tree's epoch marker then has no model-tree
     // counterpart, `coherent` comes out false below, which IS the
     // torn-build signature the caller needs to see.
     val hasCentroids =
       fs.exists(new org.apache.hadoop.fs.Path(base + "_centroids"))
     val hasPq = fs.exists(new org.apache.hadoop.fs.Path(base + "_codebooks"))
+    // a `_meta` table whose row carries `nbits` is the binary
+    // family's signing config ([[buildBinaryIndex]] — nbits/dim/seed)
+    val binMeta =
+      if (hasCentroids ||
+          !fs.exists(new org.apache.hadoop.fs.Path(base + "_meta"))) None
+      else {
+        val m = spark.read.parquet(base + "_meta")
+        if (m.columns.contains("nbits")) Some(m.head()) else None
+      }
     val nlist =
       if (hasCentroids) spark.read.parquet(base + "_centroids").count().toInt
       else 0
@@ -969,22 +1090,33 @@ object Similarity {
             (max(col("code")) + 1).as("k")).head()
         (cb.getAs[Number](0).intValue() + 1, cb.getAs[Number](1).intValue())
       }
+    val nBits = binMeta.map(_.getAs[Int]("nbits")).getOrElse(0)
     // epoch coherence: all EXPECTED trees' markers must be present and
-    // agree — `_centroids` is always expected (every build writes it),
-    // `_codebooks` only when present (plain IVF has none)
-    val trees = "" +: (if (hasPq) Seq("_centroids", "_codebooks")
-                       else Seq("_centroids"))
+    // agree — the IVF families always write `_centroids` (plus
+    // `_codebooks` when PQ), the binary family `_meta`. With NO model
+    // table at all (a crash before any committed, or a hand-assembled
+    // tree), a model tree is still EXPECTED: an orphan data-tree
+    // marker must read incoherent (the mid-build signature), while a
+    // marker-less hand assembly stays vacuously coherent.
+    val trees = "" +: (
+      if (hasPq) Seq("_centroids", "_codebooks")
+      else if (hasCentroids) Seq("_centroids")
+      else if (binMeta.isDefined) Seq("_meta")
+      else Seq("_centroids"))
     val epochs = trees.flatMap(suf => readEpoch(fs, base + suf))
     val coherent = epochs.isEmpty ||
       (epochs.size == trees.size && epochs.distinct.size == 1)
     val model =
-      if (!hasCentroids) "unknown" else if (hasPq) "ivfpq" else "ivf"
-    perSeg.map { case (seg, cells, files, bytes) =>
+      if (hasPq) "ivfpq"
+      else if (hasCentroids) "ivf"
+      else if (binMeta.isDefined) "binary"
+      else "unknown"
+    allSegs.map { case (seg, cells, files, bytes) =>
       (seg, cells, files, bytes, rowsBySeg.getOrElse(seg, 0L),
-        model, nlist, pqM, pqKsub, coherent,
+        model, nlist, pqM, pqKsub, nBits, coherent,
         epochs.headOption.getOrElse(""))
     }.toDF("seg", "cells", "files", "bytes", "rows", "model", "nlist",
-      "pq_m", "pq_ksub", "epoch_coherent", "epoch")
+      "pq_m", "pq_ksub", "nbits", "epoch_coherent", "epoch")
       .orderBy(col("seg"))
   }
 
@@ -1034,7 +1166,9 @@ object Similarity {
     * `.old` trees on disk for recovery.
     */
   private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
-                             dir: String)
+                             dir: String,
+                             suffixes: Seq[String] =
+                               Seq("_centroids", "_codebooks"))
                             (write: (DataFrame, String) => Unit): Unit = {
     val base = dir.stripSuffix("/")
     val tmpBase = base + ".compacting"
@@ -1042,14 +1176,14 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     // a stale tmp tree from a crashed run must never be swapped in
-    Seq(tmpBase, tmpBase + "_centroids", tmpBase + "_codebooks")
+    (tmpBase +: suffixes.map(tmpBase + _))
       .foreach(t => fs.delete(p(t), true))
     write(spark.read.parquet(base), tmpBase)
     // carry the (unchanged) model tables with the data tree so the
     // swap is whole-index: compaction copies them forward (epoch
     // markers travel inside the copied dirs), a refit already wrote
     // fresh ones next to tmp
-    Seq("_centroids", "_codebooks").foreach { suf =>
+    suffixes.foreach { suf =>
       if (!fs.exists(p(tmpBase + suf)) && fs.exists(p(base + suf)))
         org.apache.hadoop.fs.FileUtil.copy(fs, p(base + suf), fs,
           p(tmpBase + suf), false, hconf)
@@ -1071,7 +1205,7 @@ object Similarity {
           s"original preserved at $old")
       fs.delete(old, true)
     }
-    Seq("", "_centroids", "_codebooks").foreach(swap)
+    ("" +: suffixes).foreach(swap)
   }
 
   /** Model-epoch marker plumbing (see [[rewriteInPlace]]'s doc for

@@ -317,7 +317,8 @@ object Routing {
 
   def upsertJdbc(df: DataFrame, jdbcUrl: String, table: String,
                  keyCols: Seq[String], props: java.util.Properties,
-                 orderCol: Option[String] = None): Unit = {
+                 orderCol: Option[String] = None,
+                 maxConnections: Int = 8): Unit = {
     val schema = df.schema
     val cols = schema.fields.map(_.name).toSeq
     val valCols = cols.filterNot(keyCols.contains)
@@ -340,31 +341,103 @@ object Routing {
       .select(cols.map(col): _*)
     // co-locate each key in ONE partition: concurrent per-partition
     // transactions merging the same key would race (nondeterministic
-    // winner, lock-timeout risk)
+    // winner, lock-timeout risk). Then BOUND the writer count —
+    // `maxConnections` concurrent transactions against ONE database
+    // endpoint, not one per shuffle partition: a single RDBMS gains
+    // nothing past a few writers and loses hard to lock contention
+    // (Derby serializes behind 60 s table-lock waits at ~20 writers —
+    // measured live; PG deadlock probability grows with writer
+    // count). coalesce (no shuffle) merges whole partitions, so
+    // per-key co-location survives.
+    // Derby clamps to ONE writer regardless of the cap: its lock
+    // manager escalates row locks to table locks under concurrent
+    // MERGE, so extra writers buy only wait cycles (observed: the
+    // same batch 1 s single-writer vs 25 s behind intermittent
+    // multi-second lock waits at 8) — an embedded single-node store
+    // has no parallel-write upside to trade for that
+    val conns =
+      if (jdbcUrl.startsWith("jdbc:derby")) 1
+      else math.max(1, maxConnections)
     val byKey = oneRow.repartition(keyCols.map(col): _*)
+      .coalesce(conns)
+    // BOUNDED-CHUNK transactions with conflict retry: concurrent
+    // per-partition MERGEs on one table can deadlock or fail
+    // serialization even on disjoint keys — Derby escalates to
+    // page/table locks (observed live under the StreamingPerf probe
+    // at 20 concurrent writers), and PostgreSQL raises 40001/40P01
+    // under SSI or multi-row lock-order inversions. The standard
+    // client contract for BOTH is: rollback and retry the
+    // transaction. Each chunk (one buffered group of rows, bounded
+    // memory) is its own transaction retried up to 5 times with
+    // exponential backoff on SQLState class 40; chunk-level commits
+    // are replay-safe for the same reason the per-partition ones
+    // were — the MERGE is idempotent, so partial application plus a
+    // crash converges on replay (the e2e spec's contract).
     byKey.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      if (rows.hasNext) {
-        val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(mergeSql)
-          var n = 0
-          rows.foreach { r =>
-            var i = 0
-            while (i < bindOrder.length) {
-              ps.setObject(i + 1, r.get(bindOrder(i)))
-              i += 1
+      rows.grouped(2000).foreach { chunk =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(mergeSql)
+            var n = 0
+            chunk.foreach { r =>
+              var i = 0
+              while (i < bindOrder.length) {
+                ps.setObject(i + 1, r.get(bindOrder(i)))
+                i += 1
+              }
+              ps.addBatch()
+              n += 1
+              if (n % 500 == 0) ps.executeBatch()
             }
-            ps.addBatch()
-            n += 1
-            if (n % 500 == 0) ps.executeBatch()
-          }
-          ps.executeBatch()
-          conn.commit()
-        } catch {
-          case e: Throwable => conn.rollback(); throw e
-        } finally conn.close()
+            ps.executeBatch()
+            conn.commit()
+            done = true
+          } catch {
+            case e: java.sql.SQLException
+                if isRetryableConflict(e) && attempt < 5 =>
+              try conn.rollback() catch { case _: Throwable => () }
+              attempt += 1
+              Thread.sleep(50L << attempt)
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally conn.close()
+        }
       }
     }
+  }
+
+  /** SQLState class 40 = transaction rollback (40001 serialization
+    * failure on Derby and PostgreSQL, 40P01 PostgreSQL deadlock):
+    * the transaction did NOT apply and the documented client
+    * response is retry. Batch drivers wrap the real exception
+    * ([[java.sql.BatchUpdateException]] chains it via
+    * getNextException, others via the cause), so the whole chain is
+    * walked.
+    */
+  private[graft] def isRetryableConflict(e: Throwable): Boolean = {
+    var cur = e
+    var hops = 0
+    while (cur != null && hops < 16) {
+      cur match {
+        case s: java.sql.SQLException
+            if Option(s.getSQLState).exists(_.startsWith("40")) =>
+          return true
+        case _ => ()
+      }
+      val next = cur match {
+        case s: java.sql.SQLException
+            if s.getNextException != null && (s.getNextException ne cur) =>
+          s.getNextException
+        case _ => cur.getCause
+      }
+      cur = if (next eq cur) null else next
+      hops += 1
+    }
+    false
   }
 }

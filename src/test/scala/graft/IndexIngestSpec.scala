@@ -170,6 +170,103 @@ class IndexIngestSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSet === admitted)
   }
 
+  test("binary family: streamed appends crash-replay exactly-once; compaction folds; describe covers the layout") {
+    // the r10 gap: appendToBinaryIndex was a blind parquet append
+    // with a replay caveat while the zero-training tier's own pitch
+    // (the churning-corpus index) makes it the family MOST likely to
+    // sit under a stream. Soak the full treatment: every batch runs
+    // once as a crashed attempt (writes land, checkpoint silent) and
+    // is then replayed by the stream under the same id, with
+    // in-stream auto-compaction firing mid-run.
+    val tmp = Files.createTempDirectory("idx-binary-ingest").toString
+    val (streamed, oneShot, cp) = (s"$tmp/streamed", s"$tmp/oneshot", s"$tmp/cp")
+    val base = emb(0 until 100)
+    Similarity.buildBinaryIndex(base, streamed, nBits = 124)
+    Similarity.buildBinaryIndex(base, oneShot, nBits = 124)
+    val stream = MemoryStream[(Long, Array[Float])]
+    for (b <- 0 until 6) {
+      val rows = (200 + b * 20 until 220 + b * 20).map(i => (i.toLong, vec(i)))
+      IndexIngest.appendBinaryBatch(rows.toDF("vec_id", "embedding"),
+        streamed, cp, batchId = b.toLong, autoCompactSegments = 3)
+      stream.addData(rows: _*)
+      val q = IndexIngest.startBinaryAppend(
+        stream.toDF().toDF("vec_id", "embedding"), streamed, cp,
+        trigger = Trigger.AvailableNow(), autoCompactSegments = 3)
+      q.awaitTermination()
+    }
+    Similarity.appendToBinaryIndex(spark, oneShot, emb(200 until 320))
+    // content parity with the one-shot twin, and no replay-duplicates
+    def stored(d: String) = spark.read.parquet(d)
+      .select(col("c_id"), col("c_sig")).as[(Long, Seq[Long])].collect()
+    assert(stored(streamed).length === 220, "crash-replays duplicated rows")
+    assert(stored(streamed).toSet === stored(oneShot).toSet)
+    // search parity in the exhaustive regime (rerank > corpus)
+    val q = emb(0 until 5)
+    def res(d: String) = Similarity.binaryIndexedTopK(spark, d, q, k = 5,
+      rerank = 400).as[(Long, Long, Double, Long)].collect().toSet
+    assert(res(streamed) === res(oneShot))
+    // auto-compaction bounded segment growth mid-run: without it the
+    // 6 crash-attempts + 6 replays would have left base + 6 segments
+    assert(Similarity.segmentNames(spark, streamed).size <= 4,
+      s"segments unbounded: ${Similarity.segmentNames(spark, streamed)}")
+    // describeIndex covers the binary layout: model/nbits from the
+    // meta, no cell structure, coherent epochs, full row accounting
+    val d = Similarity.describeIndex(spark, streamed).collect()
+    assert(d.nonEmpty && d.forall(r =>
+      r.getAs[String]("model") == "binary" && r.getAs[Int]("nbits") == 124 &&
+        r.getAs[Long]("cells") == 0L && r.getAs[Boolean]("epoch_coherent")))
+    assert(d.map(_.getAs[Long]("rows")).sum === 220L)
+    // explicit compaction folds to one base segment, results unchanged
+    val before = res(streamed)
+    Similarity.compactBinaryIndex(spark, streamed)
+    assert(Similarity.segmentNames(spark, streamed) === Seq("base"))
+    assert(res(streamed) === before)
+    assert(spark.read.parquet(streamed).count() === 220L)
+    val folded = Similarity.describeIndex(spark, streamed).collect()
+    assert(folded.length == 1 && folded.head.getAs[Long]("rows") === 220L &&
+      folded.head.getAs[Boolean]("epoch_coherent"))
+  }
+
+  test("deduped binary pipeline: survivors indexed exactly-once under crash-replay") {
+    val tmp = Files.createTempDirectory("idx-binary-pipe").toString
+    val (corpus, idx, cp) = (s"$tmp/corpus", s"$tmp/idx", s"$tmp/cp")
+    // seed with an exact in-seed dup of id 3 — rejected at bootstrap
+    val seed = ((0 until 20).map(i => (i.toLong, vec(i))) :+ (200L, vec(3)))
+      .toDF("vec_id", "embedding")
+    IndexIngest.bootstrapDedupedBinary(seed, corpus, idx, nBits = 124)
+    assert(spark.read.parquet(idx).count() === 20L)
+    val stream = MemoryStream[(Long, Array[Float])]
+    // batch 0: 20 new + a dup of CORPUS id 5 + a dup of IN-BATCH id 21
+    val b0 = (20 until 40).map(i => (i.toLong, vec(i))) ++
+      Seq((201L, vec(5)), (202L, vec(21)))
+    stream.addData(b0: _*)
+    IndexIngest.startDedupedBinaryAppend(
+      stream.toDF().toDF("vec_id", "embedding"), corpus, idx, cp,
+      trigger = Trigger.AvailableNow()).awaitTermination()
+    // crash-replay of batch 1: both stages commit once outside the
+    // stream, then the stream replays the same rows under the same id
+    val b1 = (40 until 50).map(i => (i.toLong, vec(i))) :+ (203L, vec(25))
+    IndexIngest.dedupedBinaryAppendBatch(b1.toDF("vec_id", "embedding"),
+      corpus, idx, cp, batchId = 1L)
+    stream.addData(b1: _*)
+    IndexIngest.startDedupedBinaryAppend(
+      stream.toDF().toDF("vec_id", "embedding"), corpus, idx, cp,
+      trigger = Trigger.AvailableNow()).awaitTermination()
+    // exactly the survivors, exactly once, in BOTH stores
+    val want = (0 until 50).map(_.toLong).toSet
+    val ids = spark.read.parquet(idx).select("c_id").as[Long].collect()
+    assert(ids.toSet === want, "index contents diverged")
+    assert(ids.length === 50, "replay duplicated index rows")
+    assert(spark.read.parquet(corpus).select("vec_id").as[Long]
+      .collect().toSet === want)
+    // the rejected near-dup is absent; its admitted twin reachable
+    val probe = Seq((999L, vec(5))).toDF("vec_id", "embedding")
+    val top = Similarity.binaryIndexedTopK(spark, idx, probe, k = 3,
+      rerank = 100).filter(col("rnk") === 1).head()
+    assert(top.getAs[Long]("c_id") === 5L)
+    assert(top.getAs[Double]("cosine") === 1.0)
+  }
+
   test("lifecycle fuzz: random append/compact/refit interleavings stay exact") {
     // model-based check: the index is mutated by a seeded-random
     // op sequence while a plain Map plays the oracle; after EVERY

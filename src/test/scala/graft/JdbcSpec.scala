@@ -122,4 +122,30 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("coin") === "SOL").collect()
     assert(sol.length === 1 && sol.head.getLong(1) === 8L)
   }
+
+  test("conflict classifier: SQLState class 40 retries, anything else rethrows") {
+    import graft.sinks.Routing.isRetryableConflict
+    // Derby serialization failure / PG deadlock — retryable
+    assert(isRetryableConflict(new java.sql.SQLTransactionRollbackException(
+      "deadlock", "40001")))
+    assert(isRetryableConflict(new java.sql.SQLException("pg deadlock", "40P01")))
+    // wrapped the way batch drivers deliver it: BatchUpdateException
+    // chains via getNextException
+    val bue = new java.sql.BatchUpdateException(
+      "batch failed", "XJ208", 0, Array.empty[Int], null)
+    bue.setNextException(new java.sql.SQLTransactionRollbackException(
+      "deadlock", "40001"))
+    assert(isRetryableConflict(bue))
+    // wrapped via the cause chain
+    assert(isRetryableConflict(new RuntimeException("outer",
+      new java.sql.SQLException("inner", "40001"))))
+    // NOT retryable: constraint violations, syntax errors, null state
+    assert(!isRetryableConflict(new java.sql.SQLException("dup key", "23505")))
+    assert(!isRetryableConflict(new java.sql.SQLException("no state")))
+    assert(!isRetryableConflict(new RuntimeException("plain")))
+    // self-referential chains terminate
+    val selfRef = new java.sql.SQLException("self", "XX000")
+    selfRef.setNextException(selfRef)
+    assert(!isRetryableConflict(selfRef))
+  }
 }

@@ -150,6 +150,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       top.getAs[Double]("cosine") == 1.0)
   }
 
+  test("filtered ANN: predicate pushed into the stored-code scan; post-filtering under-returns") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-binary-filt"
+    Similarity.buildBinaryIndex(corpus, dir, metaCols = Seq("label"))
+    val q = corpus.filter(col("vec_id") < 3)
+    val filtered = Similarity.binaryIndexedTopK(spark, dir, q, k = 5,
+      rerank = 300, predicate = Some(col("label") === 7))
+    // the predicate reaches the parquet scan as a pushed filter, not
+    // a post-scan Filter over full rows
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"label predicate not pushed:\n$plan")
+    // exhaustive regime (rerank > the 20 label-7 rows): exactly the
+    // brute-force top-k over the FILTERED corpus, k results per query
+    val got = filtered.select("q_id", "c_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 5),
+      "a filtered search must return k results per query")
+    val exact = Similarity.bruteForceTopK(q,
+        corpus.filter(col("label") === 7), k = 5)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got.toSet === exact)
+    val labelOf = corpus.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.forall(r => labelOf(r._2) == 7))
+    // the contrast the operator exists for: post-filtering the
+    // UNFILTERED top-k silently under-returns (~k/10 survivors at
+    // this selectivity) instead of k qualifying results
+    val post = Similarity.binaryIndexedTopK(spark, dir, q, k = 5,
+        rerank = 300)
+      .join(corpus.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .filter(col("label") === 7)
+    assert(post.count() < got.length,
+      "post-filtering should return fewer than the filtered search's k per query")
+  }
+
   test("binary index append: byte-identical to a rebuild; delta twin equals brute force over the union") {
     val tmp = System.getProperty("java.io.tmpdir")
     val even = corpus.filter(col("vec_id") % 2 === 0)
@@ -792,7 +828,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     } else if (advice.adaptivePerQuery > advice.widePerQuery) {
       assert(!advice.recommendAdaptive)
       assert(advice.breakEvenQueries == Long.MaxValue)
-    } else assert(advice.breakEvenQueries == Long.MaxValue)
+    } else assert(advice.breakEvenQueries ==
+      (if (advice.recommendAdaptive) 0L else Long.MaxValue),
+      "on a marginal tie the break-even must agree with the recommendation")
     // a sample too small for the fit refuses loudly
     val tiny = intercept[IllegalArgumentException] {
       Similarity.adviseProbeMode(spark, dir, sample.limit(4), k = 10,
