@@ -205,15 +205,20 @@ object TextStats {
     * mean↔geomean swap; integer accumulation makes the oracle exact
     * and partition-order-free).
     *
-    * Shape: bigram occurrences pre-aggregate to (doc_id, w1, w2,
-    * cnt) BEFORE the count joins — the per-occurrence micro score is
-    * constant per (w1, w2), so `cnt ·` the score is row-identical
-    * while both shuffle-join probe sides shrink by the corpus's
-    * bigram repetition factor (r10 VERDICT: the per-occurrence form
-    * joined every repeated bigram separately). The joins stay
-    * shuffle joins on the (w1, w2) key, as the bigram vocabulary
-    * outgrows any broadcast (same call as TF-IDF's term join);
-    * per-doc rollup is one partial-agg shuffle on doc_id. The final
+    * Shape: bigram OCCURRENCES join their corpus counts on the
+    * (w1, w2) key — deliberately NOT pre-aggregated to
+    * (doc_id, w1, w2, cnt) first. That rewrite (suggested r10, since
+    * the per-occurrence micro score is constant per (w1, w2)) was
+    * implemented and MEASURED in r11: the per-doc bigram repetition
+    * factor is 1.04 on this corpus shape (265,704 occurrences →
+    * 256,477 distinct doc-bigrams at sf0.1 — a 10-100-word document
+    * rarely repeats a bigram), so the probe side shrank 3.6 % while
+    * the grouping added a full extra exchange on (doc_id, w1, w2),
+    * and the gate wall went 1.6 → 2.5 s. Reverted on the
+    * measurement; the join stays a shuffle join on (w1, w2) as the
+    * bigram vocabulary outgrows any broadcast at corpus scale (AQE
+    * downgrades it to broadcast when c2 is actually small); per-doc
+    * rollup is one partial-agg shuffle on doc_id. The final
     * tiering runs
     * over ONE ROW PER DOCUMENT (corpus-scale inputs reduced first)
     * through [[Ranks.totalOrderRankSuite]] — the size-switched
@@ -240,20 +245,14 @@ object TextStats {
     val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = tok.select(countDistinct(col("t")).as("v"))
-    // per-doc bigram multiplicities: the score of one (w1, w2) is a
-    // constant, so cnt · score ≡ summing it per occurrence and the
-    // join probes carry one row per DISTINCT doc-bigram
-    val bigCnt = big.groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("cnt"))
-    val scored = bigCnt
+    val scored = big
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab)) // 1-row aggregate
       .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_bigrams"),
-        sum(col("cnt") *
-          floor(lit(1e9) * (col("c12") + 1) / (col("c1") + col("v")))
-            .cast("long")).as("like_micro"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(lit(1e9) * (col("c12") + 1) / (col("c1") + col("v")))
+          .cast("long")).as("like_micro"))
     val perDoc = docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
