@@ -188,6 +188,26 @@ object SparkEntry {
   private def idxSuffix(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 
+  /** The ONE binary-index builder for the shared `binary|dir` memo
+    * key: every consumer (the unfiltered gate, the filtered gate, the
+    * fixed-work twin) gets the SAME index — label stored via metaCols
+    * so the filtered probe's predicate resolves. Sharing the
+    * definition matters beyond taste: the memo key is first-caller-
+    * wins and the `queries` Map iterates in hash order, so two call
+    * sites with different build params would non-deterministically
+    * build EITHER index — exactly the r11 sweep failure where the
+    * label-less twin built first and `ext_sim_filtered` could not
+    * resolve `label`.
+    */
+  private def binaryIndexOnce(s: SparkSession, dir: String): String = {
+    val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
+    buildIndexOnce(s"binary|$dir") {
+      Similarity.buildBinaryIndex(Tables.embeddings(s, dir), idxDir,
+        nBits = 248, seed = 42L, metaCols = Seq("label"))
+    }
+    idxDir
+  }
+
   // ------------------------------------------------------------------ //
 
   val catalog: Seq[QueryDef] = Seq(
@@ -2116,15 +2136,11 @@ object SparkEntry {
         val rr = math.min(10000L, math.max(100L,
           Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
         val qs = emb.filter(col("vec_id") % 50 === 0)
-        val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
-        buildIndexOnce(s"binary|$dir") {
-          // label stored beside the codes (metaCols) so the SAME
-          // index serves both this unfiltered probe (label pruned at
-          // the scan — the vector-free ReadSchema assert still holds)
-          // and ext_sim_filtered's pushed-predicate probe
-          Similarity.buildBinaryIndex(emb, idxDir, nBits = 248, seed = 42L,
-            metaCols = Seq("label"))
-        }
+        // shared builder (binaryIndexOnce): label stored beside the
+        // codes so the SAME index serves this unfiltered probe (label
+        // pruned at the scan — the vector-free ReadSchema assert still
+        // holds) and ext_sim_filtered's pushed-predicate probe
+        val idxDir = binaryIndexOnce(s, dir)
         val bin = Similarity.binaryIndexedTopK(s, idxDir, qs, k = 10,
             rerank = rr)
           .select(col("q_id"), col("c_id"), lit(1).as("hit"))
@@ -2159,11 +2175,7 @@ object SparkEntry {
         val rr = math.min(10000L, math.max(100L,
           Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
         val qs = emb.filter(col("vec_id") % 50 === 0)
-        val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
-        buildIndexOnce(s"binary|$dir") {
-          Similarity.buildBinaryIndex(emb, idxDir, nBits = 248, seed = 42L,
-            metaCols = Seq("label"))
-        }
+        val idxDir = binaryIndexOnce(s, dir)
         val res = Similarity.binaryIndexedTopK(s, idxDir, qs, k = 10,
             rerank = rr, predicate = Some(col("label") === 3))
           .select(col("q_id"), col("c_id"), lit(1).as("hit"))
@@ -3902,10 +3914,7 @@ object SparkEntry {
       // _indexed_fq probes)
       "bench_sim_binary_indexed_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
-        val idxDir = "target/graft-indexes/binary_" + idxSuffix(dir)
-        buildIndexOnce(s"binary|$dir") {
-          Similarity.buildBinaryIndex(e, idxDir, nBits = 248, seed = 42L)
-        }
+        val idxDir = binaryIndexOnce(s, dir)
         Similarity.binaryIndexedTopK(s, idxDir, fq(e), k = 10,
           rerank = rerank(Tables.cachedCount(s, dir, "embeddings")))
       }),
