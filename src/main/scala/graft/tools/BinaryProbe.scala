@@ -21,7 +21,10 @@ import graft.ops.Similarity
 object BinaryProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val nBits = args.lift(1).map(_.toInt).getOrElse(248)
+    // the optional nBits arg is positional but mode flags (filtered /
+    // split / explain / debug) may occupy slot 1 — only digits parse
+    val nBits = args.lift(1).filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(248)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]")
@@ -136,6 +139,38 @@ object BinaryProbe {
     if (args.contains("explain")) {
       println(Similarity.binaryTopK(qs, emb, k = 10, nBits = nBits,
         rerank = rr).queryExecution.executedPlan.toString.take(12000))
+      spark.stop(); return
+    }
+    if (args.contains("filtered")) {
+      // the ext_sim_filtered catalog configuration: labeled persisted
+      // index, predicate label = 3 (~10 % of the corpus), recall vs
+      // the FILTERED exact top-10 — the measured basis for the
+      // filtered gate's ≥ 3 contract (needs a fixture with `label`,
+      // i.e. a testdata/datagen dir, not the clustered generator)
+      val dir = java.nio.file.Files
+        .createTempDirectory("binprobe-filt").toString + "/idx"
+      Similarity.buildBinaryIndex(emb, dir, nBits = nBits, seed = 42L,
+        metaCols = Seq("label"))
+      val pred = col("label") === 3
+      val exactF = Similarity.bruteForceTopK(qs, emb.filter(pred), k = 10)
+        .select("q_id", "c_id").localCheckpoint()
+      def runF() = Similarity.binaryIndexedTopK(spark, dir, qs, k = 10,
+        rerank = rr, predicate = Some(pred))
+      val hf = exactF.join(
+          runF().select(col("q_id"), col("c_id"), lit(1).as("hit")),
+          Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .agg(min("hits").as("min"), avg("hits").as("avg"),
+          sum(when(col("hits") < 3, 1).otherwise(0)).as("below3"))
+        .head()
+      println(f"filtered: minHits=${hf.getLong(0)} " +
+        f"avgHits=${hf.getDouble(1)}%.2f below3=${hf.getLong(2)}")
+      def timeF(): Double = {
+        val t0 = System.nanoTime(); runF().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"filtered wall=${Seq(timeF(), timeF()).min}%.2fs (best-of-2)")
       spark.stop(); return
     }
     val exact = Similarity.bruteForceTopK(qs, emb, k = 10)

@@ -186,6 +186,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "post-filtering should return fewer than the filtered search's k per query")
   }
 
+  test("metadata-bearing binary index: appends carry the stored columns or fail loudly") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft-binary-meta-app"
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+    val odd = corpus.filter(col("vec_id") % 2 =!= 0)
+    Similarity.buildBinaryIndex(even, dir, metaCols = Seq("label"))
+    // a batch WITH the stored metadata appends fine and the filtered
+    // probe sees the appended rows under the predicate
+    Similarity.appendToBinaryIndex(spark, dir, odd)
+    val q = corpus.filter(col("vec_id") < 3)
+    val got = Similarity.binaryIndexedTopK(spark, dir, q, k = 5,
+        rerank = 300, predicate = Some(col("label") === 7))
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q,
+        corpus.filter(col("label") === 7), k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got === exact,
+      "appended rows must be filter-searchable like build-time rows")
+    // a batch MISSING the stored metadata column must fail analysis
+    // loudly — a silent append would surface NULL labels under the
+    // filtered probe (rows invisible to every predicate)
+    val bare = odd.select("vec_id", "embedding")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.appendToBinaryIndex(spark, dir, bare)
+    }
+    assert(e.getMessage.toLowerCase.contains("label"),
+      s"error must name the missing stored column: ${e.getMessage}")
+  }
+
   test("binary index append: byte-identical to a rebuild; delta twin equals brute force over the union") {
     val tmp = System.getProperty("java.io.tmpdir")
     val even = corpus.filter(col("vec_id") % 2 === 0)
