@@ -104,7 +104,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val excl = excludedHit.map(JsonText.str).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"ok":${ok.size},"failed":${results.size - ok.size},"excluded":$excl,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
+    // an ONLY allowlist silently drops every unlisted entry, which
+    // reads as full coverage in the artifact (r11 ADVICE — the sf100
+    // rung ran 23 of ~155 entries with "excluded":[]): record the
+    // list itself so the artifact is self-describing
+    val onlyJson = only.toSeq.sorted.map(JsonText.str)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"ok":${ok.size},"failed":${results.size - ok.size},"excluded":$excl,"only":$onlyJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -208,6 +208,22 @@ object SparkEntry {
     idxDir
   }
 
+  /** The ONE IVF-PQ builder for the shared `ivfpq|dir` memo key —
+    * same single-definition rule as [[binaryIndexOnce]] and for the
+    * same reason (the memo is first-caller-wins and catalog iteration
+    * order is hash order): label stored via metaCols so the filtered
+    * probe resolves its predicate, pruned away by every unfiltered
+    * consumer.
+    */
+  private def ivfPqIndexOnce(s: SparkSession, dir: String): String = {
+    val idxDir = "target/graft-indexes/ivfpq_" + idxSuffix(dir)
+    buildIndexOnce(s"ivfpq|$dir") {
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), idxDir,
+        nlist = 16, m = 8, ksub = 64, seed = 42L, metaCols = Seq("label"))
+    }
+    idxDir
+  }
+
   // ------------------------------------------------------------------ //
 
   val catalog: Seq[QueryDef] = Seq(
@@ -2268,11 +2284,7 @@ object SparkEntry {
         val rr = math.min(10000L, math.max(100L,
           Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
         val qs = emb.filter(col("vec_id") % 50 === 0)
-        val idxDir = "target/graft-indexes/ivfpq_" + idxSuffix(dir)
-        buildIndexOnce(s"ivfpq|$dir") {
-          Similarity.buildIvfPqIndex(emb, idxDir, nlist = 16, m = 8,
-            ksub = 64, seed = 42L)
-        }
+        val idxDir = ivfPqIndexOnce(s, dir)
         val ivfpq = Similarity.ivfPqIndexedTopK(s, idxDir, qs, k = 10,
             nprobe = 6, rerank = rr)
           .select(col("q_id"), col("c_id"), lit(1).as("hit"))
@@ -2317,11 +2329,7 @@ object SparkEntry {
         val rr = math.min(10000L, math.max(100L,
           Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
         val qs = emb.filter(col("vec_id") % 50 === 0)
-        val idxDir = "target/graft-indexes/ivfpq_" + idxSuffix(dir)
-        buildIndexOnce(s"ivfpq|$dir") {
-          Similarity.buildIvfPqIndex(emb, idxDir, nlist = 16, m = 8,
-            ksub = 64, seed = 42L)
-        }
+        val idxDir = ivfPqIndexOnce(s, dir)
         // once-per-index like the build itself: the margin is index
         // state, not per-query work
         val margin = calibratedMargin(s"ivfpq|$dir") {
@@ -2337,6 +2345,54 @@ object SparkEntry {
         Similarity.bruteForceTopK(qs, emb, k = 10)
           .select("q_id", "c_id")
           .join(adaptive, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
+      }),
+
+    QueryDef("ext_sim_filtered_ivfpq",
+      // FILTERED ANN on the MAIN index family — r11 VERDICT #1: the
+      // 100 TB steady-state probe is the cell-pruned IVF-PQ index,
+      // and without a predicate path its users must post-filter and
+      // silently under-return (the failure the binary family's spec
+      // pins). Similarity.ivfPqIndexedTopKFiltered: the label
+      // predicate lands in the SAME scan the cell filter prunes —
+      // PartitionFilters (probed cells) × PushedFilters (label),
+      // both spec-asserted — and queries whose probed cells the
+      // filter EMPTIES re-probe at nprobeMax=nlist, where a filtered
+      // scan covers ALL qualifying codes (under-return then means
+      // fewer than k qualifying neighbors exist). Same contract as
+      // ext_sim_filtered: recall vs the FILTERED exact cosine top-10,
+      // >= 3-of-10, corpus-scaled rerank; measured floors
+      // (tools.BinaryProbe ivfpqfiltered) in SCALE.md.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = ivfPqIndexOnce(s, dir)
+        // margin calibrated ON the filtered regime (once per index,
+        // like the adaptive entry): under the predicate the probed
+        // cells hold ~10× fewer qualifying rows, so an unfiltered or
+        // zero margin under-escalates exactly the queries the filter
+        // starves — measured one sf0.1 gate query below the floor at
+        // margin 0; same mostly-disjoint %97 sample stride
+        val margin = calibratedMargin(s"ivfpq_filt|$dir") {
+          Similarity.calibrateAdaptiveMargin(s, idxDir,
+            emb.filter(col("vec_id") % 97 === 13).orderBy("vec_id")
+              .limit(256),
+            k = 10, nprobe0 = 6, minHits = 5, rerank = rr,
+            predicate = Some(col("label") === 3))
+        }
+        val res = Similarity.ivfPqIndexedTopKFiltered(s, idxDir, qs,
+            predicate = col("label") === 3, k = 10, nprobe0 = 6,
+            nprobeMax = 16, margin = margin, rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        Similarity.bruteForceTopK(qs, emb.filter(col("label") === 3), k = 10)
+          .select("q_id", "c_id")
+          .join(res, Seq("q_id", "c_id"), "left")
           .groupBy("q_id")
           .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
@@ -2442,19 +2498,26 @@ object SparkEntry {
       // entirely on the bucket probe, and at the 8-bit sf1 regime
       // radius 2 left one such query below the floor (the r10 full
       // sf1 pass caught q_id 14400 — this entry postdates the r8 sf1
-      // sweep, so sf1 had never been measured); the probe runs at
-      // radius 3 here, 2.5× the masks for ~1.7× per-even-neighbor
-      // bucket recall at 8 bits, and the query slice is bounded by
-      // the SAME radius-3 probe budget (shared probeMaskCount — the
-      // bound and the probe cannot drift apart).
+      // sweep, so sf1 had never been measured). The radius is the
+      // shared CONSTANT 3 (Similarity.lshDeltaProbeDist) — the r11
+      // VERDICT #5 regime-derived-radius hypothesis was implemented,
+      // measured per rung, and REFUTED: radius 2 at its own bound
+      // misses the floor at EVERY rung and worse with more bits
+      // (below3 1/400 → 8/1607 → 16/1139 at sf1/5/25, min 0 at sf25;
+      // tools.AppendProbe lshdelta), so the 2.5× mask bill is
+      // load-bearing recall, not insurance — numbers at the constant's
+      // scaladoc and SCALE.md. The query slice is bounded by the SAME
+      // radius through the shared probeMaskCount, so bound and probe
+      // cannot drift.
       Some("""SELECT vec_id AS q_id, true AS recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 100000""".stripMargin),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val n = Tables.cachedCount(s, dir, "embeddings")
+        val bitsHalf = Similarity.lshBits(n / 2)
+        val pd = Similarity.lshDeltaProbeDist
         val bound = lshIndexedQueryBound(
-          Similarity.probeMaskCount(Similarity.lshBits(n / 2),
-            probeDist = 3))
+          Similarity.probeMaskCount(bitsHalf, pd))
         val qs = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound)
         val table = "graft_lsh_dhalf_" + idxSuffix(dir)
         buildIndexOnce(s"lsh_dhalf|$dir") {
@@ -2462,7 +2525,7 @@ object SparkEntry {
             table, dim = 64, seed = 42L, n = n / 2)
         }
         val merged = Similarity.lshIndexedTopKWithDelta(s, table,
-            emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10, probeDist = 3)
+            emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10, probeDist = pd)
           .select(col("q_id"), col("c_id"), lit(1).as("hit"))
         Similarity.bruteForceTopK(qs, emb, k = 10)
           .select("q_id", "c_id")
@@ -3736,9 +3799,10 @@ object SparkEntry {
     // budget (and query bound) follows lshBits(n/2), not lshBits(n)
     val bitsHalf = Similarity.lshBits(nEmbeddings / 2)
     if (bitsHalf != 8) {
-      // radius 3, matching the catalog entry's probe (see its comment)
+      // the shared constant radius, matching the catalog entry's probe
+      // (Similarity.lshDeltaProbeDist — see the entry's comment)
       val boundHalf = lshIndexedQueryBound(
-        Similarity.probeMaskCount(bitsHalf, probeDist = 3))
+        Similarity.probeMaskCount(bitsHalf, Similarity.lshDeltaProbeDist))
       m = m.updated("ext_sim_lsh_delta",
         s"""SELECT vec_id AS q_id, true AS recall_ok
            |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $boundHalf""".stripMargin)
@@ -3874,7 +3938,7 @@ object SparkEntry {
         }
         Similarity.lshIndexedTopKWithDelta(s, table,
           e.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 20000),
-          fq(e), k = 10, probeDist = 3)
+          fq(e), k = 10, probeDist = Similarity.lshDeltaProbeDist)
       }),
       // ad-hoc (no-index) IVF probes keep the catalog's pinned
       // nlist=16: the ad-hoc form re-assigns every corpus row per
@@ -3991,8 +4055,22 @@ object SparkEntry {
       "bench_dedup_semantic_fq" -> ((s: SparkSession, dir: String) => {
         // the semantic-dedup DESIGN cost (hybrid cell+LSH pair pass,
         // exactly what the catalog gate runs) — the catalog twin also
-        // computes the exact recall baseline, a separate bounded cost
+        // computes the exact recall baseline, a separate bounded cost.
+        // At θ=0.35 the pair OUTPUT is Θ(n²) by semantics, so this
+        // entry's sf100 wall prices EMISSION; read it beside the
+        // _count_fq twin below, which collapses the output and tracks
+        // the linear blocking design alone (r11 VERDICT #4).
         Dedup.semanticNearDupPairsHybrid(Tables.embeddings(s, dir),
+          threshold = 0.35, nassign = 3,
+          n = Tables.cachedCount(s, dir, "embeddings"))
+      }),
+      "bench_dedup_semantic_count_fq" -> ((s: SparkSession, dir: String) => {
+        // COUNT-ONLY twin (Dedup.semanticNearDupPairCountsHybrid):
+        // identical blocking + cosine pass at the same θ=0.35, output
+        // collapsed to per-label HLL pair counts — no pair rows
+        // shuffled or emitted, so the wall isolates scan/blocking
+        // cost (the design) from Θ(n²) output volume (the semantics).
+        Dedup.semanticNearDupPairCountsHybrid(Tables.embeddings(s, dir),
           threshold = 0.35, nassign = 3,
           n = Tables.cachedCount(s, dir, "embeddings"))
       }),

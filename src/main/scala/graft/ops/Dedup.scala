@@ -780,13 +780,15 @@ object Dedup {
     * already known — pass n < 0 to count here; see [[semParams]]). */
   def semanticNearDupPairsAdaptive(embeddings: DataFrame, threshold: Double = 0.5,
                                    targetCell: Int = 250, nassign: Int = 3,
-                                   seed: Long = 42L, n: Long = -1L): DataFrame =
+                                   seed: Long = 42L, n: Long = -1L,
+                                   dedup: Boolean = true): DataFrame =
     semanticNearDupPairs(embeddings, threshold,
-      semParams(if (n < 0) embeddings.count() else n, targetCell), nassign, seed)
+      semParams(if (n < 0) embeddings.count() else n, targetCell), nassign, seed,
+      dedup)
 
   def semanticNearDupPairs(embeddings: DataFrame, threshold: Double = 0.5,
                            nlist: Int = 16, nassign: Int = 3,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L, dedup: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions._
     val centroids = Similarity.ivfCentroids(embeddings, nlist, seed)
     // MULTI-ASSIGNMENT (the IVF-nprobe idea on the build side): each
@@ -818,8 +820,11 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
       // a pair can share up to `nassign` cells: dedup AFTER the
-      // threshold filter, when the stream has already shrunk
-      .distinct()
+      // threshold filter, when the stream has already shrunk.
+      // `dedup = false` hands the RAW stream to a caller that
+      // collapses duplicates itself (the count-only twin's HLL —
+      // a distinct here would shuffle Θ(pairs) rows it never needs).
+      .transform(df => if (dedup) df.distinct() else df)
   }
 
   /** [[semanticNearDupPairsAdaptive]] unioned with `nSeeds` banded
@@ -873,6 +878,53 @@ object Dedup {
         n = nn)
       .unionByName(lsh)
       .distinct()
+  }
+
+  /** COUNT-ONLY twin of [[semanticNearDupPairsHybrid]] (r11 VERDICT
+    * #4): identical blocking tiers and cosine arithmetic, but the
+    * output collapses to per-`groupCol` pair counts — distinct pairs
+    * estimated by HLL sketches over the raw candidate stream
+    * (partial-aggregated map-side), raw candidate rows counted
+    * exactly. NO pair rows are shuffled or emitted anywhere: both
+    * tiers run dedup-less and the one shuffle carries
+    * |groups|×|tasks| sketch partials.
+    *
+    * Why it exists: at a low θ the pair OUTPUT is Θ(n²) by problem
+    * semantics (a constant fraction of same-cluster pairs qualifies),
+    * so the emission twin's wall measures output volume, not the
+    * linear scan/blocking design it is meant to track — at sf100 the
+    * emission twin bent to e=1.54 while nobody reads the 600 M pair
+    * rows. This twin is the design-cost instrument; keep the emission
+    * twin for the honest output price. A production consumer that
+    * only sizes the dedup problem (how many near-dup pairs per
+    * domain?) runs THIS shape.
+    */
+  def semanticNearDupPairCountsHybrid(embeddings: DataFrame,
+                                      threshold: Double = 0.5,
+                                      targetCell: Int = 250, nassign: Int = 3,
+                                      seed: Long = 42L, nSeeds: Int = 1,
+                                      n: Long = -1L,
+                                      groupCol: String = "label"): DataFrame = {
+    require(nSeeds >= 1, "nSeeds must be >= 1")
+    require(embeddings.columns.contains(groupCol),
+      s"semanticNearDupPairCountsHybrid: embeddings has no '$groupCol' column")
+    val nn = if (n < 0) embeddings.count() else n
+    val (bands, bits) = annParams(nn)
+    val lsh = embeddingNearDupsAnnSeeds(embeddings, threshold, bands, bits,
+      (0 until nSeeds).map(i => seed + 1000L * i), dedup = false)
+    val raw = semanticNearDupPairsAdaptive(embeddings, threshold, targetCell,
+        nassign, seed, n = nn, dedup = false)
+      .unionByName(lsh)
+    // group key by broadcast lookup on the left id (tiny: one row per
+    // vector, two narrow columns)
+    val groups = broadcast(
+      embeddings.select(col("vec_id").as("a_id"), col(groupCol)))
+    raw.join(groups, Seq("a_id"))
+      .groupBy(col(groupCol))
+      .agg(
+        approx_count_distinct(struct(col("a_id"), col("b_id")), rsd = 0.02)
+          .as("pairs_est"),
+        count(lit(1)).as("candidate_rows"))
   }
 
   /** Seeds for [[semanticNearDupPairsHybrid]] sized from the banding

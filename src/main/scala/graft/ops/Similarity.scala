@@ -137,10 +137,13 @@ object Similarity {
     * builds measured ~250 s mostly in a two-core assignment pass. At
     * real scale the scan is already wide and spread is a no-op. */
   private[graft] def ivfCorpusSide(corpus: DataFrame,
-                                   centroids: Array[Array[Double]]): DataFrame =
-    spread(corpus).select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        normD(col("embedding")).as("c_nrm"),
-        topCells(col("embedding"), centroids, 1).getItem(0).as("cell"))
+                                   centroids: Array[Array[Double]],
+                                   metaCols: Seq[String] = Nil): DataFrame =
+    spread(corpus).select(col("vec_id").as("c_id") +:
+        col("embedding").as("c_emb") +:
+        normD(col("embedding")).as("c_nrm") +:
+        topCells(col("embedding"), centroids, 1).getItem(0).as("cell") +:
+        metaCols.map(col): _*)
       .filter(col("c_nrm") > 0)
 
   /** Query side of both IVF paths: one row per (query, probed cell). */
@@ -373,8 +376,19 @@ object Similarity {
     // can collide — together they key the corpus identity safely
     val key = (corpus.semanticHash(),
       corpus.queryExecution.analyzed.canonicalized.toString, tierKey)
-    scanCaches.getOrElseUpdate(key,
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the registry is JVM-global but each entry is bound to the
+    // session that built it: after that session stops, serving the
+    // entry to a NEW session in the same JVM fails on a stopped
+    // SparkContext (r11 ADVICE) — treat dead-session entries as
+    // absent and rebuild against the live session
+    scanCaches.get(key)
+      .filterNot(_.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val df = build
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scanCaches.put(key, df)
+        df
+      }
   }
 
   /** Drop every scan-tier cache [[pqTopK]]/[[binaryTopK]] registered
@@ -385,7 +399,11 @@ object Similarity {
     * call over the same corpus simply re-encodes and re-persists.
     */
   def releaseScanCaches(): Unit = synchronized {
-    scanCaches.values.foreach(_.unpersist(false))
+    // best-effort per entry: an unpersist against a stopped session
+    // throws, and one dead entry must not leave the LIVE entries
+    // behind it pinned in the map (r11 ADVICE — clear() always runs)
+    scanCaches.values
+      .foreach(df => scala.util.Try(df.unpersist(false)))
     scanCaches.clear()
   }
 
@@ -687,6 +705,23 @@ object Similarity {
                           seg: Option[String] = None): Unit = {
     import graft.functions.VectorFunctions.signBands
     requireEpochCoherent(spark, dir, Seq("_meta"))
+    // a PRE-SEGMENTATION flat tree (data files at the root, no seg=
+    // dirs — the layout describeIndex reports as one synthetic
+    // "(flat)" segment) cannot take a partitioned append: the write
+    // would leave files both at the root and under seg= dirs, and
+    // every later read fails partition discovery with an error far
+    // from this write (r11 ADVICE). Fail HERE, with the migration.
+    val rootPath = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!rootFs.listStatus(rootPath).exists(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")),
+      s"appendToBinaryIndex: $dir holds root-level data files (a " +
+        "pre-segmentation flat layout) — appending seg= partitions " +
+        "beside them would break every subsequent read's partition " +
+        "discovery. Migrate first: rebuild with buildBinaryIndex, or " +
+        "run compactBinaryIndex after moving the flat files under a " +
+        "seg=base/ directory.")
     val m = spark.read.parquet(dir + "_meta").head()
     val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
       m.getAs[Long]("seed")).grouped(62).toSeq
@@ -817,7 +852,8 @@ object Similarity {
     * needs NOTHING but the directory.
     */
   def buildIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
-                      m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
+                      m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                      metaCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqEncodeExpr
     val spark = corpus.sparkSession
@@ -825,8 +861,13 @@ object Similarity {
     val centroids = ivfCentroids(corpus, nlist, seed)
     val cbs = pqCodebooks(corpus, m, ksub, seed)
     // same cell-clustered write as buildIvfIndex (file count = nlist,
-    // not tasks×nlist)
-    ivfCorpusSide(corpus, centroids)
+    // not tasks×nlist). `metaCols` stores extra metadata columns WITH
+    // the codes — the filtered probe's predicate then pushes into the
+    // SAME scan the cell partition filter prunes
+    // ([[ivfPqIndexedTopKFiltered]]); they cost their width at build
+    // and nothing on unfiltered probes (column pruning), the
+    // buildBinaryIndex contract.
+    ivfCorpusSide(corpus, centroids, metaCols)
       .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs)))
       .withColumn("seg", lit("base"))
       .repartition(col("cell"))
@@ -877,8 +918,21 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        batch: DataFrame, seg: Option[String] = None): Unit = {
     requireEpochCoherent(spark, dir, Seq("_centroids"))
-    writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir)), dir, seg)
+    writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir),
+      storedIndexMeta(spark, dir)), dir, seg)
   }
+
+  /** Metadata columns a [[buildIvfPqIndex]]/[[buildIvfIndex]] tree
+    * stores beside the codes (`metaCols` at build time), derived from
+    * the live schema — appended rows must carry the SAME columns or
+    * mixed file schemas would surface nulls under the filtered probe;
+    * a batch missing one fails analysis loudly at the append (the
+    * [[appendToBinaryIndex]] contract, shared by the IVF families).
+    */
+  private def storedIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[String] =
+    spark.read.parquet(dir).schema.fieldNames
+      .filterNot(Set("c_id", "c_emb", "c_nrm", "cell", "code", "seg")).toSeq
 
   /** [[appendToIvfIndex]] for a [[buildIvfPqIndex]] directory: the
     * batch is assigned with the frozen centroids AND encoded with the
@@ -893,7 +947,8 @@ object Similarity {
     import graft.functions.PqEncodeExpr
     requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
     val cbs = readIndexCodebooks(spark, dir)
-    writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir))
+    writeAppend(ivfCorpusSide(batch, readIndexCentroids(spark, dir),
+        storedIndexMeta(spark, dir))
       .withColumn("code", toCol(PqEncodeExpr(toExpr(col("c_emb")), cbs))),
       dir, seg)
   }
@@ -1138,11 +1193,16 @@ object Similarity {
       // localCheckpoint: the fit + assignment must read the OLD tree's
       // rows while the new tree is being written elsewhere — cutting
       // the lineage here also keeps the kmeans/codebook caches keyed
-      // by a plan that cannot collide with the live directory's scans
-      val corpus = rows.select(col("c_id").as("vec_id"),
-        col("c_emb").as("embedding")).localCheckpoint()
+      // by a plan that cannot collide with the live directory's scans.
+      // Stored metadata columns (a metaCols build) ride through the
+      // refit — dropping them would silently break the filtered probe
+      // the index was built to serve.
+      val meta = rows.schema.fieldNames
+        .filterNot(Set("c_id", "c_emb", "c_nrm", "cell", "code", "seg")).toSeq
+      val corpus = rows.select(col("c_id").as("vec_id") +:
+        col("c_emb").as("embedding") +: meta.map(col): _*).localCheckpoint()
       buildIvfPqIndex(corpus, tmp, nlist = nlist, m = m, ksub = ksub,
-        seed = seed)
+        seed = seed, metaCols = meta)
     }
 
   /** Shared fail-safe in-place rewrite: materialize the new tree at
@@ -1286,13 +1346,16 @@ object Similarity {
     */
   def ivfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, k: Int = 10, nprobe: Int = 3,
-                       rerank: Int = 50): DataFrame = {
+                       rerank: Int = 50,
+                       predicate: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     // once per CALL, not per chunk: a corpus-proportional query set
     // splits into several chunks against the same directory, and the
     // marker check is 3×(exists+read) filesystem round trips
     requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
     queryChunks(queries, rerank)
-      .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank))
+      .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank,
+        predicate))
       .reduce(_.unionByName(_))
   }
 
@@ -1435,12 +1498,24 @@ object Similarity {
                               nprobe0: Int = 2, minHits: Int = 3,
                               rerank: Int = 50,
                               safetyQuantile: Double = 0.05,
-                              eps: Double = 0.02): Double = {
+                              eps: Double = 0.02,
+                              predicate: Option[org.apache.spark.sql.Column] =
+                                None): Double = {
     val centroids = readIndexCentroids(spark, dir)
     val p0 = math.min(math.max(nprobe0, 1), centroids.length)
     if (p0 == centroids.length) return 0.0 // nothing is ever unprobed
-    val narrow = ivfPqIndexedTopK(spark, dir, sample, k, p0, rerank)
-    val corpus = spark.read.parquet(dir.stripSuffix("/"))
+    // `predicate` calibrates the FILTERED regime on itself
+    // ([[ivfPqIndexedTopKFiltered]]): under a filter the probed cells
+    // hold ~selectivity× fewer qualifying rows, so the narrow pass
+    // misses more and the failing-gap rule must see THOSE misses —
+    // a margin calibrated unfiltered under-escalates exactly the
+    // queries the filter starves (measured: one sf0.1 gate query at
+    // margin 0 held 10 narrow rows whose kth beat the centroid proxy
+    // yet hit < 3 of the filtered truth).
+    val narrow = ivfPqIndexedTopK(spark, dir, sample, k, p0, rerank,
+      predicate)
+    val corpus = predicate.fold(spark.read.parquet(dir.stripSuffix("/")))(
+        spark.read.parquet(dir.stripSuffix("/")).filter)
       .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
     // ground truth per sampled query; zero-norm queries (no exact
     // rows, unfixable by escalation) drop out here by construction
@@ -1678,7 +1753,9 @@ object Similarity {
 
   private def ivfPqIndexedTopKChunk(spark: org.apache.spark.sql.SparkSession,
                                     dir: String, queries: DataFrame, k: Int,
-                                    nprobe: Int, rerank: Int): DataFrame = {
+                                    nprobe: Int, rerank: Int,
+                                    predicate: Option[org.apache.spark.sql.Column] =
+                                      None): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqAdcExpr
     val centroids = readIndexCentroids(spark, dir)
@@ -1686,10 +1763,18 @@ object Similarity {
     val probes = ivfProbeSide(queries, centroids, nprobe)
     val probed = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // FILTERED search (a `metaCols` build): the predicate restricts
+    // the stored rows BEFORE ADC candidate selection, in the SAME scan
+    // the cell filter prunes — cell is a partition column
+    // (PartitionFilters) and the metadata predicate reaches the
+    // parquet row groups (PushedFilters), both spec-asserted. Applied
+    // after selection instead, a selective predicate silently
+    // under-returns (~k·selectivity survivors per query).
+    def qualify(df: DataFrame) = predicate.fold(df)(df.filter)
     // scan tier: codes only, probed cells only (partition pruning +
     // column pruning — the vectors never leave disk here)
-    val codes = spark.read.parquet(dir)
-      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val codes = qualify(spark.read.parquet(dir)
+        .filter(col("cell").isin(probed.map(Int.box): _*)))
       .select(col("cell"), col("c_id"), col("code"))
     val scored = spread(codes).join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -1699,13 +1784,84 @@ object Similarity {
     val cands = TopK.topKByLongKey(scored, "q_id", "adc", "c_id", rerank)
       .select("q_id", "c_id")
     // rerank tier: vectors of the probed cells, joined down to the
-    // candidate ids
-    val vectors = spark.read.parquet(dir)
-      .filter(col("cell").isin(probed.map(Int.box): _*))
+    // candidate ids (the candidates already satisfy the predicate —
+    // re-qualifying here is belt-and-braces against a future caller
+    // widening cands)
+    val vectors = qualify(spark.read.parquet(dir)
+        .filter(col("cell").isin(probed.map(Int.box): _*)))
       .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       normD(col("embedding")).as("q_nrm")).filter(col("q_nrm") > 0)
     exactRerank(cands, vectors, q, k)
+  }
+
+  /** FILTERED top-k against a [[buildIvfPqIndex]] directory built
+    * with `metaCols` — search under a metadata predicate, the
+    * production vector-store operator (filter by language / license /
+    * source, then rank). The predicate lands in the SAME pruned scan
+    * as the probe's cell filter: partition pruning keeps the read to
+    * the probed cells, the pushed predicate drops non-qualifying row
+    * groups, and ADC selection ranks only qualifying rows — every
+    * query can still return k results, where post-filtering the
+    * unfiltered top-k under-returns ~k·selectivity rows silently (the
+    * failure mode the binary family's spec pins).
+    *
+    * The filter×probe interaction is the hard part: a SELECTIVE
+    * predicate can empty a query's probed cells (the qualifying
+    * neighbors live elsewhere), so a fixed narrow nprobe silently
+    * starves exactly the queries the filter hits hardest. Two-tier
+    * answer, mirroring [[ivfPqIndexedTopKAdaptive]]:
+    *  - probe `nprobe0` cells under the predicate, then RE-PROBE at
+    *    `nprobeMax` every query whose first pass is beatable — fewer
+    *    than k rows returned (the emptied-cell signature) or kth
+    *    cosine below an unprobed centroid's cosine + `margin`
+    *    ([[adaptiveEscalations]] — the centroid signal is computed on
+    *    the unfiltered geometry, a conservative proxy under a filter:
+    *    it can only over-escalate, never under).
+    *  - when the predicate is so selective the qualifying corpus is
+    *    small (`bruteBelow` > 0 and survivor count ≤ it), skip the
+    *    probe entirely and brute-force the qualifying rows exactly —
+    *    a pushed-filter scan of survivor-count vectors beats probing
+    *    machinery built for millions.
+    * At `nprobeMax` = nlist an escalated query scans ALL qualifying
+    * codes — under-return then means fewer than k qualifying
+    * neighbors exist, which is the correct answer.
+    */
+  def ivfPqIndexedTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, queries: DataFrame,
+                               predicate: org.apache.spark.sql.Column,
+                               k: Int = 10, nprobe0: Int = 6,
+                               nprobeMax: Int = 16, margin: Double = 0.0,
+                               rerank: Int = 50,
+                               bruteBelow: Long = 0L): DataFrame = {
+    requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
+    if (bruteBelow > 0) {
+      // survivor census: a pushed-filter, footer-bounded count — the
+      // fall-through gate for predicates selective enough that the
+      // qualifying corpus fits brute force
+      val survivors = spark.read.parquet(dir).filter(predicate).count()
+      if (survivors <= bruteBelow)
+        return bruteForceTopK(queries,
+          spark.read.parquet(dir).filter(predicate)
+            .select(col("c_id").as("vec_id"), col("c_emb").as("embedding")), k)
+    }
+    val centroids = readIndexCentroids(spark, dir)
+    val p0 = math.min(math.max(nprobe0, 1), centroids.length)
+    val pMax = math.min(math.max(nprobeMax, p0), centroids.length)
+    def pass(qs: DataFrame, np: Int) = queryChunks(qs, rerank)
+      .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, np, rerank,
+        Some(predicate)))
+      .reduce(_.unionByName(_))
+    // materialized for the same reason as the adaptive probe: the
+    // narrow pass feeds stats, anti-join, and semi-join branches
+    val first = pass(queries, p0).localCheckpoint()
+    if (pMax == p0) return first
+    val escalated = adaptiveEscalations(queries, first, centroids, k, p0,
+      margin).localCheckpoint()
+    val hardQueries = queries.join(escalated,
+      queries("vec_id") === escalated("q_id"), "left_semi")
+    first.join(escalated, Seq("q_id"), "left_anti")
+      .unionByName(pass(hardQueries, pMax))
   }
 
   /** Fixed-seed random hyperplanes; deterministic across runs (also
@@ -1806,6 +1962,32 @@ object Similarity {
       for (i <- 1 to d) c = c * (nBits - i + 1) / i
       c.toInt
     }.sum
+
+  /** Probe radius for the LSH delta probe — a CONSTANT 3, and the r11
+    * VERDICT #5 hypothesis behind a regime-derived radius (drop back
+    * to 2 where adaptive bits are sized to hold buckets at ~target,
+    * "per-neighbor bucket recall rises with bits") is REFUTED by
+    * measurement, which is why this stayed a constant: the
+    * `tools.AppendProbe lshdelta` protocol (r12) ran both radii at
+    * their own catalog query bounds per rung —
+    *
+    *   sf1  (8 bits):  radius 2 min=2 below3=1/400;  radius 3 min=4, 0
+    *   sf5  (10 bits): radius 2 min=2 below3=8/1607; radius 3 min=3, 0
+    *   sf25 (12 bits): radius 2 min=0 below3=16/1139; radius 3 min=3, 0
+    *
+    * — the radius-2 floor misses GROW with bits, exactly as the
+    * geometry says they must (a neighbor at angle θ differs in
+    * ~bits·θ/π sign bits in expectation, so a FIXED Hamming radius
+    * covers a shrinking share of true neighbors as bits grow). The
+    * radius-3 mask bill at 12 bits (299 masks, ~2.5× radius 2) is
+    * load-bearing recall, not insurance. At still-higher bit regimes
+    * raise recall by unioning independent seeds (the
+    * [[graft.ops.Dedup.embeddingNearDupsAnnMulti]] shape — linear in
+    * seeds), never by radius 4+ (mask count is O(bits^radius)).
+    * Callers derive the probe's QUERY BOUND from
+    * probeMaskCount(bits, this), so bound and probe cannot drift.
+    */
+  private[graft] val lshDeltaProbeDist: Int = 3
 
   /** [[lshTopK]] with nBits sized from the corpus row count (one
     * metadata-cheap count pass; see [[lshBits]]). probeDist is HELD at

@@ -32,8 +32,9 @@ object AppendProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val mode = args.lift(1).getOrElse("both")
-    require(Set("recall", "cost", "delta", "lifecycle", "both")(mode),
-      s"AppendProbe: unknown mode '$mode' — expected recall|cost|delta|lifecycle|both")
+    require(Set("recall", "cost", "delta", "lshdelta", "lifecycle", "both")(mode),
+      s"AppendProbe: unknown mode '$mode' — expected " +
+        "recall|cost|delta|lshdelta|lifecycle|both")
     val nprobe = args.lift(2).map(_.toInt).getOrElse(6)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tune(
@@ -97,6 +98,44 @@ object AppendProbe {
           avg(col("hits")).as("mean"), count(lit(1)).as("queries")).head()
       println(f"[delta] min=${stats.getLong(0)} mean=${stats.getDouble(1)}%.2f " +
         f"queries=${stats.getLong(2)}")
+    }
+
+    if (mode == "lshdelta") {
+      // floors for the LSH freshness twin at the REGIME-DERIVED probe
+      // radius vs its neighbors (r11 VERDICT #5): half-corpus adaptive
+      // index, odd half as delta, catalog query bound — per-radius
+      // min/mean/below3 + wall, so the radius rule ships with the
+      // per-rung floor evidence it rests on
+      val table = "graft_lshdelta_probe"
+      val bitsHalf = Similarity.lshBits(n / 2)
+      Similarity.buildLshIndexAdaptive(emb.filter(col("vec_id") % 2 === 0),
+        table, dim = 64, seed = 42L, n = n / 2)
+      val derived = Similarity.lshDeltaProbeDist
+      println(s"[lshdelta] bitsHalf=$bitsHalf shippedRadius=$derived")
+      for (pd <- 2 to 3) {
+        val bound = math.min(100000L,
+          50L * (90000 / Similarity.probeMaskCount(bitsHalf, pd)))
+        val qs = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound)
+          .localCheckpoint()
+        def run() = Similarity.lshIndexedTopKWithDelta(spark, table,
+          emb.filter(col("vec_id") % 2 =!= 0), qs, k = 10, probeDist = pd)
+        val hits = Similarity.bruteForceTopK(qs, emb, k = 10)
+          .select("q_id", "c_id")
+          .join(run().select(col("q_id"), col("c_id"), lit(1).as("hit")),
+            Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .agg(min(col("hits")).as("min"), avg(col("hits")).as("mean"),
+            sum(when(col("hits") < 3, 1).otherwise(0)).as("below3"),
+            count(lit(1)).as("queries"))
+          .head()
+        val wall = Seq(t(run().write.mode("overwrite").format("noop").save()),
+          t(run().write.mode("overwrite").format("noop").save())).min
+        println(f"[lshdelta] radius=$pd${if (pd == derived) "*" else ""} " +
+          f"bound=$bound queries=${hits.getLong(3)} min=${hits.getLong(0)} " +
+          f"mean=${hits.getDouble(1)}%.2f below3=${hits.getLong(2)} " +
+          f"wall=$wall%.2fs (best-of-2)")
+      }
     }
 
     if (mode == "lifecycle") {

@@ -141,12 +141,67 @@ object BinaryProbe {
         rerank = rr).queryExecution.executedPlan.toString.take(12000))
       spark.stop(); return
     }
+    if (args.contains("ivfpqfiltered")) {
+      // the ext_sim_filtered_ivfpq catalog configuration: labeled
+      // IVF-PQ index (nlist 16, m 8, ksub 64), filter-calibrated
+      // margin, nprobe0 6 → nprobeMax 16 escalation; recall vs the
+      // FILTERED exact top-10 at the catalog predicate (label = 3,
+      // ~10 %) AND a selective ~1 % predicate (label ∧ id stride) —
+      // the regime where probed cells empty and escalation carries
+      // the floor. Works on both the datagen fixtures and the
+      // clustered generator (label is cluster-correlated there — the
+      // label-starved-cells adversarial case).
+      val dir = java.nio.file.Files
+        .createTempDirectory("ivfpqprobe-filt").toString + "/idx"
+      Similarity.buildIvfPqIndex(emb, dir, nlist = 16, m = 8, ksub = 64,
+        seed = 42L, metaCols = Seq("label"))
+      val sample = emb.filter(col("vec_id") % 97 === 13).orderBy("vec_id")
+        .limit(256).localCheckpoint()
+      def floors(tag: String, predIdx: org.apache.spark.sql.Column,
+                 predEmb: org.apache.spark.sql.Column): Unit = {
+        val margin = Similarity.calibrateAdaptiveMargin(spark, dir, sample,
+          k = 10, nprobe0 = 6, minHits = 5, rerank = rr,
+          predicate = Some(predIdx))
+        val exactF = Similarity.bruteForceTopK(qs, emb.filter(predEmb),
+          k = 10).select("q_id", "c_id").localCheckpoint()
+        def runF() = Similarity.ivfPqIndexedTopKFiltered(spark, dir, qs,
+          predicate = predIdx, k = 10, nprobe0 = 6, nprobeMax = 16,
+          margin = margin, rerank = rr)
+        val hf = exactF.join(
+            runF().select(col("q_id"), col("c_id"), lit(1).as("hit")),
+            Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .agg(min("hits").as("min"), avg("hits").as("avg"),
+            sum(when(col("hits") < 3, 1).otherwise(0)).as("below3"))
+          .head()
+        def timeF(): Double = {
+          val t0 = System.nanoTime(); runF().count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"ivfpqfiltered[$tag]: margin=$margin%.3f " +
+          f"minHits=${hf.getLong(0)} avgHits=${hf.getDouble(1)}%.2f " +
+          f"below3=${hf.getLong(2)} " +
+          f"wall=${Seq(timeF(), timeF()).min}%.2fs (best-of-2)")
+      }
+      floors("label=3 ~10%", col("label") === 3, col("label") === 3)
+      // ~1 % selective: the label conjunct pushes to the scan; the id
+      // stride evaluates post-scan but still BEFORE candidate
+      // selection, so correctness semantics are identical. DECADE
+      // stride (id/10 % 10), not id % 10 — on the clustered fixture
+      // label is id%10-derived, so an id%10 conjunct would intersect
+      // to empty instead of thinning within the label
+      floors("label=3 & id/10%10=0 ~1%",
+        col("label") === 3 && pmod(floor(col("c_id") / 10), lit(10)) === 0,
+        col("label") === 3 && pmod(floor(col("vec_id") / 10), lit(10)) === 0)
+      spark.stop(); return
+    }
     if (args.contains("filtered")) {
       // the ext_sim_filtered catalog configuration: labeled persisted
       // index, predicate label = 3 (~10 % of the corpus), recall vs
       // the FILTERED exact top-10 — the measured basis for the
-      // filtered gate's ≥ 3 contract (needs a fixture with `label`,
-      // i.e. a testdata/datagen dir, not the clustered generator)
+      // filtered gate's ≥ 3 contract (label now also exists on the
+      // clustered generator, cluster-correlated)
       val dir = java.nio.file.Files
         .createTempDirectory("binprobe-filt").toString + "/idx"
       Similarity.buildBinaryIndex(emb, dir, nBits = nBits, seed = 42L,

@@ -37,8 +37,14 @@ object ClusteredFixture {
         val g = r.nextGaussian()
         if (bg) g.toFloat else (c(i) + noise * g).toFloat
       }
-      (id, emb)
-    }.toDF("vec_id", "embedding")
+      // label CORRELATED with the cluster (cluster mod 10): a filtered
+      // probe's predicate then selects whole clusters — the adversarial
+      // case for filter×probe interaction, where qualifying rows
+      // concentrate in a few cells and every other query's probed
+      // cells are EMPTIED by the filter (uniform fixtures spread
+      // qualifying rows evenly and never exercise that path)
+      (id, emb, ((id % nClusters) % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
   }
 
   /** Write `<outDir>/embeddings.parquet` in the testdata layout so

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.{GraftSession}
 import graft.etl.DedupIngest
 import graft.ingest.KlineIngest
+import graft.ops.Similarity
 import graft.pipelines.KlinePipeline
 import graft.sinks.Routing
 import graft.streaming.Telemetry
@@ -43,8 +44,27 @@ import graft.streaming.Telemetry
   * R sustains R with headroom; p95 ≪ the interval quantifies how
   * much.
   *
+  * r12 adds the two INDEX-MAINTENANCE pipelines whose O(batch) claim
+  * the 100 TB story rests on (r11 VERDICT #2), both with in-stream
+  * auto-compaction forced LOW (threshold 4 segments) so the one
+  * O(index) pause inside the otherwise O(batch) loop trips mid-window
+  * and lands in the per-trigger tail the probe reports:
+  *
+  *   - `ivfpq_append` — [[graft.etl.IndexIngest.startIvfPqAppend]]:
+  *     frozen-model assign + encode + seg-overwrite append per batch.
+  *   - `deduped_binary` — [[graft.etl.IndexIngest
+  *     .startDedupedBinaryAppend]]: near-dup admission against the
+  *     persisted corpus, then the admitted survivors appended to the
+  *     binary index — the composed exactly-once pipeline.
+  *
+  * For both, the probe also times one OFFLINE compaction after the
+  * stream stops (`offline_compact_ms` — the same O(index) act the
+  * in-stream threshold amortizes) and reports the index row count it
+  * folded, so the pause can be read against the trigger interval.
+  *
   * Usage: `runMain graft.tools.StreamingPerf [durationSec]
-  * [klineRps] [routedRps] [dedupRps]` — prints ONE JSON line.
+  * [klineRps] [routedRps] [dedupRps] [ivfpqRps] [dedupedBinRps]` —
+  * prints ONE JSON line.
   * Defaults size the window so each pipeline commits ~20+ triggers.
   */
 object StreamingPerf {
@@ -59,6 +79,8 @@ object StreamingPerf {
     val klineRps = args.lift(1).map(_.toInt).getOrElse(2000)
     val routedRps = args.lift(2).map(_.toInt).getOrElse(15000)
     val dedupRps = args.lift(3).map(_.toInt).getOrElse(30000)
+    val ivfpqRps = args.lift(4).map(_.toInt).getOrElse(20000)
+    val dedupedBinRps = args.lift(5).map(_.toInt).getOrElse(10000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]")
@@ -76,8 +98,12 @@ object StreamingPerf {
       else sorted(math.min(sorted.size - 1,
         math.ceil(p * sorted.size).toInt - 1).max(0))
 
-    /** Run one pipeline for the window, drain telemetry, summarize. */
-    def measure(name: String, triggerMs: Long)(start: () => org.apache.spark.sql.streaming.StreamingQuery): String = {
+    /** Run one pipeline for the window, drain telemetry, summarize.
+      * `extraAfter` runs AFTER the query stops and appends its
+      * pre-rendered JSON fields to the pipeline's object (the index
+      * pipelines' post-window segment census + offline compaction). */
+    def measure(name: String, triggerMs: Long,
+                extraAfter: () => String = () => "")(start: () => org.apache.spark.sql.streaming.StreamingQuery): String = {
       val q = start()
       Thread.sleep(durationSec * 1000L)
       // a died query must fail the probe loudly, not read as 0 rows/s
@@ -124,7 +150,7 @@ object StreamingPerf {
         f""""rows_per_sec_wall":${wallRps}%.0f,"rows_per_sec_busy":${busyRps}%.0f,""" +
         f""""p50_trigger_ms":${percentile(durs, 0.50)},""" +
         f""""p95_trigger_ms":${percentile(durs, 0.95)},"max_trigger_ms":${durs.lastOption.getOrElse(0L)},""" +
-        f""""lagging_batches":$lagging,"lagging_after_warmup":$laggingWarm}"""
+        f""""lagging_batches":$lagging,"lagging_after_warmup":$laggingWarm${extraAfter()}}"""
     }
 
     // 1. reference-parity flagship into the exactly-once JDBC sink
@@ -188,11 +214,95 @@ object StreamingPerf {
         queryName = Some("dedup_incremental"))
     }
 
+    // 4 + 5: the index-maintenance pipelines (r11 VERDICT #2).
+    // Deterministic embedding stream: 64 floats HASH-keyed by
+    // (row id, dim) via xxhash64, uniform in [-1, 1] — distinct ids
+    // land near cosine 0, so the dedup pipeline's admission measures
+    // exactly its ~5 % planted duplicates. (A first cut used
+    // sin(id·(i+1)) and the admission "mysteriously" rejected 99.7 %
+    // of the stream — correctly: sin of an integer id is
+    // near-periodic, ids 710 apart are 113·2π away and their
+    // embeddings near-identical. The operator caught the degenerate
+    // fixture.) Ids offset past the bootstrap seed. Auto-compaction
+    // threshold 4: with ~1 trigger per 10 s the fold trips mid-window
+    // and its O(index) pause lands in max_trigger_ms, against a p50
+    // that stays O(batch).
+    val hashEmb =
+      "transform(sequence(0, 63), i -> " +
+        "cast(pmod(xxhash64(value + 10000000, i), 2000001) / 1000000.0 - 1 as float))"
+    def embStream(rps: Int, planted: Boolean): DataFrame = {
+      val base = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps.toString).load()
+      val dup = expr(
+        "transform(sequence(0, 63), i -> " +
+          "cast(pmod(xxhash64(-1L, i), 2000001) / 1000000.0 - 1 as float))")
+      base.select((col("value") + 10000000L).as("vec_id"),
+        (if (planted) when(col("value") % 20 === 0, dup)
+           .otherwise(expr(hashEmb))
+         else expr(hashEmb)).as("embedding"))
+    }
+    val seed = spark.range(5000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+          "cast(pmod(xxhash64(id, i), 2000001) / 1000000.0 - 1 as float))")
+        .as("embedding"))
+    val indexTriggerMs = 10000L
+
+    def t(body: => Unit): Long = {
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1000000L
+    }
+    def indexExtra(dir: String, compact: => Unit): () => String = () => {
+      val segs = Similarity.describeIndex(spark, dir)
+      val (nSegs, nRows) = (segs.count(),
+        segs.agg(sum(col("rows"))).head().getLong(0))
+      val compactMs = t(compact)
+      s""","segments_after":$nSegs,"index_rows":$nRows,"offline_compact_ms":$compactMs"""
+    }
+
+    // 4. frozen-model IVF-PQ append (assign + encode + seg overwrite)
+    val ivfpqDir = s"$work/ivfpq-idx"
+    Similarity.buildIvfPqIndex(seed, ivfpqDir, nlist = 16, m = 8, ksub = 16,
+      seed = 42L)
+    val ivfpq = measure("ivfpq_append", indexTriggerMs,
+      indexExtra(ivfpqDir, Similarity.compactIndex(spark, ivfpqDir))) { () =>
+      graft.etl.IndexIngest.startIvfPqAppend(
+        embStream(ivfpqRps, planted = false), ivfpqDir, s"$work/cp-ivfpq",
+        trigger = Trigger.ProcessingTime(s"$indexTriggerMs milliseconds"),
+        autoCompactSegments = 4, queryName = Some("ivfpq_append"))
+    }
+
+    // 5. composed dedup→binary pipeline (admission + index append,
+    // exactly-once both stages). Banding sized for the BATCH scale
+    // like any production deployment (the annParams(100k) regime,
+    // 6 bands × 10 bits): the gate-scale default (8×4 = 16 buckets
+    // per band) makes a ~60k-row admitted batch enumerate ~10⁹
+    // in-batch candidate pairs — the first trigger never finished in
+    // a 60 s window. Params are stream state (travel with the
+    // checkpoint), so this is the start-time sizing decision the
+    // operator's docs prescribe.
+    val binCorpus = s"$work/bin-corpus"
+    val binIdx = s"$work/bin-idx"
+    graft.etl.IndexIngest.bootstrapDedupedBinary(seed, binCorpus, binIdx,
+      bands = 6, bitsPerBand = 10)
+    // the composed admission pays a heavy fixed per-trigger floor
+    // (banding join + cosine verify + three partitioned commits) —
+    // the product default cadence is 60 s; judged here at 30 s, the
+    // same judged-at-its-own-cadence rule as dedup_incremental's 10 s
+    val dedupedBinTriggerMs = 30000L
+    val dedupedBin = measure("deduped_binary", dedupedBinTriggerMs,
+      indexExtra(binIdx, Similarity.compactBinaryIndex(spark, binIdx))) { () =>
+      graft.etl.IndexIngest.startDedupedBinaryAppend(
+        embStream(dedupedBinRps, planted = true), binCorpus, binIdx,
+        s"$work/cp-dedupedbin", bands = 6, bitsPerBand = 10,
+        trigger = Trigger.ProcessingTime(s"$dedupedBinTriggerMs milliseconds"),
+        autoCompactSegments = 4, queryName = Some("deduped_binary"))
+    }
+
     rec.stop()
     println(s"""{"metric":"streaming_perf","duration_s":$durationSec,""" +
       s""""cpus":$cpus,""" +
-      s""""rates":{"kline_jdbc":$klineRps,"routed_parquet":$routedRps,"dedup_incremental":$dedupRps},""" +
-      s""""pipelines":{$kline,$routed,$dedup}}""")
+      s""""rates":{"kline_jdbc":$klineRps,"routed_parquet":$routedRps,"dedup_incremental":$dedupRps,"ivfpq_append":$ivfpqRps,"deduped_binary":$dedupedBinRps},""" +
+      s""""pipelines":{$kline,$routed,$dedup,$ivfpq,$dedupedBin}}""")
     spark.stop()
   }
 }

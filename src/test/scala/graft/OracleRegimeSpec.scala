@@ -55,9 +55,12 @@ class OracleRegimeSpec extends AnyFunSuite {
       assert(m("ext_sim_lsh_indexed").contains(s"vec_id < $bound"),
         s"indexed-LSH oracle bound drifted at ($ne, $no)")
       // the delta twin's index covers HALF the corpus, so its bound
-      // follows lshBits(n/2) — at the entry's radius-3 probe
-      val masksHalf = graft.ops.Similarity.probeMaskCount(
-        graft.ops.Similarity.lshBits(ne / 2), probeDist = 3)
+      // follows lshBits(n/2) — at the entry's shared constant radius
+      // (lshDeltaProbeDist = 3; the regime-derived alternative was
+      // measured and refuted, see its scaladoc)
+      val bitsHalf = graft.ops.Similarity.lshBits(ne / 2)
+      val masksHalf = graft.ops.Similarity.probeMaskCount(bitsHalf,
+        graft.ops.Similarity.lshDeltaProbeDist)
       val boundHalf = math.min(100000L, 50L * (90000 / masksHalf))
       assert(m("ext_sim_lsh_delta").contains(s"vec_id < $boundHalf"),
         s"delta-LSH oracle bound drifted at ($ne, $no)")

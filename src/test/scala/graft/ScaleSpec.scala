@@ -341,12 +341,19 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //   ext_sim_filtered — the binary-indexed scan shape with a pushed
     //                   predicate SHRINKING the stored-code side ~10×,
     //                   plus the filtered brute-force recall baseline.
+    //   ext_sim_filtered_ivfpq — the _adaptive probe shapes under a
+    //                   predicate (both passes are the cell-pruned
+    //                   equi-join, the predicate only SHRINKS the
+    //                   scanned side) plus the FILTERED brute-force
+    //                   recall baseline (~10 % of the corpus — the
+    //                   lightest baseline in the family).
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
       "ext_sim_ivfpq", "ext_sim_ivfpq_indexed", "ext_sim_ivfpq_appended",
       "ext_sim_ivfpq_delta", "ext_sim_lsh_delta", "ext_sim_ivfpq_adaptive",
-      "ext_sim_binary", "ext_sim_binary_indexed", "ext_sim_filtered")
+      "ext_sim_binary", "ext_sim_binary_indexed", "ext_sim_filtered",
+      "ext_sim_filtered_ivfpq")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -215,6 +215,104 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"error must name the missing stored column: ${e.getMessage}")
   }
 
+  test("filtered IVF-PQ: predicate shares the cell-pruned scan; escalation rescues emptied cells") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-filt"
+    Similarity.buildIvfPqIndex(corpus, dir, nlist = 8, m = 8, ksub = 16,
+      metaCols = Seq("label"))
+    val q = corpus.filter(col("vec_id") < 3)
+    val pred = col("label") === 7
+    // (1) plan shape on the fixed-nprobe probe (lazy — the escalating
+    // wrapper checkpoints its passes): the label predicate lands in
+    // the SAME scan the probed-cell partition filter prunes — both
+    // prunings multiply, neither disables the other
+    val plan = Similarity.ivfPqIndexedTopK(spark, dir, q, k = 5,
+        nprobe = 2, rerank = 300, predicate = Some(pred))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probed-cell partition pruning lost under the predicate:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*label[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"label predicate not pushed into the parquet scan:\n$plan")
+    // (2) the emptied-cell failure and its rescue: at nprobe0=1 a
+    // query whose nearest cell holds < k qualifying rows under-returns
+    // when escalation is OFF (nprobeMax = nprobe0)...
+    val starved = Similarity.ivfPqIndexedTopKFiltered(spark, dir, q, pred,
+        k = 5, nprobe0 = 1, nprobeMax = 1, rerank = 300)
+      .groupBy("q_id").count().collect()
+    assert(starved.exists(_.getLong(1) < 5),
+      "fixture drifted: narrow filtered probe no longer starves any query " +
+        "(the escalation rescue below would be vacuous)")
+    // ...and escalation at nprobeMax = nlist rescues it: margin −10
+    // disables the centroid-cosine criterion, so ONLY the under-return
+    // signal (hits < k) drives the re-probe — the signature unique to
+    // the filtered path. Escalated queries scan ALL qualifying codes
+    // (20 rows < rerank), so every query returns its k.
+    val rescued = Similarity.ivfPqIndexedTopKFiltered(spark, dir, q, pred,
+      k = 5, nprobe0 = 1, nprobeMax = 8, margin = -10.0, rerank = 300)
+    val byQ = rescued.select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1)
+    assert(byQ.size == 3 && byQ.forall(_._2.length == 5),
+      "escalation must restore k results per query")
+    val labelOf = corpus.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(byQ.values.flatten.forall(r => labelOf(r._2) == 7))
+    // (3) exhaustive regime (nprobe0 = nlist, rerank > qualifying
+    // rows): exactly brute force over the FILTERED corpus
+    val exhaustive = Similarity.ivfPqIndexedTopKFiltered(spark, dir, q, pred,
+        k = 5, nprobe0 = 8, nprobeMax = 8, rerank = 300)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(q,
+        corpus.filter(pred), k = 5)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(exhaustive === exact)
+    // (4) the selective-predicate fall-through: below the survivor
+    // threshold the probe skips index machinery for an exact filtered
+    // brute force — identical rows by the same exhaustive argument
+    val brute = Similarity.ivfPqIndexedTopKFiltered(spark, dir, q, pred,
+        k = 5, nprobe0 = 1, nprobeMax = 1, rerank = 300, bruteBelow = 100L)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(brute === exact,
+      "survivor fall-through must return the exact filtered top-k")
+  }
+
+  test("metadata-bearing IVF-PQ index: appends and refits carry the stored columns") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft-ivfpq-meta-app"
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+    val odd = corpus.filter(col("vec_id") % 2 =!= 0)
+    Similarity.buildIvfPqIndex(even, dir, nlist = 8, m = 8, ksub = 16,
+      metaCols = Seq("label"))
+    Similarity.appendToIvfPqIndex(spark, dir, odd)
+    val q = corpus.filter(col("vec_id") < 3)
+    val pred = col("label") === 7
+    // appended rows are filter-searchable like build-time rows
+    // (exhaustive regime: full probe + rerank beyond qualifying count)
+    val got = Similarity.ivfPqIndexedTopKFiltered(spark, dir, q, pred,
+        k = 5, nprobe0 = 8, nprobeMax = 8, rerank = 300)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, corpus.filter(pred), k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got === exact,
+      "appended rows must be filter-searchable like build-time rows")
+    // a batch MISSING the stored metadata column fails analysis loudly
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.appendToIvfPqIndex(spark, dir,
+        odd.select("vec_id", "embedding"))
+    }
+    assert(e.getMessage.toLowerCase.contains("label"),
+      s"error must name the missing stored column: ${e.getMessage}")
+    // a refit re-derives the model but KEEPS the stored metadata —
+    // dropping it would silently break the filtered probe
+    Similarity.refitIvfPqIndex(spark, dir, nlist = 8, m = 8, ksub = 16)
+    val afterRefit = Similarity.ivfPqIndexedTopKFiltered(spark, dir, q, pred,
+        k = 5, nprobe0 = 8, nprobeMax = 8, rerank = 300)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(afterRefit === exact,
+      "a refit must preserve metadata columns and filtered-search results")
+  }
+
   test("binary index append: byte-identical to a rebuild; delta twin equals brute force over the union") {
     val tmp = System.getProperty("java.io.tmpdir")
     val even = corpus.filter(col("vec_id") % 2 === 0)
@@ -365,6 +463,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val adaptive = Similarity.lshTopKAdaptive(q, corpus, k = 5)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(adaptive === pinned)
+  }
+
+  test("lshDeltaProbeDist: the refutation-backed constant and its mask arithmetic") {
+    // r11 VERDICT #5 asked for a regime-derived radius (2 above the
+    // 8-bit regime); it was implemented, measured per rung at each
+    // radius's own catalog bound (tools.AppendProbe lshdelta), and
+    // REFUTED — radius-2 floor misses GROW with bits (below3 1/400 →
+    // 8/1607 → 16/1139 at sf1/5/25) exactly as fixed-radius geometry
+    // predicts. Pin the constant and the mask counts the evidence and
+    // the query bounds are priced in, so a drift in either re-opens
+    // the question visibly.
+    assert(Similarity.lshDeltaProbeDist == 3)
+    assert(Similarity.probeMaskCount(8, 3) == 93)   // sf0.01–sf1 half
+    assert(Similarity.probeMaskCount(10, 3) == 176) // sf5 half
+    assert(Similarity.probeMaskCount(12, 3) == 299) // sf25 half
+    assert(Similarity.probeMaskCount(12, 2) == 79)  // the refuted 2.5×-cheaper probe
   }
 
   test("adaptive LSH index: params persist in meta, auto probe matches join form") {
@@ -776,8 +890,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val again = graft.tools.ClusteredFixture
       .frame(spark, n = 2000, dim = 32, nClusters = 10, noise = 0.35,
         bgFrac = 0.15, seed = 7L).repartition(7)
+      .select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    assert(emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
       .zip(again).forall { case ((i1, v1), (i2, v2)) =>
         i1 == i2 && v1.sameElements(v2) })
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-cal"

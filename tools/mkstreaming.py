@@ -27,6 +27,11 @@ DESC = {
                       "markers",
     "dedup_incremental": "checkpointed-Bloom exact-dedup admission "
                          "(~5 % planted dups)",
+    "ivfpq_append": "frozen-model IVF-PQ maintenance: assign + encode + "
+                    "seg-overwrite append (auto-compact at 4 segments)",
+    "deduped_binary": "composed near-dup admission → binary-index append, "
+                      "exactly-once both stages (auto-compact at 4 "
+                      "segments)",
 }
 
 
@@ -49,16 +54,41 @@ def block(rnd: int) -> str:
         "lagging (warm) | capacity (busy rows/s) |",
         "|---|---|---|---|---|---|",
     ]
-    for name in ["kline_jdbc", "routed_parquet", "dedup_incremental"]:
+    for name in sus["pipelines"]:
         u, a = sus["pipelines"][name], sat["pipelines"][name]
         rate = sus["rates"][name]
         out.append(
-            f"| `{name}` — {DESC[name]} | {u['trigger_ms']/1000:g} s "
+            f"| `{name}` — {DESC.get(name, name)} | {u['trigger_ms']/1000:g} s "
             f"| {rate:,}/s offered, {u['rows_per_sec_wall']:,.0f}/s "
             f"delivered | {u['p50_trigger_ms']} / {u['p95_trigger_ms']} ms "
             f"| {u['lagging_after_warmup']} of {u['batches']} "
             f"| {a['rows_per_sec_busy']:,.0f} (at "
             f"{sat['rates'][name]:,}/s offered) |")
+    # the index-maintenance pipelines carry compaction evidence (r11
+    # VERDICT #2): the in-stream auto-compaction pause sits inside
+    # max_trigger_ms; offline_compact_ms is the same O(index) fold
+    # timed explicitly after the window
+    compacted = [n for n in sus["pipelines"]
+                 if "offline_compact_ms" in sus["pipelines"][n]]
+    if compacted:
+        out.append("")
+        out.append(
+            "Index-maintenance compaction (the one O(index) pause inside "
+            "an otherwise O(batch) loop), measured per pipeline — "
+            "in-stream auto-compaction tripped mid-window at threshold 4 "
+            "segments, so its pause is INSIDE the per-trigger stats "
+            "above (read max vs p50); the offline fold of the full index "
+            "after the window:")
+        for n in compacted:
+            u, a = sus["pipelines"][n], sat["pipelines"][n]
+            out.append(
+                f"- `{n}`: sustained window ended at "
+                f"{u['segments_after']} segments / {u['index_rows']:,} "
+                f"index rows, offline compaction {u['offline_compact_ms']/1000:.1f} s; "
+                f"saturated window {a['segments_after']} segments / "
+                f"{a['index_rows']:,} rows, offline compaction "
+                f"{a['offline_compact_ms']/1000:.1f} s (trigger "
+                f"{u['trigger_ms']/1000:g} s).")
     out += ["",
         "Caveats the numbers carry: `kline_jdbc`'s ceiling is embedded "
         "Derby's single-writer MERGE (the sandbox stand-in for the "
