@@ -118,6 +118,74 @@ object SparkEntry {
        |  FROM s) WHERE rnk <= 10""".stripMargin
   }
 
+  /** DuckDB twin of the FILTERED LSH probe (`ext_sim_filtered_lsh`) —
+    * the whole three-tier escalation replicated: hyperplane-literal
+    * signatures, the label predicate on the corpus side, per-query
+    * candidate counts at both radii deciding the tier (narrow sated /
+    * wide sated / brute fall-through), and each tier's exact-cosine
+    * rank. `queryPred` names the query slice over alias `q0`.
+    * Deterministic end-to-end, so the gate is a hash match — the LSH
+    * family's exact-replication convention extended to the filtered
+    * path.
+    */
+  private[graft] def lshFilteredOracleSql(queryPred: String, nBits: Int = 8,
+                                          pd0: Int = 2, pdMax: Int = 3): String = {
+    val planes = Similarity.hyperplanes(nBits, dim = 64, seed = 42L)
+    def dotSql(p: Array[Double]) =
+      s"""list_reduce(list_prepend(0.0, list_transform(
+         |           list_zip(emb, [${p.mkString(",")}]::DOUBLE[]),
+         |           p -> p[1]*p[2])), (a,b) -> a+b)""".stripMargin
+    val sigSql = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    val pairCos =
+      """round(list_reduce(list_prepend(0.0,
+        |                 list_transform(list_zip(q.emb, c.emb), p -> p[1]*p[2])),
+        |               (a,b) -> a+b) / (q.nrm * c.nrm), 6)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, emb,
+       |         sqrt(list_reduce(list_prepend(0.0, list_transform(emb, x -> x*x)),
+       |                          (a,b) -> a+b)) AS nrm,
+       |         $sigSql AS sig
+       |  FROM m),
+       |qs AS (SELECT * FROM n q0 WHERE ($queryPred) AND q0.nrm > 0),
+       |cs AS (SELECT * FROM n WHERE label = 3 AND nrm > 0),
+       |p2 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         bit_count(xor(q.sig, c.sig)) AS hd,
+       |         $pairCos AS cosine
+       |  FROM qs q JOIN cs c
+       |    ON c.vec_id <> q.vec_id
+       |   AND bit_count(xor(q.sig, c.sig)) <= $pdMax),
+       |cnts AS (
+       |  SELECT q_id, count(*) FILTER (WHERE hd <= $pd0) AS c1, count(*) AS c2
+       |  FROM p2 GROUP BY q_id),
+       |t AS (
+       |  SELECT q.vec_id AS q_id,
+       |         CASE WHEN coalesce(cnts.c1, 0) >= 10 THEN 1
+       |              WHEN coalesce(cnts.c2, 0) >= 10 THEN 2
+       |              ELSE 3 END AS tier
+       |  FROM qs q LEFT JOIN cnts ON cnts.q_id = q.vec_id),
+       |r12 AS (
+       |  SELECT p.q_id, p.c_id, p.cosine,
+       |         CAST(row_number() OVER (PARTITION BY p.q_id
+       |              ORDER BY p.cosine DESC, p.c_id) AS BIGINT) AS rnk
+       |  FROM p2 p JOIN t ON t.q_id = p.q_id
+       |  WHERE (t.tier = 1 AND p.hd <= $pd0) OR t.tier = 2),
+       |r3 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, $pairCos AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |              ORDER BY $pairCos DESC, c.vec_id) AS BIGINT) AS rnk
+       |  FROM qs q JOIN t ON t.q_id = q.vec_id AND t.tier = 3
+       |       JOIN cs c ON c.vec_id <> q.vec_id)
+       |SELECT q_id, c_id, cosine, rnk FROM r12 WHERE rnk <= 10
+       |UNION ALL
+       |SELECT q_id, c_id, cosine, rnk FROM r3 WHERE rnk <= 10""".stripMargin
+  }
+
   /** DuckDB twin of the banded sign-LSH near-dup
     * (`ext_dedup_embedding_ann`): the 32 hyperplanes are embedded as
     * double literals, the candidate rule "collide in ≥1 of 8 4-bit
@@ -220,6 +288,42 @@ object SparkEntry {
     buildIndexOnce(s"ivfpq|$dir") {
       Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), idxDir,
         nlist = 16, m = 8, ksub = 64, seed = 42L, metaCols = Seq("label"))
+    }
+    idxDir
+  }
+
+  /** The ONE adaptive-LSH builder for the shared `lsh|dir` memo key —
+    * label stored via metaCols so the filtered probe
+    * (`ext_sim_filtered_lsh`) resolves its predicate, pruned away by
+    * the unfiltered consumer (`ext_sim_lsh_indexed`); single
+    * definition for the same first-caller-wins reason as
+    * [[binaryIndexOnce]].
+    */
+  private def lshIndexOnce(s: SparkSession, dir: String): String = {
+    val table = "graft_lsh_idx_" + idxSuffix(dir)
+    buildIndexOnce(s"lsh|$dir") {
+      Similarity.buildLshIndexAdaptive(Tables.embeddings(s, dir), table,
+        dim = 64, seed = 42L, n = Tables.cachedCount(s, dir, "embeddings"),
+        metaCols = Seq("label"))
+    }
+    table
+  }
+
+  /** A SEPARATE IVF-PQ index for the deletion gate
+    * (`ext_sim_ivfpq_deleted`): [[deleteFromIndex]] MUTATES the index
+    * (tombstones shadow every probe against it), so the deleted
+    * fixture cannot share [[ivfPqIndexOnce]]'s directory — the
+    * unfiltered entries' recall would silently drop to the even half.
+    * Built on the FULL corpus, then every odd vec_id deleted.
+    */
+  private def ivfPqDeletedIndexOnce(s: SparkSession, dir: String): String = {
+    val idxDir = "target/graft-indexes/ivfpq_del_" + idxSuffix(dir)
+    buildIndexOnce(s"ivfpq_del|$dir") {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfPqIndex(emb, idxDir,
+        nlist = 16, m = 8, ksub = 64, seed = 42L)
+      Similarity.deleteFromIndex(s, idxDir,
+        emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"))
     }
     idxDir
   }
@@ -2398,6 +2502,49 @@ object SparkEntry {
           .select(col("q_id"), (col("hits") >= 3).as("recall_ok"))
       }),
 
+    QueryDef("ext_sim_ivfpq_deleted",
+      // DELETION — the lifecycle verb the maintenance story was
+      // missing (r12 VERDICT #1): PII scrubbing and takedown are
+      // first-class in an LLM data pipeline, and a vector indexed
+      // from a since-deleted document must not stay searchable.
+      // Similarity.deleteFromIndex writes id tombstones; every probe
+      // anti-joins its candidate scan against them BEFORE selection
+      // (so each query still ranks k LIVE candidates — post-filtering
+      // the top-k would under-return, the filtered-search argument),
+      // and compaction physically purges rows + tombstones. Here the
+      // index holds the FULL corpus, every odd vec_id is deleted, and
+      // the gate is recall vs the exact top-10 over the REMAINING
+      // (even) corpus — the ext_sim_ivfpq_indexed contract on the
+      // surviving half — PLUS a hard zero: recall_ok is false if ANY
+      // deleted id surfaces. Replay idempotence, the delta-path
+      // shadow, and the purge-then-probe parity are spec-pinned
+      // (DeletionSpec); this entry gates the steady-state probe.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = ivfPqDeletedIndexOnce(s, dir)
+        val res = Similarity.ivfPqIndexedTopK(s, idxDir, qs, k = 10,
+            nprobe = 6, rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        // any odd (deleted) id in the result set fails the query hard
+        val leaked = res.groupBy("q_id")
+          .agg(max(pmod(col("c_id"), lit(2))).as("leaked"))
+        Similarity.bruteForceTopK(qs, emb.filter(col("vec_id") % 2 === 0),
+            k = 10)
+          .select("q_id", "c_id")
+          .join(res, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .join(leaked, Seq("q_id"), "left")
+          .select(col("q_id"),
+            (col("hits") >= 3 && coalesce(col("leaked"), lit(0)) === 0)
+              .as("recall_ok"))
+      }),
+
     QueryDef("ext_sim_ivfpq_appended",
       // INCREMENTAL INDEX MAINTENANCE — the missing half of the
       // index-once/query-many story: at 100 TB ingest never stops, and
@@ -2566,16 +2713,55 @@ object SparkEntry {
       Some(lshTopkOracleSql("q.vec_id % 50 = 0 AND q.vec_id < 100000")),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val table = "graft_lsh_idx_" + idxSuffix(dir)
         val n = Tables.cachedCount(s, dir, "embeddings")
         val bound =
           lshIndexedQueryBound(Similarity.probeMaskCount(Similarity.lshBits(n)))
-        buildIndexOnce(s"lsh|$dir") {
-          Similarity.buildLshIndexAdaptive(emb, table, dim = 64, seed = 42L, n = n)
-        }
+        // shared builder (lshIndexOnce): label stored beside the
+        // postings so the SAME index serves this unfiltered probe
+        // (label pruned at the scan) and ext_sim_filtered_lsh's
+        // pushed-predicate probe
+        val table = lshIndexOnce(s, dir)
         Similarity.lshIndexedTopKAuto(s, table,
             emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound),
             k = 10)
+          .withColumn("rnk", col("rnk").cast("long"))
+      }),
+
+    QueryDef("ext_sim_filtered_lsh",
+      // FILTERED ANN on the persisted LSH family — the third of the
+      // three families' filtered probes (binary r11, IVF-PQ r12; r12
+      // VERDICT #4): without it an LSH-index user under a predicate
+      // must post-filter and silently under-return. The label
+      // predicate lands in the SAME bucket-pruned scan the probe's
+      // IN-list prunes (SelectedBucketsCount × PushedFilters, both
+      // spec-asserted), so Hamming candidate selection ranks only
+      // qualifying rows. Starved queries (< k rows — LSH has no
+      // centroid signal, so under-return IS the starvation signature)
+      // escalate radius 2 → 3; still-starved queries fall through to
+      // exact brute force over the qualifying rows, because a Hamming
+      // ball never covers the whole bucket space (unlike
+      // nprobeMax = nlist). Every tier is deterministic, so the gate
+      // is the LSH family's exact-replication convention: DuckDB
+      // recomputes the WHOLE three-tier escalation from hyperplane
+      // literals and the result hash-matches — stronger than a recall
+      // floor. The query bound derives from probeMaskCount at the MAX
+      // radius (93 masks at 8 bits), so a worst-case all-starved
+      // escalation still fits the point-lookup path's maxProbe
+      // contract — probe and bound share one formula and cannot drift
+      // (the r10 lesson).
+      Some(lshFilteredOracleSql(
+        s"q0.vec_id % 50 = 0 AND q0.vec_id < ${lshIndexedQueryBound(
+          Similarity.probeMaskCount(8, 3))}")),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val n = Tables.cachedCount(s, dir, "embeddings")
+        val bound = lshIndexedQueryBound(
+          Similarity.probeMaskCount(Similarity.lshBits(n), 3))
+        val table = lshIndexOnce(s, dir)
+        Similarity.lshIndexedTopKFiltered(s, table,
+            emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < bound),
+            predicate = col("label") === 3, k = 10,
+            probeDist0 = 2, probeDistMax = 3)
           .withColumn("rnk", col("rnk").cast("long"))
       }),
 
@@ -3790,10 +3976,16 @@ object SparkEntry {
     var m = oracleSql
     if (bits != 8) {
       val bound = lshIndexedQueryBound(Similarity.probeMaskCount(bits))
+      val boundF = lshIndexedQueryBound(Similarity.probeMaskCount(bits, 3))
       m = m
         .updated("ext_sim_lsh", lshTopkOracleSql("q.vec_id % 50 = 0", bits))
         .updated("ext_sim_lsh_indexed",
           lshTopkOracleSql(s"q.vec_id % 50 = 0 AND q.vec_id < $bound", bits))
+        // the filtered probe's bound follows the MAX radius's mask
+        // count (worst-case all-starved escalation), the same formula
+        // the catalog entry computes
+        .updated("ext_sim_filtered_lsh", lshFilteredOracleSql(
+          s"q0.vec_id % 50 = 0 AND q0.vec_id < $boundF", bits))
     }
     // the LSH delta twin's index covers HALF the corpus, so its probe
     // budget (and query bound) follows lshBits(n/2), not lshBits(n)
@@ -3882,8 +4074,13 @@ object SparkEntry {
       "bench_sim_lsh_build_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
         val table = "graft_lsh_idx_" + idxSuffix(dir)
+        // metaCols match lshIndexOnce: this build pre-marks the SHARED
+        // memo, so it must produce the index every consumer expects —
+        // a label-less build here would break the filtered probe's
+        // predicate resolution (the r11 first-caller-wins failure)
         Similarity.buildLshIndexAdaptive(e, table, dim = 64, seed = 42L,
-          n = Tables.cachedCount(s, dir, "embeddings"))
+          n = Tables.cachedCount(s, dir, "embeddings"),
+          metaCols = Seq("label"))
         builtIndexes.put(s"lsh|$dir", true)
         s.range(1).toDF("ok")
       }),
@@ -3910,12 +4107,41 @@ object SparkEntry {
       }),
       "bench_sim_lsh_indexed_fq" -> ((s: SparkSession, dir: String) => {
         val e = Tables.embeddings(s, dir)
-        val table = "graft_lsh_idx_" + idxSuffix(dir)
-        buildIndexOnce(s"lsh|$dir") {
-          Similarity.buildLshIndexAdaptive(e, table, dim = 64, seed = 42L,
-          n = Tables.cachedCount(s, dir, "embeddings"))
+        Similarity.lshIndexedTopKAuto(s, lshIndexOnce(s, dir), fq(e), k = 10)
+      }),
+      // fixed-work twin of ext_sim_filtered_lsh: the steady-state
+      // filtered probe over the shared persisted index — bucket
+      // pruning × pushed predicate, radius escalation and brute
+      // fall-through included (at ~10% selectivity the fall-through
+      // is rare, so this records the probe path a deployment pays)
+      "bench_sim_lsh_filtered_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshIndexedTopKFiltered(s, lshIndexOnce(s, dir), fq(e),
+          predicate = col("label") === 3, k = 10,
+          probeDist0 = 2, probeDistMax = 3)
+      }),
+      // tombstone-probe overhead at production sizing: the IDENTICAL
+      // probe and index shape as bench_sim_ivfpq_indexed_fq (same
+      // semParams nlist, same fixed query slice, warm build) but
+      // against an index carrying a BOUNDED tombstone set (2% of ids
+      // deleted — the deleteFromIndex contract keeps the set bounded
+      // between compactions), so the delta vs the _indexed_fq row
+      // prices exactly the broadcast anti-join a deletion-bearing
+      // index adds to every probe. Dedicated dir because tombstones
+      // SHADOW — sharing the _indexed_fq index would poison its
+      // results.
+      "bench_sim_ivfpq_deleted_fq" -> ((s: SparkSession, dir: String) => {
+        val e = Tables.embeddings(s, dir)
+        val n = Tables.cachedCount(s, dir, "embeddings")
+        val idxDir = "target/graft-indexes/ivfpq_delfq_" + idxSuffix(dir)
+        buildIndexOnce(s"ivfpq_delfq|$dir") {
+          Similarity.buildIvfPqIndex(e, idxDir, nlist = Dedup.semParams(n),
+            m = 8, ksub = 64, seed = 42L)
+          Similarity.deleteFromIndex(s, idxDir,
+            e.filter(col("vec_id") % 50 === 1).select("vec_id"))
         }
-        Similarity.lshIndexedTopKAuto(s, table, fq(e), k = 10)
+        Similarity.ivfPqIndexedTopK(s, idxDir, fq(e), k = 10, nprobe = 6,
+          rerank = rerank(n))
       }),
       // fixed-work twin of ext_sim_lsh_delta, completing the _fq
       // split for the LSH freshness gate: the catalog entry's cost is

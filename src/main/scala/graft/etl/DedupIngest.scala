@@ -41,6 +41,28 @@ import graft.ops.Dedup
   */
 object DedupIngest {
 
+  /** Label the Spark jobs one admission action spawns — per-stage
+    * telemetry for the composed pipelines (r12 VERDICT #2: the
+    * `deduped_binary` capacity number was attributed to "the
+    * admission join dominates" with no stage breakdown). Costs a
+    * local-property set per ACTION (nothing per row); the labels show
+    * up in the Spark UI and are summed per stage by
+    * [[graft.tools.ComposedProbe]]'s listener.
+    */
+  private def described[T](spark: SparkSession, desc: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
+  /** Opt-in stage split for [[admitBatchEmbedding]]: when true, the
+    * batch's survivors materialize under their own job (the corpus
+    * band-join probe) BEFORE the in-batch pair join reads them, so
+    * the two candidate tiers' costs separate in the stage table. One
+    * extra cache-fill action — measurement plumbing, default off
+    * (production pays the fused plan).
+    */
+  @volatile private[graft] var instrumentAdmission: Boolean = false
+
   /** True iff `dir` holds at least one COMMITTED data file. Directory
     * existence alone is the wrong bootstrap signal: a crash mid-write
     * leaves the directory created with only `_temporary`/staging
@@ -562,6 +584,186 @@ object DedupIngest {
       .take(8).map(b => f"$b%02x").mkString
 
   // ---------------------------------------------------------------- //
+  // Retraction / retention — r12 VERDICT #1 and #7                   //
+  // ---------------------------------------------------------------- //
+
+  /** Row-level removal from ONE `_ingest_batch`-partitioned tree:
+    * rewrite exactly the partitions holding matches (dynamic
+    * partition overwrite of the survivors), delete partitions the
+    * removal empties (a dynamic overwrite writes nothing for a
+    * zero-row partition, silently leaving the stale files — the
+    * explicit delete closes that), touch nothing else. `ids` is a
+    * one-column frame named `matchCol`. The survivors are
+    * localCheckpointed before the write because Spark (correctly)
+    * refuses to overwrite a path its own plan is reading — the
+    * checkpoint bounds that at touched-partitions size.
+    */
+  private def removeFromPartitionedTree(spark: SparkSession, dir: String,
+                                        matchCol: String,
+                                        ids: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (!hasCommittedData(fs, dir)) return
+    val df = spark.read.parquet(dir)
+    val touched = df.join(ids, Seq(matchCol), "left_semi")
+      .select(col("_ingest_batch").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val survivors = df
+      .filter(col("_ingest_batch").cast("string").isin(touched.toSeq: _*))
+      .join(ids, Seq(matchCol), "left_anti")
+      .localCheckpoint()
+    survivors.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_ingest_batch").parquet(dir)
+    val survived = survivors
+      .select(col("_ingest_batch").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    touched.filterNot(survived).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"_ingest_batch=$p"), true)
+    }
+  }
+
+  /** RETRACT documents from an incremental-layout corpus
+    * ([[bootstrapCorpus]] / [[admitBatchIncremental]]) — takedown and
+    * right-to-be-forgotten are first-class verbs in an LLM data
+    * pipeline, and an insert-only corpus cannot serve them: without
+    * this, a removed document's fingerprint keeps suppressing
+    * re-admission forever and its payload stays on disk. `keys` is a
+    * one-column frame named `key`.
+    *
+    * Removes the matching documents AND their fingerprints (row-level
+    * partition rewrites, touched partitions only), then stamps a
+    * fresh bootstrap epoch: any live bloom chain predates the
+    * retraction and is dropped/rebuilt from the now-retracted
+    * fingerprint index on its next batch ([[admitBatchIncremental]]'s
+    * existing epoch guard — the rebuild machinery retraction rides).
+    * RE-ADMISSION of a retracted key is correct even against a stale
+    * chain, by construction: the bloom is only a prune, and its
+    * positive verdicts confirm EXACTLY against the fingerprint index
+    * — where the key no longer exists. The epoch stamp is hygiene
+    * (a chain accumulating retracted keys degrades toward
+    * all-positive), not correctness.
+    *
+    * Same single-writer contract as admission, sharpened: run against
+    * COMMITTED state only — never retract rows of a batch an active
+    * stream may still replay (the replay dynamic-overwrites its whole
+    * partition and would resurrect them). Retraction is an offline
+    * maintenance verb, like index compaction.
+    *
+    * Returns the number of corpus keys retracted.
+    */
+  def retract(spark: SparkSession, corpusDir: String, keys: DataFrame,
+              key: String): Long = {
+    import org.apache.spark.sql.functions._
+    val fpsDir = corpusDir.stripSuffix("/") + "_fps"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+    require(hasCommittedData(fs, fpsDir),
+      s"retract: $fpsDir has no fingerprint index — retraction targets " +
+        "the incremental layout (bootstrapCorpus/admitBatchIncremental)")
+    val ks = keys.select(col(key)).distinct().localCheckpoint()
+    val n = spark.read.parquet(fpsDir)
+      .join(ks, Seq(key), "left_semi").count()
+    if (n == 0) return 0L
+    removeFromPartitionedTree(spark, corpusDir, key, ks)
+    removeFromPartitionedTree(spark, fpsDir, key, ks)
+    // epoch LAST: data first, then the marker that invalidates chains
+    // — a crash in between leaves retracted fps + a stale chain,
+    // which is still CORRECT (see scaladoc) and self-heals on the
+    // next retraction or bootstrap
+    writeEpoch(fs, bootstrapEpochPath(fpsDir),
+      java.util.UUID.randomUUID().toString)
+    n
+  }
+
+  /** RETRACT documents from a NEAR-DUP corpus
+    * ([[admitBatchNearDup]]'s layout: docs + `<dir>_bands`): the
+    * retracted docs leave BOTH trees, so they stop suppressing
+    * near-dup admissions — the exact failure the insert-only band
+    * index had (a taken-down doc rejecting its near-dups forever).
+    * `ids` is a one-column frame named `idCol`. Same committed-state
+    * contract as [[retract]]. The sign-LSH embedding layout
+    * (`<dir>_sbands`, [[admitBatchEmbedding]]) shares the shape —
+    * pass its suffix.
+    */
+  def retractNearDup(spark: SparkSession, corpusDir: String, ids: DataFrame,
+                     idCol: String, bandsSuffix: String = "_bands"): Long = {
+    import org.apache.spark.sql.functions._
+    val bandsDir = corpusDir.stripSuffix("/") + bandsSuffix
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+    require(hasCommittedData(fs, bandsDir),
+      s"retractNearDup: $bandsDir has no band index — retraction targets " +
+        s"the admitBatch layout that maintains one")
+    val ks = ids.select(col(idCol)).distinct().localCheckpoint()
+    val n = spark.read.parquet(corpusDir)
+      .join(ks, Seq(idCol), "left_semi").count()
+    if (n == 0) return 0L
+    removeFromPartitionedTree(spark, corpusDir, idCol, ks)
+    removeFromPartitionedTree(spark, bandsDir, "_c_id",
+      ks.select(col(idCol).as("_c_id")))
+    n
+  }
+
+  /** RETENTION for an incremental-layout corpus: drop everything
+    * older than `cutoff` (a literal over `tsCol`) — a retention
+    * cutoff is a bulk retraction, so this rides [[retract]]'s
+    * machinery with one scale refinement: partitions whose max
+    * timestamp is below the cutoff are DROPPED WHOLE (two directory
+    * deletes, no rewrite — at 100 TB with time-correlated ingest
+    * batches this is almost all of the expired volume), and only
+    * partitions STRADDLING the cutoff pay a row-level rewrite.
+    * Stamps the bootstrap epoch so live chains rebuild without the
+    * dropped keys; dropped keys re-admit (their fingerprints are
+    * gone), retained keys keep rejecting — both by the same
+    * fingerprint-confirm argument as [[retract]], both spec-pinned.
+    * Returns the number of corpus rows dropped.
+    */
+  def retainCorpus(spark: SparkSession, corpusDir: String, key: String,
+                   tsCol: String,
+                   cutoff: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val fpsDir = corpusDir.stripSuffix("/") + "_fps"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusDir), spark.sparkContext.hadoopConfiguration)
+    require(hasCommittedData(fs, fpsDir),
+      s"retainCorpus: $fpsDir has no fingerprint index — retention " +
+        "targets the incremental layout")
+    val corpus = spark.read.parquet(corpusDir)
+    val expired = corpus.filter(col(tsCol) < cutoff)
+    val total = expired.count()
+    if (total == 0) return 0L
+    // whole-drop set: partitions entirely below the cutoff
+    val stats = corpus.groupBy(col("_ingest_batch").cast("string").as("_p"))
+      .agg(max(col(tsCol)).as("_mx"))
+    val dropParts = stats.filter(col("_mx") < cutoff)
+      .select(col("_p")).collect().map(_.getString(0))
+    dropParts.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(corpusDir,
+        s"_ingest_batch=$p"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(fpsDir,
+        s"_ingest_batch=$p"), true)
+    }
+    // straddlers: row-level retraction of the sub-cutoff rows in the
+    // partitions that survive (retract stamps the epoch; stamp
+    // explicitly when the whole-drop path handled everything — or
+    // emptied the corpus entirely)
+    val straddlerKeys =
+      if (hasCommittedData(fs, corpusDir) && hasCommittedData(fs, fpsDir))
+        Some(spark.read.parquet(corpusDir)
+          .filter(col(tsCol) < cutoff).select(col(key)))
+      else None
+    straddlerKeys.filter(!_.isEmpty) match {
+      case Some(sk) => retract(spark, corpusDir, sk, key)
+      case None => writeEpoch(fs, bootstrapEpochPath(fpsDir),
+        java.util.UUID.randomUUID().toString)
+    }
+    total
+  }
+
+  // ---------------------------------------------------------------- //
   // NEAR-dup admission (MinHash-banded)                              //
   // ---------------------------------------------------------------- //
 
@@ -908,9 +1110,11 @@ object DedupIngest {
       .withColumn("_sig", signBands(col(embCol), planes))
       .persist()
     try {
-      require(b.filter(col(idCol).isNull || col(embCol).isNull).isEmpty,
-        s"admitBatchEmbedding: NULL $idCol/$embCol in batch — null rows " +
-          "cannot be deduplicated and would be admitted unconditionally")
+      described(spark, "admit:sign+nullcheck") {
+        require(b.filter(col(idCol).isNull || col(embCol).isNull).isEmpty,
+          s"admitBatchEmbedding: NULL $idCol/$embCol in batch — null rows " +
+            "cannot be deduplicated and would be admitted unconditionally")
+      }
       val probe = b.filter(col("_nrm") > 0)
         .select(col(idCol), col(embCol), col("_nrm"),
           explode(bandKeys(col("_sig"))).as("_bkey"))
@@ -931,6 +1135,11 @@ object DedupIngest {
         }
       val survivors = b.join(corpusDups, Seq(idCol), "left_anti").persist()
       try {
+        // measurement-only split (see [[instrumentAdmission]]): fill
+        // the survivors cache under its own job so the corpus
+        // band-join probe's cost separates from the in-batch pairing
+        if (instrumentAdmission)
+          described(spark, "admit:corpus-probe")(survivors.count())
         // (2) in-batch candidate pairs among survivors → exact cosine
         // → driver-side greedy by id (see admitBatchNearDup for why
         // sequential semantics admit no one-shot join)
@@ -946,7 +1155,8 @@ object DedupIngest {
           .select(col(s"l.$idCol").cast("long").as("_a"),
             col(s"r.$idCol").cast("long").as("_b"))
           .distinct()
-        val pairs = pairRows.take(maxInBatchPairs + 1)
+        val pairs = described(spark, "admit:probe+pairs")(
+          pairRows.take(maxInBatchPairs + 1))
         require(pairs.length <= maxInBatchPairs,
           s"admitBatchEmbedding: > $maxInBatchPairs in-batch near-dup pairs " +
             "— shrink the trigger or raise maxInBatchPairs")
@@ -971,21 +1181,25 @@ object DedupIngest {
             col(idCol).cast("long") === col("_rej_id"), "left_anti")
           .persist()
         try {
-          val n = admitted.count()
+          val n = described(spark, "admit:count")(admitted.count())
           if (n > 0) {
-            admitted.drop("_nrm", "_sig")
-              .withColumn("_ingest_batch", lit(partVal))
-              .write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("_ingest_batch").parquet(corpusDir)
-            admitted.filter(col("_nrm") > 0)
-              .select(col(idCol).as("_c_id"), col(embCol).as("_c_emb"),
-                col("_nrm").as("_c_nrm"),
-                explode(bandKeys(col("_sig"))).as("_bkey"))
-              .withColumn("_ingest_batch", lit(partVal))
-              .write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("_ingest_batch").parquet(sbandsDir)
+            described(spark, "admit:commit-corpus") {
+              admitted.drop("_nrm", "_sig")
+                .withColumn("_ingest_batch", lit(partVal))
+                .write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_ingest_batch").parquet(corpusDir)
+            }
+            described(spark, "admit:commit-bands") {
+              admitted.filter(col("_nrm") > 0)
+                .select(col(idCol).as("_c_id"), col(embCol).as("_c_emb"),
+                  col("_nrm").as("_c_nrm"),
+                  explode(bandKeys(col("_sig"))).as("_bkey"))
+                .withColumn("_ingest_batch", lit(partVal))
+                .write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_ingest_batch").parquet(sbandsDir)
+            }
           }
           n
         } finally admitted.unpersist()

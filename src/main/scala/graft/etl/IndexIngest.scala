@@ -301,11 +301,17 @@ object IndexIngest {
       batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
       runTag = tag)
     if (n > 0) {
-      maybeCompact(spark, indexDir, s"$tag-$batchId", autoCompactSegments,
+      // stage labels match the admission stage's (DedupIngest's
+      // `described`) so one listener sums the whole trigger
+      spark.sparkContext.setJobDescription("index:compact")
+      try maybeCompact(spark, indexDir, s"$tag-$batchId", autoCompactSegments,
         Similarity.compactBinaryIndex(_, _, _))
-      Similarity.appendToBinaryIndex(spark, indexDir,
+      finally spark.sparkContext.setJobDescription(null)
+      spark.sparkContext.setJobDescription("index:append")
+      try Similarity.appendToBinaryIndex(spark, indexDir,
         admittedOf(spark, corpusDir, s"$tag-$batchId", idCol, embCol),
         seg = Some(s"$tag-$batchId"))
+      finally spark.sparkContext.setJobDescription(null)
     }
   }
 

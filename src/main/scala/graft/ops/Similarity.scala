@@ -231,6 +231,7 @@ object Similarity {
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
     stampFreshEpoch(spark, dir, Seq("_centroids"))
+    clearTombstones(spark, dir)
   }
 
   /** Top-k against a [[buildIvfIndex]] directory. Centroids are read
@@ -249,9 +250,10 @@ object Similarity {
     // distinct probed cells: ≤ nlist ints, safe to collect regardless
     // of the query count
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val c = spread(spark.read.parquet(dir)
+    val c = spread(excludeTombstoned(spark.read.parquet(dir)
       .filter(col("cell").isin(probed.toSeq.map(Int.box): _*))
-      .select(col("c_id"), col("c_emb"), col("c_nrm"), col("cell")))
+      .select(col("c_id"), col("c_emb"), col("c_nrm"), col("cell")),
+      tombstones(spark, dir), "c_id"))
     ivfScoreRank(c, q, k)
   }
 
@@ -625,6 +627,7 @@ object Similarity {
     // meta (or vice versa) — Hamming over codes signed with other
     // planes ranks NOISE with no error anywhere
     stampFreshEpoch(spark, dir, Seq("_meta"))
+    clearTombstones(spark, dir)
   }
 
   /** Probe a [[buildBinaryIndex]] table: identical rows to the
@@ -654,7 +657,9 @@ object Similarity {
     // only qualifying rows and every query still gets k results.
     // Post-filtering the unfiltered top-k instead silently
     // under-returns: a 1 % predicate leaves ~k/100 survivors.
-    def qualify(df: DataFrame) = predicate.fold(df)(df.filter)
+    val tomb = tombstones(spark, dir)
+    def qualify(df: DataFrame) =
+      excludeTombstoned(predicate.fold(df)(df.filter), tomb, "c_id")
     // scan tier: stored codes only — the vector column stays on disk
     val codes = qualify(spark.read.parquet(dir))
       .select(col("c_id"), col("c_sig"))
@@ -772,14 +777,25 @@ object Similarity {
     val bytes = fs.getContentSummary(root).getLength
     val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) /
       targetBytesPerFile).toInt
+    val tomb = tombstones(spark, dir)
     rewriteInPlace(spark, dir, suffixes = Seq("_meta")) { (rows, tmp) =>
+      // tombstone purge with the kept-segment carve-out — the same
+      // replay-safety reasoning as [[compactIndex]]
+      val purged = (tomb, keepSeg) match {
+        case (None, _) => rows
+        case (Some(t), None) => excludeTombstoned(rows, Some(t), "c_id")
+        case (Some(t), Some(s)) =>
+          rows.filter(col("seg") === lit(s)).unionByName(
+            excludeTombstoned(rows.filter(col("seg") =!= lit(s)), Some(t), "c_id"))
+      }
       val segCol = keepSeg
         .map(s => when(col("seg") === lit(s), col("seg")).otherwise(lit("base")))
         .getOrElse(lit("base"))
-      rows.withColumn("seg", segCol)
+      purged.withColumn("seg", segCol)
         .repartition(nFiles)
         .write.mode("overwrite").partitionBy("seg").parquet(tmp)
     }
+    if (tomb.isDefined) shrinkTombstones(spark, dir, keepSeg)
   }
 
   /** Freshness composition for the binary family — the
@@ -795,7 +811,10 @@ object Similarity {
                                  rerank: Int = 50): DataFrame =
     mergeIndexedWithDelta(
       binaryIndexedTopK(spark, dir, queries, k, rerank),
-      bruteForceTopK(queries, delta, k), k)
+      // deleted ids shadow the freshness path too — see
+      // [[ivfPqIndexedTopKWithDelta]]'s tombstone note
+      excludeTombstoned(bruteForceTopK(queries, delta, k),
+        tombstones(spark, dir), "c_id"), k)
 
   /** Classic IVF-PQ (Jégou et al. 2011, the composition [[pqTopK]]'s
     * doc promises): the coarse quantizer assigns every code to a cell
@@ -880,6 +899,7 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_codebooks")
     stampFreshEpoch(spark, dir, Seq("_centroids", "_codebooks"))
+    clearTombstones(spark, dir)
   }
 
   /** Append a batch of new vectors to a [[buildIvfIndex]] directory
@@ -1012,6 +1032,7 @@ object Similarity {
       else Seq("_centroids")
     }
     requireEpochCoherent(spark, dir, suffixes)
+    val tomb = tombstones(spark, dir)
     rewriteInPlace(spark, dir) { (rows, tmp) =>
       // `keepSeg` survives the fold UNTOUCHED: the streaming append
       // path compacts mid-run, and the in-flight batch's own segment
@@ -1020,13 +1041,26 @@ object Similarity {
       // dynamic overwrite of that segment duplicate every row it
       // carried. Segments from earlier batch ids are checkpoint-
       // committed and never replayed, so folding them is safe.
+      // Tombstoned rows are PURGED from the folded segments here (the
+      // deletion lifecycle's physical half) — but NOT from the kept
+      // segment: a replay rewrites that partition whole, so a row
+      // purged from it would resurrect; its tombstone is retained
+      // instead ([[shrinkTombstones]]) and keeps shadowing it.
+      val purged = (tomb, keepSeg) match {
+        case (None, _) => rows
+        case (Some(t), None) => excludeTombstoned(rows, Some(t), "c_id")
+        case (Some(t), Some(s)) =>
+          rows.filter(col("seg") === lit(s)).unionByName(
+            excludeTombstoned(rows.filter(col("seg") =!= lit(s)), Some(t), "c_id"))
+      }
       val seg = keepSeg
         .map(s => when(col("seg") === lit(s), col("seg")).otherwise(lit("base")))
         .getOrElse(lit("base"))
-      rows.withColumn("seg", seg)
+      purged.withColumn("seg", seg)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("seg", "cell").parquet(tmp)
     }
+    if (tomb.isDefined) shrinkTombstones(spark, dir, keepSeg)
   }
 
   /** Segment partition values present in an appended index directory
@@ -1042,6 +1076,130 @@ object Similarity {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
       .map(_.getPath.getName.stripPrefix("seg="))
       .toSeq
+  }
+
+  // ---------------------------------------------------------------- //
+  // Deletion lifecycle (tombstones) — r12 VERDICT #1                  //
+  // ---------------------------------------------------------------- //
+
+  /** Tombstone sidecar for a parquet-directory index family (IVF /
+    * IVF-PQ / binary): `<dir>_tombstones`, seg-partitioned one-column
+    * (`c_id`) parquet, exactly the append trees' layout so the same
+    * exactly-once construction carries over.
+    */
+  private def tombstoneDir(dir: String): String =
+    dir.stripSuffix("/") + "_tombstones"
+
+  /** DELETE vectors from a persisted [[buildIvfIndex]] /
+    * [[buildIvfPqIndex]] / [[buildBinaryIndex]] directory — the
+    * retraction verb the lifecycle was missing: PII scrubbing and
+    * takedown are first-class in an LLM data pipeline, and at 100 TB
+    * "rebuild the index" is not a deletion strategy. `ids` carries a
+    * `vec_id` column (the append batches' id contract).
+    *
+    * Mechanism: ids land in a TOMBSTONE sidecar (`<dir>_tombstones`);
+    * every probe path anti-joins its candidate scan against it BEFORE
+    * selection (so each query still ranks k live candidates — the
+    * same no-silent-under-return argument as filtered search), and
+    * [[compactIndex]] / [[compactBinaryIndex]] physically purge
+    * tombstoned rows and clear the sidecar. Between compactions the
+    * tombstone set is bounded by the deletion rate — compact on a
+    * tombstone budget exactly as on a small-files budget; the probe
+    * anti-join broadcasts it.
+    *
+    * Semantics: delete-by-id SHADOWS every stored row with that id —
+    * including rows appended AFTER the delete and rows offered via
+    * the WithDelta freshness paths — until a compaction purges both
+    * the rows and the tombstones; an id re-appended after that
+    * compaction is live again. A replayed delete is idempotent two
+    * ways: with `seg = Some(id)` (the streaming layer's run-scoped
+    * tag) the replay dynamic-overwrites its own tombstone partition;
+    * and regardless of seg, re-tombstoning an already-purged or
+    * already-tombstoned id is a no-op by construction (the anti-join
+    * and the purge are set operations). The model is untouched —
+    * tombstones are id-space facts, valid across [[refitIvfPqIndex]]
+    * (which preserves rows and ids), so the sidecar deliberately
+    * sits OUTSIDE the `_graft_epoch` coherence set.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      ids: DataFrame, seg: Option[String] = None): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"deleteFromIndex: no index at $dir")
+    val tagged = ids.select(col("vec_id").as("c_id"))
+      .withColumn("seg", lit(seg.getOrElse(
+        "adhoc-" + java.util.UUID.randomUUID.toString.take(8))))
+      .coalesce(1)
+    seg match {
+      case Some(_) => tagged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg").parquet(tombstoneDir(dir))
+      case None => tagged.write.mode("append")
+        .partitionBy("seg").parquet(tombstoneDir(dir))
+    }
+  }
+
+  /** The committed tombstone ids for the index at `dir` as a
+    * one-column (`c_id`) frame — None when no delete was ever issued,
+    * which is the common case and costs ONE directory probe with zero
+    * plan change (the hot path stays byte-identical to pre-deletion).
+    */
+  private[graft] def tombstones(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstoneDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("seg=")))
+      None
+    else Some(spark.read.parquet(tombstoneDir(dir)).select(col("c_id")))
+  }
+
+  /** Anti-join `df` against the tombstone set on `idCol` — broadcast,
+    * because the set is bounded between compactions (the
+    * [[deleteFromIndex]] contract). No-op (identical plan) when no
+    * tombstones exist.
+    */
+  private def excludeTombstoned(df: DataFrame, tomb: Option[DataFrame],
+                                idCol: String): DataFrame =
+    tomb.fold(df)(t =>
+      df.join(broadcast(t.select(col("c_id").as(idCol))), Seq(idCol), "left_anti"))
+
+  /** Post-compaction tombstone shrink shared by [[compactIndex]] and
+    * [[compactBinaryIndex]]: with `keepSeg` the kept segment survives
+    * the fold UNPURGED (a replay will dynamic-overwrite it whole, so
+    * rows removed from it would resurrect on replay) — tombstones
+    * that still shadow a kept-seg row are RETAINED; everything else
+    * was physically purged and its tombstones clear. Runs AFTER the
+    * main swap, so a crash anywhere in between leaves a conservative
+    * SUPERSET of the needed tombstones (anti-joins over already-
+    * purged ids are no-ops) — never a resurrected row.
+    */
+  private def shrinkTombstones(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, keepSeg: Option[String]): Unit = {
+    val td = tombstoneDir(dir)
+    val p = new org.apache.hadoop.fs.Path(td)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    keepSeg match {
+      case None => fs.delete(p, true)
+      case Some(s) =>
+        val keptIds = spark.read.parquet(dir)
+          .filter(col("seg") === lit(s)).select(col("c_id"))
+        val retained = spark.read.parquet(td)
+          .join(keptIds, Seq("c_id"), "left_semi")
+          .select(col("c_id")).withColumn("seg", lit("base")).coalesce(1)
+        val tmp = new org.apache.hadoop.fs.Path(td + ".compacting")
+        fs.delete(tmp, true)
+        retained.write.partitionBy("seg").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(td + ".old")
+        fs.delete(old, true)
+        require(fs.rename(p, old),
+          s"shrinkTombstones: could not move $td aside")
+        require(fs.rename(tmp, p),
+          s"shrinkTombstones: could not move the shrunk tombstones in; " +
+            s"originals at $old")
+        fs.delete(old, true)
+    }
   }
 
   /** Operational description of a persisted IVF / IVF-PQ index
@@ -1305,6 +1463,19 @@ object Similarity {
     val epoch = java.util.UUID.randomUUID.toString
     ("" +: suffixes).foreach(suf =>
       stampEpoch(fs, dir.stripSuffix("/") + suf, epoch))
+  }
+
+  /** A FULL REBUILD starts a fresh deletion lifecycle: tombstones
+    * belong to the rows they were issued against, and a rebuild over
+    * an existing directory replaces every row — stale tombstones left
+    * behind would silently shadow same-id rows of the NEW corpus.
+    * Called by the three build functions only; [[refitIvfPqIndex]]
+    * PRESERVES rows and ids, so tombstones deliberately survive it.
+    */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tombstoneDir(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Refuse to read or append through a TORN index: all present
@@ -1665,6 +1836,12 @@ object Similarity {
     * preference is free, but a delta that carries an UPDATED
     * embedding for an indexed id must win — an arbitrary
     * dropDuplicates could rank the stale indexed vector (r8 ADVICE).
+    *
+    * Tombstones shadow BOTH sides ([[deleteFromIndex]]'s delete-by-id
+    * contract): the indexed probe excludes them at the scan, and the
+    * delta result is anti-joined here — a deleted id offered again
+    * through the freshness path must not resurface before the
+    * compaction that purges its tombstone.
     */
   def ivfPqIndexedTopKWithDelta(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, delta: DataFrame,
@@ -1672,7 +1849,8 @@ object Similarity {
                                 nprobe: Int = 3, rerank: Int = 50): DataFrame =
     mergeIndexedWithDelta(
       ivfPqIndexedTopK(spark, dir, queries, k, nprobe, rerank),
-      bruteForceTopK(queries, delta, k), k)
+      excludeTombstoned(bruteForceTopK(queries, delta, k),
+        tombstones(spark, dir), "c_id"), k)
 
   /** Freshness composition for the LSH index family — the
     * [[ivfPqIndexedTopKWithDelta]] lambda shape over a
@@ -1770,7 +1948,9 @@ object Similarity {
     // parquet row groups (PushedFilters), both spec-asserted. Applied
     // after selection instead, a selective predicate silently
     // under-returns (~k·selectivity survivors per query).
-    def qualify(df: DataFrame) = predicate.fold(df)(df.filter)
+    val tomb = tombstones(spark, dir)
+    def qualify(df: DataFrame) =
+      excludeTombstoned(predicate.fold(df)(df.filter), tomb, "c_id")
     // scan tier: codes only, probed cells only (partition pruning +
     // column pruning — the vectors never leave disk here)
     val codes = qualify(spark.read.parquet(dir)
@@ -1838,12 +2018,15 @@ object Similarity {
     if (bruteBelow > 0) {
       // survivor census: a pushed-filter, footer-bounded count — the
       // fall-through gate for predicates selective enough that the
-      // qualifying corpus fits brute force
-      val survivors = spark.read.parquet(dir).filter(predicate).count()
+      // qualifying corpus fits brute force (tombstones excluded: the
+      // brute tier must not rank deleted rows either)
+      val tomb = tombstones(spark, dir)
+      val live = excludeTombstoned(
+        spark.read.parquet(dir).filter(predicate), tomb, "c_id")
+      val survivors = live.count()
       if (survivors <= bruteBelow)
         return bruteForceTopK(queries,
-          spark.read.parquet(dir).filter(predicate)
-            .select(col("c_id").as("vec_id"), col("c_emb").as("embedding")), k)
+          live.select(col("c_id").as("vec_id"), col("c_emb").as("embedding")), k)
     }
     val centroids = readIndexCentroids(spark, dir)
     val p0 = math.min(math.max(nprobe0, 1), centroids.length)
@@ -2013,7 +2196,8 @@ object Similarity {
     * O(corpus)).
     */
   def buildLshIndex(corpus: DataFrame, table: String, nBits: Int = 8,
-                    dim: Int = 64, seed: Long = 42L, buckets: Int = 32): Unit = {
+                    dim: Int = 64, seed: Long = 42L, buckets: Int = 32,
+                    metaCols: Seq[String] = Nil): Unit = {
     // Rebuild must be idempotent across JVMs: a fresh session's
     // metastore does not know the table, but the managed location may
     // survive on disk from a previous run and saveAsTable refuses to
@@ -2026,8 +2210,16 @@ object Similarity {
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
     val planes = hyperplanes(nBits, dim, seed)
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        normD(col("embedding")).as("c_nrm"))
+    // `metaCols` stores extra metadata columns WITH the postings so
+    // the filtered probe ([[lshIndexedTopKFiltered]]) pushes its
+    // predicate into the SAME bucket-pruned scan — the
+    // buildBinaryIndex/buildIvfPqIndex contract, completing the
+    // filtered-search matrix across all three persisted families.
+    // They cost their width at build and nothing on unfiltered probes
+    // (column pruning).
+    val c = corpus.select(col("vec_id").as("c_id") +:
+        col("embedding").as("c_emb") +:
+        normD(col("embedding")).as("c_nrm") +: metaCols.map(col): _*)
       .filter(col("c_nrm") > 0) // zero-norm: cosine undefined (NaN)
       .withColumn("bucket", signature(col("c_emb"), planes))
     graft.sinks.Routing.writeBucketed(c, table, "bucket", buckets)
@@ -2058,10 +2250,10 @@ object Similarity {
     */
   def buildLshIndexAdaptive(corpus: DataFrame, table: String, dim: Int = 64,
                             seed: Long = 42L, targetBucket: Int = 80,
-                            n: Long = -1L): Int = {
+                            n: Long = -1L, metaCols: Seq[String] = Nil): Int = {
     val nBits = lshBits(if (n < 0) corpus.count() else n, targetBucket)
     buildLshIndex(corpus, table, nBits, dim, seed,
-      buckets = math.max(32, 1 << math.max(0, nBits - 5)))
+      buckets = math.max(32, 1 << math.max(0, nBits - 5)), metaCols = metaCols)
     nBits
   }
 
@@ -2090,10 +2282,20 @@ object Similarity {
     val m = spark.table(s"${table}_meta").collect().head
     val planes = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
       m.getAs[Long]("seed"))
-    batch.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        normD(col("embedding")).as("c_nrm"))
+    // an index built with `metaCols` stores metadata beside the
+    // postings; appended rows must carry the SAME columns in the
+    // TABLE's column order (insertInto is positional) — a batch
+    // missing one fails analysis loudly here, the
+    // appendToBinaryIndex contract
+    val storedCols = spark.table(table).schema.fieldNames.toSeq
+    val signed = batch.select(col("vec_id").as("c_id") +:
+        col("embedding").as("c_emb") +:
+        normD(col("embedding")).as("c_nrm") +:
+        storedCols.filterNot(
+          Set("c_id", "c_emb", "c_nrm", "bucket")).map(col): _*)
       .filter(col("c_nrm") > 0)
       .withColumn("bucket", signature(col("c_emb"), planes))
+    signed.select(storedCols.map(col): _*)
       .write.mode("append").insertInto(table)
   }
 
@@ -2125,7 +2327,24 @@ object Similarity {
   def lshIndexedTopK(spark: org.apache.spark.sql.SparkSession, table: String,
                      queries: DataFrame, k: Int = 10, nBits: Int = 8,
                      probeDist: Int = 2, dim: Int = 64,
-                     seed: Long = 42L, maxProbe: Int = 100000): DataFrame = {
+                     seed: Long = 42L, maxProbe: Int = 100000): DataFrame =
+    lshIndexedPass(spark, table, queries, k, nBits, probeDist, dim, seed,
+      maxProbe, predicate = None)
+
+  /** One bucket-pruned probe pass, optionally under a stored-metadata
+    * predicate — the shared body of [[lshIndexedTopK]] (predicate =
+    * None) and [[lshIndexedTopKFiltered]]'s two radii. The predicate
+    * lands on the bucket-pruned table scan, so it reaches parquet as
+    * a pushed filter in the SAME scan `SelectedBucketsCount` prunes
+    * (the ivfPqIndexedTopKFiltered shape: PushedFilters × bucket
+    * pruning, one scan).
+    */
+  private[graft] def lshIndexedPass(spark: org.apache.spark.sql.SparkSession,
+                             table: String, queries: DataFrame, k: Int,
+                             nBits: Int, probeDist: Int, dim: Int,
+                             seed: Long, maxProbe: Int,
+                             predicate: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     // the probe side is consumed twice (bucket set + join) and its
     // signatures cost nBits×dim dot products per query row: collect it
@@ -2143,8 +2362,89 @@ object Similarity {
     val probeBuckets = rows.map(_.getAs[Int]("bucket")).distinct.sorted
     val q = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), probe.schema)
-    val c = spark.table(table)
+    val c = predicate.fold(spark.table(table))(spark.table(table).filter)
       .filter(col("bucket").isin(probeBuckets.toSeq.map(Int.box): _*))
     scoreAndRank(c, q, k)
+  }
+
+  /** FILTERED top-k against a [[buildLshIndex]] table built with
+    * `metaCols` — the third of the three persisted families' filtered
+    * probes ([[binaryIndexedTopK]]'s `predicate` and
+    * [[ivfPqIndexedTopKFiltered]] are the other two; without this an
+    * LSH-index user under a predicate must post-filter and silently
+    * under-return, exactly the failure mode the other families' specs
+    * pin). The predicate restricts the stored postings BEFORE
+    * candidate selection, inside the SAME bucket-pruned scan
+    * (SelectedBucketsCount × PushedFilters, spec-asserted), so
+    * selection ranks only qualifying rows.
+    *
+    * The filter×probe interaction, LSH edition: a selective predicate
+    * can empty a query's probed Hamming ball, and unlike IVF there is
+    * no centroid-cosine signal — the starvation signature is simply a
+    * first pass returning fewer than `k` rows. Three deterministic
+    * tiers:
+    *  - probe at `probeDist0`; queries with ≥ k rows are done;
+    *  - STARVED queries re-probe at `probeDistMax` (mask count grows
+    *    by [[probeMaskCount]] — callers size their query bound with
+    *    the SAME formula at probeDistMax, so probe and bound cannot
+    *    drift, the r10 lesson);
+    *  - queries still below k after the widest radius fall through to
+    *    exact brute force over the QUALIFYING rows only — unlike
+    *    nprobeMax = nlist, a Hamming ball never covers the whole
+    *    bucket space, so radius escalation alone cannot promise k
+    *    results; the fall-through can, and it is per-starved-query
+    *    work against a pushed-filter scan, not a corpus pass.
+    * Additionally `bruteBelow` > 0 short-circuits the whole probe to
+    * exact filtered brute force when the qualifying corpus is small
+    * (one footer-bounded pushed-filter count), the
+    * ivfPqIndexedTopKFiltered fall-through.
+    *
+    * Every tier is deterministic given the stored params, so the
+    * catalog gate replicates the WHOLE escalation in DuckDB SQL and
+    * hash-matches — the LSH family's exact-replication convention,
+    * stronger than a recall floor.
+    */
+  def lshIndexedTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+                             table: String, queries: DataFrame,
+                             predicate: org.apache.spark.sql.Column,
+                             k: Int = 10, probeDist0: Int = 2,
+                             probeDistMax: Int = 3,
+                             maxProbe: Int = 100000,
+                             bruteBelow: Long = 0L): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_meta"),
+      s"lshIndexedTopKFiltered: no ${table}_meta — the index is missing " +
+        "or partially written; rebuild with buildLshIndexAdaptive")
+    val m = spark.table(s"${table}_meta").collect().head
+    val (nBits, dim, seed) = (m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
+      m.getAs[Long]("seed"))
+    def qualifying = spark.table(table).filter(predicate)
+      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
+    if (bruteBelow > 0 && spark.table(table).filter(predicate)
+        .count() <= bruteBelow)
+      return bruteForceTopK(queries, qualifying, k)
+    def pass(qs: DataFrame, pd: Int) = lshIndexedPass(spark, table, qs, k,
+      nBits, pd, dim, seed, maxProbe, Some(predicate))
+    val pd0 = math.min(probeDist0, nBits)
+    val pdMax = math.max(math.min(probeDistMax, nBits), pd0)
+    // materialized once: the first pass feeds the per-query counts,
+    // the starved anti-join, and the final union
+    val first = pass(queries, pd0).localCheckpoint()
+    val sated = first.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= k).select(col("q_id"))
+    val starved = queries.join(sated,
+      queries("vec_id") === sated("q_id"), "left_anti")
+    if (starved.isEmpty) return first
+    val firstKept = first.join(sated, Seq("q_id"), "left_semi")
+    val second =
+      (if (pdMax > pd0) pass(starved, pdMax) else first
+        .join(sated, Seq("q_id"), "left_anti")).localCheckpoint()
+    val sated2 = second.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= k).select(col("q_id"))
+    val starved2 = starved.join(sated2,
+      starved("vec_id") === sated2("q_id"), "left_anti")
+    val secondKept = second.join(sated2, Seq("q_id"), "left_semi")
+    if (starved2.isEmpty) return firstKept.unionByName(secondKept)
+    firstKept.unionByName(secondKept)
+      .unionByName(bruteForceTopK(starved2, qualifying, k))
   }
 }

@@ -81,6 +81,13 @@ object StreamingPerf {
     val dedupRps = args.lift(3).map(_.toInt).getOrElse(30000)
     val ivfpqRps = args.lift(4).map(_.toInt).getOrElse(20000)
     val dedupedBinRps = args.lift(5).map(_.toInt).getOrElse(10000)
+    // SPARK_GRAFT_STREAM_ONLY=name[,name...] runs a subset — the
+    // deduped_binary re-evidence run (r12 VERDICT #2) needs a >=10
+    // batch window at its 30 s cadence (>=330 s), which the full
+    // five-pipeline suite should not all pay
+    val onlyPipes = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def enabled(name: String): Boolean = onlyPipes.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]")
@@ -160,7 +167,8 @@ object StreamingPerf {
     // cadence has zero headroom by construction; 2 s is still 15×
     // tighter than the reference's own poll cycle
     val klineTriggerMs = 2000L
-    val kline = measure("kline_jdbc", klineTriggerMs) { () =>
+    val kline = if (!enabled("kline_jdbc")) "" else
+      measure("kline_jdbc", klineTriggerMs) { () =>
       KlinePipeline.longtimeJdbc(
           KlineIngest.simulatedStream(spark, rowsPerSecond = klineRps),
           "jdbc:derby:memory:streamperf;create=true", "klines", props,
@@ -176,7 +184,8 @@ object StreamingPerf {
     // footer work), so a 1 s cadence is borderline-lagging at any
     // rate — 5 s is the realistic floor for a parquet sink
     val routedTriggerMs = 5000L
-    val routed = measure("routed_parquet", routedTriggerMs) { () =>
+    val routed = if (!enabled("routed_parquet")) "" else
+      measure("routed_parquet", routedTriggerMs) { () =>
       Routing.routedParquet(
           KlinePipeline.enriched(
             KlineIngest.simulatedStream(spark, rowsPerSecond = routedRps)),
@@ -190,7 +199,7 @@ object StreamingPerf {
     // documents with ~5 % planted duplicates (every 20th row shares
     // one text), corpus bootstrapped first like production
     import spark.implicits._
-    DedupIngest.bootstrapCorpus(spark,
+    if (enabled("dedup_incremental")) DedupIngest.bootstrapCorpus(spark,
       (0 until 100).map(i => (i.toLong, s"seed document $i"))
         .toDF("doc_id", "text"),
       s"$work/dedup-corpus", key = "text", tiebreaker = "doc_id")
@@ -206,7 +215,8 @@ object StreamingPerf {
     // its production cadence is tens of seconds, so it is judged
     // against a 10 s trigger, not the klines' 1 s
     val dedupTriggerMs = 10000L
-    val dedup = measure("dedup_incremental", dedupTriggerMs) { () =>
+    val dedup = if (!enabled("dedup_incremental")) "" else
+      measure("dedup_incremental", dedupTriggerMs) { () =>
       DedupIngest.startIncremental(docsStream, s"$work/dedup-corpus",
         s"$work/cp-dedup", key = "text", tiebreaker = "doc_id",
         expectedItems = 10000000L,
@@ -261,9 +271,11 @@ object StreamingPerf {
 
     // 4. frozen-model IVF-PQ append (assign + encode + seg overwrite)
     val ivfpqDir = s"$work/ivfpq-idx"
-    Similarity.buildIvfPqIndex(seed, ivfpqDir, nlist = 16, m = 8, ksub = 16,
-      seed = 42L)
-    val ivfpq = measure("ivfpq_append", indexTriggerMs,
+    if (enabled("ivfpq_append"))
+      Similarity.buildIvfPqIndex(seed, ivfpqDir, nlist = 16, m = 8, ksub = 16,
+        seed = 42L)
+    val ivfpq = if (!enabled("ivfpq_append")) "" else
+      measure("ivfpq_append", indexTriggerMs,
       indexExtra(ivfpqDir, Similarity.compactIndex(spark, ivfpqDir))) { () =>
       graft.etl.IndexIngest.startIvfPqAppend(
         embStream(ivfpqRps, planted = false), ivfpqDir, s"$work/cp-ivfpq",
@@ -282,14 +294,16 @@ object StreamingPerf {
     // operator's docs prescribe.
     val binCorpus = s"$work/bin-corpus"
     val binIdx = s"$work/bin-idx"
-    graft.etl.IndexIngest.bootstrapDedupedBinary(seed, binCorpus, binIdx,
-      bands = 6, bitsPerBand = 10)
+    if (enabled("deduped_binary"))
+      graft.etl.IndexIngest.bootstrapDedupedBinary(seed, binCorpus, binIdx,
+        bands = 6, bitsPerBand = 10)
     // the composed admission pays a heavy fixed per-trigger floor
     // (banding join + cosine verify + three partitioned commits) —
     // the product default cadence is 60 s; judged here at 30 s, the
     // same judged-at-its-own-cadence rule as dedup_incremental's 10 s
     val dedupedBinTriggerMs = 30000L
-    val dedupedBin = measure("deduped_binary", dedupedBinTriggerMs,
+    val dedupedBin = if (!enabled("deduped_binary")) "" else
+      measure("deduped_binary", dedupedBinTriggerMs,
       indexExtra(binIdx, Similarity.compactBinaryIndex(spark, binIdx))) { () =>
       graft.etl.IndexIngest.startDedupedBinaryAppend(
         embStream(dedupedBinRps, planted = true), binCorpus, binIdx,
@@ -302,7 +316,8 @@ object StreamingPerf {
     println(s"""{"metric":"streaming_perf","duration_s":$durationSec,""" +
       s""""cpus":$cpus,""" +
       s""""rates":{"kline_jdbc":$klineRps,"routed_parquet":$routedRps,"dedup_incremental":$dedupRps,"ivfpq_append":$ivfpqRps,"deduped_binary":$dedupedBinRps},""" +
-      s""""pipelines":{$kline,$routed,$dedup,$ivfpq,$dedupedBin}}""")
+      s""""pipelines":{${Seq(kline, routed, dedup, ivfpq, dedupedBin)
+        .filter(_.nonEmpty).mkString(",")}}}""")
     spark.stop()
   }
 }

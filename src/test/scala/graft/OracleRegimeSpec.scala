@@ -64,6 +64,13 @@ class OracleRegimeSpec extends AnyFunSuite {
       val boundHalf = math.min(100000L, 50L * (90000 / masksHalf))
       assert(m("ext_sim_lsh_delta").contains(s"vec_id < $boundHalf"),
         s"delta-LSH oracle bound drifted at ($ne, $no)")
+      // the FILTERED probe's bound follows the MAX radius's mask
+      // count (worst-case all-starved escalation, radius 3)
+      val masksF = graft.ops.Similarity.probeMaskCount(bits, 3)
+      val boundF = math.min(100000L, 50L * (90000 / masksF))
+      assert(m("ext_sim_filtered_lsh") != base("ext_sim_filtered_lsh"))
+      assert(m("ext_sim_filtered_lsh").contains(s"vec_id < $boundF"),
+        s"filtered-LSH oracle bound drifted at ($ne, $no)")
     }
   }
 
@@ -72,8 +79,8 @@ class OracleRegimeSpec extends AnyFunSuite {
     val base = SparkEntry.oracleSql
     val changed = base.keySet.filter(k => m.get(k) != base.get(k))
     assert(changed == Set("ext_sim_lsh", "ext_sim_lsh_indexed",
-      "ext_sim_lsh_delta", "ext_dedup_embedding_ann",
-      "ext_profile_columns"),
+      "ext_sim_lsh_delta", "ext_sim_filtered_lsh",
+      "ext_dedup_embedding_ann", "ext_profile_columns"),
       s"unexpected oracle rewrites: $changed")
   }
 }

@@ -347,13 +347,24 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //                   scanned side) plus the FILTERED brute-force
     //                   recall baseline (~10 % of the corpus — the
     //                   lightest baseline in the family).
+    //   ext_sim_ivfpq_deleted — the _indexed probe shapes (tombstones
+    //                   only add a broadcast equi-anti-join) plus the
+    //                   family's embedded brute-force recall baseline
+    //                   over the REMAINING corpus.
+    //   ext_sim_filtered_lsh — bucket-pruned equi-join probes at both
+    //                   radii; queries still starved at the max
+    //                   radius fall through to exact brute force over
+    //                   the QUALIFYING rows only (bounded by the
+    //                   predicate's selectivity — the tier that
+    //                   guarantees k results where k qualify).
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
       "ext_sim_ivfpq", "ext_sim_ivfpq_indexed", "ext_sim_ivfpq_appended",
       "ext_sim_ivfpq_delta", "ext_sim_lsh_delta", "ext_sim_ivfpq_adaptive",
       "ext_sim_binary", "ext_sim_binary_indexed", "ext_sim_filtered",
-      "ext_sim_filtered_ivfpq")
+      "ext_sim_filtered_ivfpq", "ext_sim_ivfpq_deleted",
+      "ext_sim_filtered_lsh")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

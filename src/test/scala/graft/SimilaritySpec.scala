@@ -444,6 +444,115 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got === adhoc)
   }
 
+  private def dropLshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+    for (suffix <- Seq("", "_meta")) {
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$name$suffix")
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("filtered LSH: predicate in the bucket-pruned scan; escalation + brute fall-through guarantee k") {
+    dropLshTable("lsh_filt_idx")
+    Similarity.buildLshIndexAdaptive(corpus, "lsh_filt_idx",
+      metaCols = Seq("label"))
+    val q = corpus.filter(col("vec_id") < 3)
+    // ~4% selectivity (8 qualifying rows ≥ k, but a radius-3 ball
+    // holds ~4 of them in expectation) so the max radius genuinely
+    // starves — `pred` speaks the STORED schema (c_id), `predCorpus`
+    // the fixture's (vec_id)
+    val pred = col("label") === 7 && col("c_id") < 80
+    val predCorpus = col("label") === 7 && col("vec_id") < 80
+    // (1) plan shape on one pass: the label predicate reaches the
+    // SAME scan the probe's bucket IN-list prunes — PushedFilters ×
+    // SelectedBucketsCount, one scan, neither pruning disabled
+    val pass2 = Similarity.lshIndexedPass(spark, "lsh_filt_idx", q, 5,
+      nBits = 8, probeDist = 2, dim = 64, seed = 42L, maxProbe = 100000,
+      predicate = Some(pred))
+    val plan = pass2.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"label predicate not pushed into the bucket scan:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"bucket pruning lost under the predicate:\n$plan")
+    // (2) the starvation regime is REAL here (20 qualifying rows over
+    // a 256-signature space: a radius-2 ball holds ~3 of them), so
+    // the three-tier guarantee is non-vacuous: every query must still
+    // return exactly k qualifying rows
+    val pass3 = Similarity.lshIndexedPass(spark, "lsh_filt_idx", q, 5,
+      nBits = 8, probeDist = 3, dim = 64, seed = 42L, maxProbe = 100000,
+      predicate = Some(pred))
+    val cnt3 = pass3.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    val starvedAtMax = q.select("vec_id").as[Long].collect()
+      .filter(id => cnt3.getOrElse(id, 0L) < 5L)
+    assert(starvedAtMax.nonEmpty,
+      "fixture drifted: no query starves even at the max radius — the " +
+        "brute fall-through pin below would be vacuous")
+    val got = Similarity.lshIndexedTopKFiltered(spark, "lsh_filt_idx", q,
+      pred, k = 5, probeDist0 = 2, probeDistMax = 3)
+    val rows = got.select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 5),
+      "filtered search must return k qualifying rows per query")
+    val labelOf = corpus.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => labelOf(r._2) == 7 && r._2 < 80),
+      "non-qualifying id returned")
+    // (3) still-starved queries fall through to EXACT filtered brute
+    // force — their rows must equal the filtered exact top-k
+    val exact = Similarity.bruteForceTopK(q, corpus.filter(predCorpus), k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    for (id <- starvedAtMax)
+      assert(rows.filter(_._1 == id).map(_._2).toSet == exact(id),
+        s"starved query $id must get the exact filtered top-k")
+    // (4) the contrast the operator exists for: post-filtering the
+    // unfiltered top-k under-returns
+    val post = Similarity.lshIndexedTopKAuto(spark, "lsh_filt_idx", q, k = 5)
+      .join(corpus.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .filter(col("label") === 7 && col("c_id") < 80)
+    assert(post.count() < rows.length,
+      "post-filtering should return fewer than the filtered search's k per query")
+    // (5) bruteBelow short-circuit: qualifying corpus (20 rows) under
+    // the threshold → exact filtered brute force for every query
+    val brute = Similarity.lshIndexedTopKFiltered(spark, "lsh_filt_idx", q,
+        pred, k = 5, bruteBelow = 50L)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert(brute == exact)
+  }
+
+  test("metadata-bearing LSH index: appends carry the stored columns or fail loudly") {
+    dropLshTable("lsh_meta_app")
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+    val odd = corpus.filter(col("vec_id") % 2 =!= 0)
+    Similarity.buildLshIndexAdaptive(even, "lsh_meta_app",
+      metaCols = Seq("label"))
+    Similarity.appendToLshIndex(spark, "lsh_meta_app", odd)
+    // appended rows are filter-searchable like build-time rows (the
+    // qualifying corpus is small, so the brute tier makes the check
+    // exact)
+    val q = corpus.filter(col("vec_id") < 3)
+    val got = Similarity.lshIndexedTopKFiltered(spark, "lsh_meta_app", q,
+        col("label") === 7, k = 5, bruteBelow = 50L)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q,
+        corpus.filter(col("label") === 7), k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got == exact,
+      "appended rows must be filter-searchable like build-time rows")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.appendToLshIndex(spark, "lsh_meta_app",
+        odd.select("vec_id", "embedding"))
+    }
+    assert(e.getMessage.toLowerCase.contains("label"),
+      s"error must name the missing stored column: ${e.getMessage}")
+  }
+
   test("adaptive LSH sizing pins the gate-scale choice and scales bits with n") {
     // gate scales (sf0.01 / sf0.1 / sf1 embeddings) resolve to the
     // catalog oracle's pinned 8 bits — the adaptive path IS the pinned

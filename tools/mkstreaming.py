@@ -101,6 +101,46 @@ def block(rnd: int) -> str:
                 f"{a['index_rows']:,} rows, offline compaction "
                 f"{a['offline_compact_ms']/1000:.1f} s (trigger "
                 f"{u['trigger_ms']/1000:g} s).")
+    # r13: dedicated >=10-batch window for the composed pipeline (the
+    # r12 verdict flagged its n=3 sustained evidence as anecdote) and
+    # the per-stage attribution of one admission trigger
+    if "deduped_binary_long" in art:
+        lg = art["deduped_binary_long"]["pipelines"]["deduped_binary"]
+        rate = art["deduped_binary_long"]["rates"]["deduped_binary"]
+        dur = art["deduped_binary_long"]["duration_s"]
+        out += ["",
+            f"Composed `deduped_binary` re-evidence (r13): a dedicated "
+            f"{dur} s window at {rate:,}/s offered, {lg['trigger_ms']/1000:g} s "
+            f"cadence — **{lg['batches']} batches** (vs r12's 3), "
+            f"{lg['input_rows']:,} rows, p50/p95 trigger "
+            f"{lg['p50_trigger_ms']/1000:.1f}/{lg['p95_trigger_ms']/1000:.1f} s, "
+            f"{lg['lagging_after_warmup']} lagging after warm-up, busy "
+            f"capacity {lg['rows_per_sec_busy']:,.0f} rows/s."]
+    if "composed_stages" in art:
+        cs = art["composed_stages"]
+        out += ["",
+            f"Per-stage attribution of the composed admission trigger "
+            f"(`tools.ComposedProbe`: the stream's own per-batch body "
+            f"over {cs['batch_rows']:,}-row batches, {cs['dup_pct']}% "
+            f"planted dups, {cs['bands']}x{cs['bits_per_band']} banding, "
+            f"stage split instrumented — {len(cs['batches'])} batches "
+            f"against a growing corpus):", "",
+            "| batch | wall s | corpus probe | in-batch pairs | commits "
+            "(corpus+bands) | index append | compact | driver/other |",
+            "|---|---|---|---|---|---|---|"]
+        for b in cs["batches"]:
+            st = b["stages"]
+            def g(*keys):
+                return sum(st.get(k, 0) for k in keys) / 1000.0
+            out.append(
+                f"| {b['batch']} ({b['corpus_rows_after']:,} corpus rows "
+                f"after) | {b['wall_ms']/1000:.1f} "
+                f"| {g('admit:corpus-probe'):.1f} s "
+                f"| {g('admit:probe+pairs'):.1f} s "
+                f"| {g('admit:commit-corpus', 'admit:commit-bands'):.1f} s "
+                f"| {g('index:append'):.1f} s "
+                f"| {g('index:compact'):.1f} s "
+                f"| {max(0.0, b['driver_ms']/1000):.1f} s |")
     out += ["",
         "Caveats the numbers carry: `kline_jdbc`'s ceiling is embedded "
         "Derby's single-writer MERGE (the sandbox stand-in for the "
