@@ -2980,7 +2980,18 @@ object SparkEntry {
         val c2 = big.groupBy(col("w1"), col("t").as("w2"))
           .agg(count(lit(1)).as("c12"))
         val c1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"))
-        c2.join(c1, "w1")
+        // the unigram side is VOCABULARY-bounded (distinct w1), so the
+        // conditional join broadcasts it by declaration instead of by
+        // AQE's runtime size estimate. The r12 flag on this entry
+        // (0.48 → 0.74 s at sf0.1, the one catalog step above the
+        // sentinel drift envelope) was re-measured solo best-of-2 on
+        // an idle box (r13): 1.05 s without the hint vs 1.00 s with —
+        // AQE already picks the broadcast at gate scale, so the step
+        // was fresh-JVM/box variance, not plan cost; the hint stays
+        // because at 100 TB the vocabulary side being under the
+        // adaptive threshold is a statistics gamble the declaration
+        // removes.
+        c2.join(broadcast(c1), "w1")
           .select(col("w1"), col("w2"), col("c12"), col("c1"),
             (col("c12") / col("c1").cast("double")).as("p"))
           .orderBy(col("c12").desc, col("w1"), col("w2")).limit(50)

@@ -89,8 +89,18 @@ object ComposedProbe {
           when(pmod(col("vec_id"), lit(100)) < dupPct, dup)
             .otherwise(expr(hashEmb("vec_id"))).as("embedding"))
 
+    // the seed INCLUDES the planted-dup vector (one row): in the live
+    // stream the first (tiny) trigger admits it, after which every
+    // batch's planted dups die at the CORPUS probe tier — the steady
+    // state this probe measures. Without it, a full-size first batch
+    // pairs its ~4.5k identical rows ALL-AGAINST-ALL in the in-batch
+    // tier (C(4500,2) ≈ 10M pairs) and trips the driver-resolution
+    // cap — correctly, but that is the cold-start pathology, not the
+    // steady state.
     val seed = spark.range(5000).select(col("id").as("vec_id"),
-      expr(hashEmb("id")).as("embedding"))
+        expr(hashEmb("id")).as("embedding"))
+      .unionByName(spark.range(1).select(lit(5000L).as("vec_id"),
+        dup.as("embedding")))
     // scale-sized banding (annParams(100k) regime), the StreamingPerf
     // deployment choice: 6 bands × 10 bits
     graft.etl.IndexIngest.bootstrapDedupedBinary(seed, corpusDir, indexDir,
