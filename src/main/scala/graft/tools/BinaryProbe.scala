@@ -196,6 +196,63 @@ object BinaryProbe {
         col("label") === 3 && pmod(floor(col("vec_id") / 10), lit(10)) === 0)
       spark.stop(); return
     }
+    if (args.contains("lshfiltered")) {
+      // the ext_sim_filtered_lsh catalog configuration: adaptive
+      // metadata-bearing LSH index, radius 2 → 3 escalation on
+      // starvation, exact brute fall-through for still-starved
+      // queries. The catalog GATE is exact-replication (hash vs
+      // DuckDB's identical three-tier computation); these floors
+      // measure the SEMANTIC quality of that contract — how much of
+      // the FILTERED true top-10 the escalating probe recovers — at
+      // the catalog predicate (label = 3, ~10 %) and a selective
+      // ~1 % one, on the datagen fixtures AND the clustered
+      // generator (cluster-correlated label).
+      val table = "graft_lshprobe_filt"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+      for (suf <- Seq("", "_meta")) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.conf.warehousePath, table + suf)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      val bits = Similarity.buildLshIndexAdaptive(emb, table, n = n,
+        metaCols = Seq("label"))
+      // the catalog entry's probe-budget bound at the MAX radius
+      val bound = math.min(100000L,
+        50L * (90000 / Similarity.probeMaskCount(bits, 3)))
+      val qsB = qs.filter(col("vec_id") < bound).localCheckpoint()
+      println(s"lshfiltered: bits=$bits bound=$bound queries=${qsB.count()}")
+      def floorsL(tag: String, predIdx: org.apache.spark.sql.Column,
+                  predEmb: org.apache.spark.sql.Column): Unit = {
+        val exactF = Similarity.bruteForceTopK(qsB, emb.filter(predEmb),
+          k = 10).select("q_id", "c_id").localCheckpoint()
+        def runF() = Similarity.lshIndexedTopKFiltered(spark, table, qsB,
+          predicate = predIdx, k = 10, probeDist0 = 2, probeDistMax = 3)
+        val hf = exactF.join(
+            runF().select(col("q_id"), col("c_id"), lit(1).as("hit")),
+            Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .agg(min("hits").as("min"), avg("hits").as("avg"),
+            sum(when(col("hits") < 3, 1).otherwise(0)).as("below3"),
+            count(lit(1)).as("nq"))
+          .head()
+        def timeF(): Double = {
+          val t0 = System.nanoTime(); runF().count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"lshfiltered[$tag]: minHits=${hf.getLong(0)} " +
+          f"avgHits=${hf.getDouble(1)}%.2f below3=${hf.getLong(2)} " +
+          f"of ${hf.getLong(3)} " +
+          f"wall=${Seq(timeF(), timeF()).min}%.2fs (best-of-2)")
+      }
+      floorsL("label=3 ~10%", col("label") === 3, col("label") === 3)
+      floorsL("label=3 & id/10%10=0 ~1%",
+        col("label") === 3 && pmod(floor(col("c_id") / 10), lit(10)) === 0,
+        col("label") === 3 && pmod(floor(col("vec_id") / 10), lit(10)) === 0)
+      spark.stop(); return
+    }
     if (args.contains("filtered")) {
       // the ext_sim_filtered catalog configuration: labeled persisted
       // index, predicate label = 3 (~10 % of the corpus), recall vs
