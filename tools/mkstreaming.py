@@ -104,18 +104,37 @@ def block(rnd: int) -> str:
     # r13: dedicated >=10-batch window for the composed pipeline (the
     # r12 verdict flagged its n=3 sustained evidence as anecdote) and
     # the per-stage attribution of one admission trigger
-    if "deduped_binary_long" in art:
-        lg = art["deduped_binary_long"]["pipelines"]["deduped_binary"]
-        rate = art["deduped_binary_long"]["rates"]["deduped_binary"]
-        dur = art["deduped_binary_long"]["duration_s"]
+    for key, label in (("deduped_binary_long", "at the r12 rate"),
+                       ("deduped_binary_long_500", "at a corpus-growth-"
+                        "compatible rate")):
+        if key not in art:
+            continue
+        lg = art[key]["pipelines"]["deduped_binary"]
+        rate = art[key]["rates"]["deduped_binary"]
+        dur = art[key]["duration_s"]
         out += ["",
-            f"Composed `deduped_binary` re-evidence (r13): a dedicated "
-            f"{dur} s window at {rate:,}/s offered, {lg['trigger_ms']/1000:g} s "
-            f"cadence — **{lg['batches']} batches** (vs r12's 3), "
-            f"{lg['input_rows']:,} rows, p50/p95 trigger "
+            f"Composed `deduped_binary` re-evidence (r13, {label}): a "
+            f"dedicated {dur} s window at {rate:,}/s offered, "
+            f"{lg['trigger_ms']/1000:g} s cadence — **{lg['batches']} "
+            f"batches** (r12 judged on 3), {lg['input_rows']:,} rows, "
+            f"p50/p95 trigger "
             f"{lg['p50_trigger_ms']/1000:.1f}/{lg['p95_trigger_ms']/1000:.1f} s, "
             f"{lg['lagging_after_warmup']} lagging after warm-up, busy "
-            f"capacity {lg['rows_per_sec_busy']:,.0f} rows/s."]
+            f"rate {lg['rows_per_sec_busy']:,.0f} rows/s."]
+    if ("deduped_binary_long" in art and
+            "deduped_binary_long_500" in art):
+        out += ["",
+            "Read the two windows together with the stage table below: "
+            "at the r12 rate the corpus grows ~90k rows per trigger and "
+            "the linearly-growing corpus-probe stage crosses the 30 s "
+            "cadence mid-window (the p95 IS the capacity cliff — a "
+            "single busy-rows/s number for this pipeline is a category "
+            "error, the r12 artifact's ~2.9k was corpus-size-dependent); "
+            "at the lower rate the same pipeline holds a clean "
+            "zero-lagging steady state across 12 batches. Admission "
+            "cost is O(batch × corpus/2^bits): size the banding for "
+            "the TARGET corpus at stream start, and pick the offered "
+            "rate from the corpus size the deployment will reach."]
     if "composed_stages" in art:
         cs = art["composed_stages"]
         out += ["",
