@@ -162,11 +162,12 @@ object IndexIngest {
                             embCol: String = "embedding",
                             threshold: Double = 0.8, bands: Int = 8,
                             bitsPerBand: Int = 4, hashSeed: Long = 42L,
-                            nlist: Int = 16, m: Int = 8, ksub: Int = 16): Unit = {
+                            nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                            stateBuckets: Int = 0): Unit = {
     val spark = seed.sparkSession
     val n = DedupIngest.admitBatchEmbedding(spark, seed, corpusDir,
       batchId = -1L, idCol, embCol, threshold, bands, bitsPerBand,
-      hashSeed)
+      hashSeed, stateBuckets = stateBuckets)
     require(n > 0, "bootstrapDedupedIvfPq: no seed rows admitted — " +
       "the index model cannot fit on an empty corpus")
     Similarity.buildIvfPqIndex(admittedOf(spark, corpusDir, "-1", idCol,
@@ -184,12 +185,13 @@ object IndexIngest {
                          embCol: String = "embedding",
                          threshold: Double = 0.8, bands: Int = 8,
                          bitsPerBand: Int = 4, hashSeed: Long = 42L,
-                         autoCompactSegments: Int = 0): Unit = {
+                         autoCompactSegments: Int = 0,
+                         stateBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     val tag = runTagOf(checkpointDir)
     val n = DedupIngest.admitBatchEmbedding(spark, batch, corpusDir,
       batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
-      runTag = tag)
+      runTag = tag, stateBuckets = stateBuckets)
     if (n > 0) {
       maybeCompact(spark, indexDir, s"$tag-$batchId", autoCompactSegments)
       Similarity.appendToIvfPqIndex(spark, indexDir,
@@ -245,14 +247,19 @@ object IndexIngest {
                               bitsPerBand: Int = 4, hashSeed: Long = 42L,
                               trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
                               autoCompactSegments: Int = 64,
-                              queryName: Option[String] = None): StreamingQuery = {
+                              queryName: Option[String] = None,
+                              targetCorpus: Long = 0L,
+                              stateBuckets: Int = 0): StreamingQuery = {
+    val (bnd, bits) =
+      if (targetCorpus > 0L) graft.ops.Dedup.annParams(targetCorpus)
+      else (bands, bitsPerBand)
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupedAppendBatch(batch, corpusDir, indexDir, checkpointDir,
-          batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
-          autoCompactSegments)
+          batchId, idCol, embCol, threshold, bnd, bits, hashSeed,
+          autoCompactSegments, stateBuckets)
       }
     queryName.fold(w)(w.queryName).start()
   }
@@ -270,11 +277,12 @@ object IndexIngest {
                              embCol: String = "embedding",
                              threshold: Double = 0.8, bands: Int = 8,
                              bitsPerBand: Int = 4, hashSeed: Long = 42L,
-                             nBits: Int = 248, dim: Int = 64): Unit = {
+                             nBits: Int = 248, dim: Int = 64,
+                             stateBuckets: Int = 0): Unit = {
     val spark = seed.sparkSession
     val n = DedupIngest.admitBatchEmbedding(spark, seed, corpusDir,
       batchId = -1L, idCol, embCol, threshold, bands, bitsPerBand,
-      hashSeed)
+      hashSeed, stateBuckets = stateBuckets)
     require(n > 0, "bootstrapDedupedBinary: no seed rows admitted — " +
       "an empty index data tree has no schema to serve")
     Similarity.buildBinaryIndex(admittedOf(spark, corpusDir, "-1", idCol,
@@ -294,12 +302,13 @@ object IndexIngest {
                                embCol: String = "embedding",
                                threshold: Double = 0.8, bands: Int = 8,
                                bitsPerBand: Int = 4, hashSeed: Long = 42L,
-                               autoCompactSegments: Int = 0): Unit = {
+                               autoCompactSegments: Int = 0,
+                               stateBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     val tag = runTagOf(checkpointDir)
     val n = DedupIngest.admitBatchEmbedding(spark, batch, corpusDir,
       batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
-      runTag = tag)
+      runTag = tag, stateBuckets = stateBuckets)
     if (n > 0) {
       // stage labels match the admission stage's (DedupIngest's
       // `described`) so one listener sums the whole trigger
@@ -330,14 +339,19 @@ object IndexIngest {
                                bitsPerBand: Int = 4, hashSeed: Long = 42L,
                                trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
                                autoCompactSegments: Int = 64,
-                               queryName: Option[String] = None): StreamingQuery = {
+                               queryName: Option[String] = None,
+                               targetCorpus: Long = 0L,
+                               stateBuckets: Int = 0): StreamingQuery = {
+    val (bnd, bits) =
+      if (targetCorpus > 0L) graft.ops.Dedup.annParams(targetCorpus)
+      else (bands, bitsPerBand)
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupedBinaryAppendBatch(batch, corpusDir, indexDir, checkpointDir,
-          batchId, idCol, embCol, threshold, bands, bitsPerBand, hashSeed,
-          autoCompactSegments)
+          batchId, idCol, embCol, threshold, bnd, bits, hashSeed,
+          autoCompactSegments, stateBuckets)
       }
     queryName.fold(w)(w.queryName).start()
   }
