@@ -328,6 +328,27 @@ object SparkEntry {
     idxDir
   }
 
+  /** Binary index with TIME-BASED RETENTION applied (`ext_sim_retained`):
+    * the even half builds as the old `base` segment, the odd half
+    * appends as a young segment, deterministic ingest stamps replace
+    * the appends' wall-clock ones, and `retainIndex` expires
+    * everything older than the cutoff — leaving exactly the odd half
+    * live. Built once per fixture dir ([[buildIndexOnce]]). */
+  private def retainedIndexOnce(s: SparkSession, dir: String): String = {
+    val idxDir = "target/graft-indexes/bin_ret_" + idxSuffix(dir)
+    buildIndexOnce(s"bin_ret|$dir") {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildBinaryIndex(emb.filter(col("vec_id") % 2 === 0),
+        idxDir, nBits = 248, seed = 42L)
+      Similarity.appendToBinaryIndex(s, idxDir,
+        emb.filter(col("vec_id") % 2 =!= 0), seg = Some("t-0"))
+      Similarity.stampSegMeta(s, idxDir, "base", 1000L)
+      Similarity.stampSegMeta(s, idxDir, "t-0", 3000L)
+      Similarity.retainIndex(s, idxDir, cutoffMs = 2000L)
+    }
+    idxDir
+  }
+
   // ------------------------------------------------------------------ //
 
   val catalog: Seq[QueryDef] = Seq(
@@ -2534,6 +2555,50 @@ object SparkEntry {
         val leaked = res.groupBy("q_id")
           .agg(max(pmod(col("c_id"), lit(2))).as("leaked"))
         Similarity.bruteForceTopK(qs, emb.filter(col("vec_id") % 2 === 0),
+            k = 10)
+          .select("q_id", "c_id")
+          .join(res, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .join(leaked, Seq("q_id"), "left")
+          .select(col("q_id"),
+            (col("hits") >= 3 && coalesce(col("leaked"), lit(0)) === 0)
+              .as("recall_ok"))
+      }),
+
+    QueryDef("ext_sim_retained",
+      // TIME-BASED RETENTION (r13 VERDICT #4) — the age-based takedown
+      // symmetric to the dedup corpus's retainCorpus: a year of
+      // expired embeddings must leave the index without enumerating
+      // ids client-side. Similarity.retainIndex cuts by SEGMENT age
+      // (per-segment ingest stamps, `<dir>_segmeta`), lands the
+      // expired ids as a bulk tombstone under a run-scoped
+      // `retain-<cutoff>` segment (re-running the cutoff overwrites
+      // itself — idempotent), and the next compaction purges rows and
+      // tombstones physically. Here the even half is the old segment,
+      // the odd half the young one, the cutoff expires the old — the
+      // gate is recall vs the exact top-10 over the SURVIVING (odd)
+      // corpus, plus a hard zero: recall_ok is false if ANY expired
+      // (even) id surfaces. Unknown-age segments, shared-id retention,
+      // watermark monotonicity, and the compaction purge are
+      // spec-pinned (RetentionSpec); this entry gates the steady-state
+      // probe.
+      Some("""SELECT vec_id AS q_id, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val rr = math.min(10000L, math.max(100L,
+          Tables.cachedCount(s, dir, "embeddings") / 25)).toInt
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val idxDir = retainedIndexOnce(s, dir)
+        val res = Similarity.binaryIndexedTopK(s, idxDir, qs, k = 10,
+            rerank = rr)
+          .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+        // any even (expired) id in the result set fails the query hard
+        val leaked = res.groupBy("q_id")
+          .agg(max(when(pmod(col("c_id"), lit(2)) === 0, 1)
+            .otherwise(0)).as("leaked"))
+        Similarity.bruteForceTopK(qs, emb.filter(col("vec_id") % 2 =!= 0),
             k = 10)
           .select("q_id", "c_id")
           .join(res, Seq("q_id", "c_id"), "left")

@@ -356,6 +356,49 @@ object IndexIngest {
     queryName.fold(w)(w.queryName).start()
   }
 
+  /** Streaming RETRACTION for the composed deduped→indexed pipelines:
+    * a deletes-stream (one id column) drives BOTH halves of a takedown
+    * per micro-batch — [[DedupIngest.retractNearDup]] removes the
+    * documents and their band postings (so near-dups of retracted
+    * vectors re-admit), and [[graft.ops.Similarity.deleteFromIndex]]
+    * tombstones the ids in the serving index (probes shadow them
+    * immediately; the next compaction purges). Exactly-once under
+    * crash-replay by each half's own mechanism: retraction is a set
+    * operation (removing already-removed ids is a no-op), and the
+    * tombstone write is a dynamic overwrite of the run-scoped
+    * `del-<tag>-<batchId>` segment — a replay overwrites itself.
+    *
+    * Contracts inherited and sharpened: single writer per corpus —
+    * run retraction triggers BETWEEN admission triggers, never
+    * concurrently with them (a replayed admission batch would
+    * resurrect rows retracted from its own partition); and tombstones
+    * shadow by id, so an id RE-ADMITTED after its retraction stays
+    * invisible in the index until a compaction purges the tombstone —
+    * under the admission path's monotone-id contract ids are never
+    * reused, so this arises only on out-of-contract streams.
+    */
+  def startDedupedRetraction(deletes: DataFrame, corpusDir: String,
+                             indexDir: String, checkpointDir: String,
+                             idCol: String = "vec_id",
+                             bandsSuffix: String = "_sbands",
+                             trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val tag = runTagOf(checkpointDir)
+    deletes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ids = batch.select(col(idCol)).distinct().localCheckpoint()
+        DedupIngest.retractNearDup(spark, corpusDir, ids, idCol, bandsSuffix)
+        Similarity.deleteFromIndex(spark, indexDir,
+          ids.select(col(idCol).as("vec_id")),
+          seg = Some(s"del-$tag-$batchId"))
+        ()
+      }
+      .start()
+  }
+
   /** Run tag = checkpoint identity — [[DedupIngest.runTagOf]], the
     * ONE shared derivation: stable across resume of the same
     * checkpoint (replays land on their own segments), distinct across

@@ -232,6 +232,7 @@ object Similarity {
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_centroids")
     stampFreshEpoch(spark, dir, Seq("_centroids"))
     clearTombstones(spark, dir)
+    stampSegMeta(spark, dir, "base")
   }
 
   /** Top-k against a [[buildIvfIndex]] directory. Centroids are read
@@ -628,6 +629,7 @@ object Similarity {
     // planes ranks NOISE with no error anywhere
     stampFreshEpoch(spark, dir, Seq("_meta"))
     clearTombstones(spark, dir)
+    stampSegMeta(spark, dir, "base")
   }
 
   /** Probe a [[buildBinaryIndex]] table: identical rows to the
@@ -737,14 +739,15 @@ object Similarity {
     // the batch (a missing column fails analysis loudly here)
     val storedMeta = spark.read.parquet(dir).schema.fieldNames
       .filterNot(Set("c_id", "c_sig", "embedding", "seg")).toSeq
+    val segVal = seg.getOrElse(
+      "adhoc-" + java.util.UUID.randomUUID.toString.take(8))
     val tagged = batch
       .select(col("vec_id").as("c_id") +:
         array(blocks.map(b => signBands(col("embedding"), b)): _*).as("c_sig") +:
         col("embedding") +: normD(col("embedding")).as("c_nrm") +:
         storedMeta.map(col): _*)
       .filter(col("c_nrm") > 0).drop("c_nrm")
-      .withColumn("seg", lit(seg.getOrElse(
-        "adhoc-" + java.util.UUID.randomUUID.toString.take(8))))
+      .withColumn("seg", lit(segVal))
     seg match {
       case Some(_) => tagged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -752,6 +755,7 @@ object Similarity {
       case None => tagged.write.mode("append")
         .partitionBy("seg").parquet(dir)
     }
+    stampSegMeta(spark, dir, segVal)
   }
 
   /** Compact an appended [[buildBinaryIndex]] directory: every
@@ -796,6 +800,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("seg").parquet(tmp)
     }
     if (tomb.isDefined) shrinkTombstones(spark, dir, keepSeg)
+    foldSegMeta(spark, dir, keepSeg)
   }
 
   /** Freshness composition for the binary family — the
@@ -900,6 +905,7 @@ object Similarity {
       .write.mode("overwrite").parquet(dir.stripSuffix("/") + "_codebooks")
     stampFreshEpoch(spark, dir, Seq("_centroids", "_codebooks"))
     clearTombstones(spark, dir)
+    stampSegMeta(spark, dir, "base")
   }
 
   /** Append a batch of new vectors to a [[buildIvfIndex]] directory
@@ -979,9 +985,10 @@ object Similarity {
     */
   private def writeAppend(assigned: DataFrame, dir: String,
                           seg: Option[String]): Unit = {
+    val segVal = seg.getOrElse(
+      "adhoc-" + java.util.UUID.randomUUID.toString.take(8))
     val tagged = assigned
-      .withColumn("seg", lit(seg.getOrElse(
-        "adhoc-" + java.util.UUID.randomUUID.toString.take(8))))
+      .withColumn("seg", lit(segVal))
       .repartition(col("cell"))
     seg match {
       case Some(_) => tagged.write.mode("overwrite")
@@ -990,6 +997,9 @@ object Similarity {
       case None => tagged.write.mode("append")
         .partitionBy("seg", "cell").parquet(dir)
     }
+    // ingest-time stamp for [[retainIndex]] (a replayed batch
+    // re-stamps its own segment — idempotent, newest stamp wins)
+    stampSegMeta(assigned.sparkSession, dir, segVal)
   }
 
   /** Compact an appended [[buildIvfPqIndex]] (or [[buildIvfIndex]])
@@ -1061,6 +1071,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("seg", "cell").parquet(tmp)
     }
     if (tomb.isDefined) shrinkTombstones(spark, dir, keepSeg)
+    foldSegMeta(spark, dir, keepSeg)
   }
 
   /** Segment partition values present in an appended index directory
@@ -1126,6 +1137,25 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"deleteFromIndex: no index at $dir")
+    // the caller must be pointing at a directory-family index, or the
+    // tombstones written here would never be honored by any probe —
+    // the caller believing the data is shadowed when it is not is the
+    // silent failure mode of a takedown verb (r13 ADVICE). Recognize
+    // the layout: a model sibling (`_centroids`/`_meta`) or `seg=`
+    // partitioning (covers a torn mid-build index, where delete
+    // intent must still be recordable).
+    val base = dir.stripSuffix("/")
+    require(
+      fs.exists(new org.apache.hadoop.fs.Path(base + "_centroids")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(base + "_meta")) ||
+        fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("seg=")),
+      s"deleteFromIndex: $dir is not a buildIvfIndex/buildIvfPqIndex/" +
+        "buildBinaryIndex directory (no model sibling, no seg= " +
+        "partitions) — a tombstone sidecar here would shadow nothing. " +
+        "LSH indexes are catalog tables and sit outside the tombstone " +
+        "contract.")
+    healTombstones(fs, dir) // never write beside a torn shrink's .old
     val tagged = ids.select(col("vec_id").as("c_id"))
       .withColumn("seg", lit(seg.getOrElse(
         "adhoc-" + java.util.UUID.randomUUID.toString.take(8))))
@@ -1144,10 +1174,42 @@ object Similarity {
     * which is the common case and costs ONE directory probe with zero
     * plan change (the hot path stays byte-identical to pre-deletion).
     */
+  /** TORN-SWAP RECOVERY (r13 ADVICE): [[shrinkTombstones]]'s rename
+    * pair has a window where the live sidecar is ABSENT but its
+    * pre-shrink copy survives at `.old` — unlike the data trees
+    * (epoch markers), the sidecar has no coherence marker, and a read
+    * returning None there would silently resurrect every unpurged
+    * deleted row — in the PII-deletion path, where it matters most.
+    * Heal eagerly at every sidecar touch point: live-absent + `.old`
+    * present ⇒ roll the `.old` tree back in (it is a conservative
+    * SUPERSET of the needed tombstones — anti-joins over already-
+    * purged ids are no-ops); both present ⇒ the shrink completed and
+    * the live tree is authoritative, so the leftover `.old` is
+    * deleted before anything (a fresh delete, another shrink) could
+    * make the two trees diverge.
+    */
+  private def healTombstones(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Unit = {
+    val td = tombstoneDir(dir)
+    val p = new org.apache.hadoop.fs.Path(td)
+    val old = new org.apache.hadoop.fs.Path(td + ".old")
+    def hasSegs(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(d) && fs.listStatus(d).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("seg="))
+    if (hasSegs(old)) {
+      if (!hasSegs(p)) {
+        fs.delete(p, true) // a segless husk must not block the rename
+        require(fs.rename(old, p),
+          s"healTombstones: could not roll $old back into place")
+      } else fs.delete(old, true)
+    }
+  }
+
   private[graft] def tombstones(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstoneDir(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healTombstones(fs, dir)
     if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("seg=")))
       None
@@ -1179,6 +1241,7 @@ object Similarity {
     val td = tombstoneDir(dir)
     val p = new org.apache.hadoop.fs.Path(td)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healTombstones(fs, dir) // a prior shrink's torn swap rolls back first
     if (!fs.exists(p)) return
     keepSeg match {
       case None => fs.delete(p, true)
@@ -1200,6 +1263,141 @@ object Similarity {
             s"originals at $old")
         fs.delete(old, true)
     }
+  }
+
+  // ---------------------------------------------------------------- //
+  // Time-based retention (r13 VERDICT #4)                            //
+  // ---------------------------------------------------------------- //
+
+  /** Per-segment ingest-time sidecar (`<dir>_segmeta/<seg>`, one
+    * epoch-millis value per file): the ts-aware metadata [[retainIndex]]
+    * cuts on. Stamped by every build/append; a segment WITHOUT a stamp
+    * (hand-assembled, or predating this sidecar) is treated as
+    * unknown-age and NEVER expired — retention must fail conservative.
+    * Lives OUTSIDE the data tree so compaction's whole-tree swap
+    * ([[rewriteInPlace]]) does not disturb it; [[foldSegMeta]] follows
+    * each compaction to keep it in step with the folded segments.
+    */
+  private def segMetaDir(dir: String): String =
+    dir.stripSuffix("/") + "_segmeta"
+
+  private def segMetaPath(dir: String, seg: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(segMetaDir(dir),
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(seg))
+
+  private[graft] def stampSegMeta(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, seg: String,
+                                  tsMs: Long = -1L): Unit = {
+    val p = segMetaPath(dir, seg)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ts = if (tsMs >= 0) tsMs else System.currentTimeMillis()
+    val out = fs.create(p, true)
+    try out.write(ts.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readSegMeta(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Map[String, Long] = {
+    val d = new org.apache.hadoop.fs.Path(segMetaDir(dir))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).iterator.filter(_.isFile).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+      txt.toLongOption.map(ts =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(st.getPath.getName) -> ts)
+    }.toMap
+  }
+
+  /** After a compaction folded every segment except `keepSeg` into
+    * `base`: folded segments' stamps are dropped and `base` takes the
+    * MAX of the folded stamps (conservative for retention — folded
+    * rows are treated as young as the youngest fold source, so a
+    * later cutoff can only under-expire, never over-expire).
+    */
+  private def foldSegMeta(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, keepSeg: Option[String]): Unit = {
+    val meta = readSegMeta(spark, dir)
+    if (meta.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(segMetaDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = meta -- keepSeg.toSeq - "base"
+    if (folded.nonEmpty) {
+      stampSegMeta(spark, dir, "base",
+        (folded.values ++ meta.get("base")).max)
+      folded.keys.foreach(s => fs.delete(segMetaPath(dir, s), false))
+    }
+  }
+
+  /** SIBLING of the data tree (like `_segmeta`/`_tombstones`), not
+    * inside it — [[rewriteInPlace]] swaps the whole data dir, and a
+    * watermark living inside would vanish with the first compaction. */
+  private def retentionPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_retention")
+
+  /** The index's retention watermark (max cutoff ever applied), 0 if
+    * retention never ran — exposed per-row by [[describeIndex]]. */
+  private[graft] def retentionWatermark(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String): Long = {
+    val p = retentionPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLongOption.getOrElse(0L)
+      finally in.close()
+    }
+  }
+
+  /** TIME-BASED RETENTION for a persisted index directory (all three
+    * parquet families) — the age-based takedown symmetric to
+    * [[graft.etl.DedupIngest.retainCorpus]]: without it, expiring a
+    * year of embeddings means enumerating ids client-side. Drops every
+    * vector whose SEGMENT was ingested before `cutoffMs` (segments are
+    * the ingest-batch granularity, so ingest time is a segment fact;
+    * a segment with no [[stampSegMeta]] stamp is unknown-age and is
+    * KEPT — conservative by construction), implemented as a BULK
+    * TOMBSTONE riding the deletion machinery: the expired segments'
+    * ids land in the tombstone sidecar under the run-scoped segment
+    * `retain-<cutoffMs>` (re-running the same cutoff overwrites its
+    * own partition — idempotent), every probe shadows them
+    * immediately, and the next [[compactIndex]]/[[compactBinaryIndex]]
+    * physically purges rows and tombstones together.
+    *
+    * An id that ALSO lives in a kept (younger) segment is retained
+    * wholesale — tombstones shadow by id across ALL segments, so
+    * expiring a re-ingested id would take down its live copy too; the
+    * kept-side anti-join below keeps exactly those. Stamps the
+    * retention watermark (monotone max, [[describeIndex]] exposes it)
+    * even when nothing expires. Returns the number of ids tombstoned.
+    */
+  def retainIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  cutoffMs: Long): Long = {
+    val meta = readSegMeta(spark, dir)
+    val live = segmentNames(spark, dir).toSet
+    val expired = meta.collect {
+      case (s, ts) if ts < cutoffMs && live(s) => s }.toSeq
+    // watermark first — monotone, and recorded even for a no-op cutoff
+    // (the operator's evidence that retention RAN)
+    val p = retentionPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = math.max(cutoffMs, retentionWatermark(spark, dir))
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (expired.isEmpty) return 0L
+    val rows = spark.read.parquet(dir.stripSuffix("/"))
+    val expiredIds = rows
+      .filter(col("seg").isin(expired: _*)).select(col("c_id")).distinct()
+    val keptIds = rows
+      .filter(!col("seg").isin(expired: _*)).select(col("c_id"))
+    val ids = expiredIds.join(keptIds, Seq("c_id"), "left_anti")
+      .select(col("c_id").as("vec_id")).localCheckpoint()
+    val n = ids.count()
+    if (n > 0) deleteFromIndex(spark, dir, ids,
+      seg = Some(s"retain-$cutoffMs"))
+    n
   }
 
   /** Operational description of a persisted IVF / IVF-PQ index
@@ -1324,12 +1522,19 @@ object Similarity {
       else if (hasCentroids) "ivf"
       else if (binMeta.isDefined) "binary"
       else "unknown"
+    // retention posture: the segment's ingest stamp (0 = unstamped ⇒
+    // never expired) and the index-level watermark (max cutoff ever
+    // applied by [[retainIndex]]; 0 = retention never ran)
+    val segTs = readSegMeta(spark, base)
+    val watermark = retentionWatermark(spark, base)
     allSegs.map { case (seg, cells, files, bytes) =>
       (seg, cells, files, bytes, rowsBySeg.getOrElse(seg, 0L),
         model, nlist, pqM, pqKsub, nBits, coherent,
-        epochs.headOption.getOrElse(""))
+        epochs.headOption.getOrElse(""),
+        segTs.getOrElse(seg, 0L), watermark)
     }.toDF("seg", "cells", "files", "bytes", "rows", "model", "nlist",
-      "pq_m", "pq_ksub", "nbits", "epoch_coherent", "epoch")
+      "pq_m", "pq_ksub", "nbits", "epoch_coherent", "epoch",
+      "ingest_ts", "retention_watermark")
       .orderBy(col("seg"))
   }
 

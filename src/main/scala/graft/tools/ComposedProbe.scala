@@ -33,13 +33,16 @@ import graft.GraftSession
   *   (driver)               wall minus summed job time — greedy
   *                          resolution, planning, commit bookkeeping
   *
-  * Usage: runMain graft.tools.ComposedProbe [batchRows] [nBatches] [dupPct]
+  * Usage: runMain graft.tools.ComposedProbe [batchRows] [nBatches] [dupPct] [stateBuckets]
+  * `stateBuckets` > 0 runs the bucketed `_sbands` layout (r14) — the
+  * A/B lever against the r13 path-layout baseline.
   */
 object ComposedProbe {
   def main(args: Array[String]): Unit = {
     val batchRows = args.headOption.map(_.toInt).getOrElse(90000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val dupPct = args.lift(2).map(_.toInt).getOrElse(5)
+    val stateBuckets = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]")
@@ -104,16 +107,35 @@ object ComposedProbe {
     // scale-sized banding (annParams(100k) regime), the StreamingPerf
     // deployment choice: 6 bands × 10 bits
     graft.etl.IndexIngest.bootstrapDedupedBinary(seed, corpusDir, indexDir,
-      bands = 6, bitsPerBand = 10)
+      bands = 6, bitsPerBand = 10, stateBuckets = stateBuckets)
     graft.etl.DedupIngest.instrumentAdmission = true
+
+    // listener events post on an async bus: without a drain, late
+    // onJobEnd events get dropped by the next batch's clear() or
+    // attributed to the wrong batch, inflating the (driver) column of
+    // the stage table this probe exists to produce (r13 ADVICE).
+    // listenerBus.waitUntilEmpty is private[spark]; bounded sleep-
+    // drain on the summed totals instead.
+    def drainListener(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 2000000000L
+      var prev = -1L
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = stageMs.asScala.values.sum
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
 
     val batches = (0 until nBatches).map { i =>
       stageMs.clear()
       val t0 = System.nanoTime()
       graft.etl.IndexIngest.dedupedBinaryAppendBatch(batchDf(i), corpusDir,
         indexDir, ckpt, batchId = i.toLong, bands = 6, bitsPerBand = 10,
-        autoCompactSegments = 4)
+        autoCompactSegments = 4, stateBuckets = stateBuckets)
       val wallMs = (System.nanoTime() - t0) / 1000000L
+      drainListener()
       import scala.jdk.CollectionConverters._
       val stages = stageMs.asScala.toSeq.sortBy(-_._2)
       val jobMs = stages.map(_._2).sum
@@ -127,6 +149,7 @@ object ComposedProbe {
     }
     println(s"""{"metric":"composed_stage_probe","batch_rows":$batchRows,""" +
       s""""dup_pct":$dupPct,"cpus":$cpus,"bands":6,"bits_per_band":10,""" +
+      s""""state_buckets":$stateBuckets,""" +
       s""""instrumented_split":true,"batches":[${batches.mkString(",")}]}""")
     spark.stop()
   }

@@ -296,7 +296,7 @@ object StreamingPerf {
     val binIdx = s"$work/bin-idx"
     if (enabled("deduped_binary"))
       graft.etl.IndexIngest.bootstrapDedupedBinary(seed, binCorpus, binIdx,
-        bands = 6, bitsPerBand = 10)
+        bands = 6, bitsPerBand = 10, stateBuckets = 32)
     // the composed admission pays a heavy fixed per-trigger floor
     // (banding join + cosine verify + three partitioned commits) —
     // the product default cadence is 60 s; judged here at 30 s, the
@@ -309,7 +309,11 @@ object StreamingPerf {
         embStream(dedupedBinRps, planted = true), binCorpus, binIdx,
         s"$work/cp-dedupedbin", bands = 6, bitsPerBand = 10,
         trigger = Trigger.ProcessingTime(s"$dedupedBinTriggerMs milliseconds"),
-        autoCompactSegments = 4, queryName = Some("deduped_binary"))
+        autoCompactSegments = 4, queryName = Some("deduped_binary"),
+        // r14: the bucketed _sbands layout — the stored probe side
+        // stops exchanging per trigger (BucketedStateSpec pins the
+        // plan; ComposedProbe 0-vs-32 A/Bs the slope)
+        stateBuckets = 32)
     }
 
     rec.stop()

@@ -357,6 +357,10 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     //                   the QUALIFYING rows only (bounded by the
     //                   predicate's selectivity — the tier that
     //                   guarantees k results where k qualify).
+    //   ext_sim_retained — the ext_sim_binary_indexed scan shape
+    //                   (retention tombstones only add a broadcast
+    //                   equi-anti-join) plus the brute-force recall
+    //                   baseline over the SURVIVING half.
     val allowed = Set("join_cross", "ext_sim_topk", "ext_sim_ivf",
       "ext_sim_ivf_indexed", "ts_gap_fill", "ts_interpolate", "ext_tfidf",
       "agg_heavy_hitters", "ext_lm_quality_tiers", "ext_sim_pq",
@@ -364,7 +368,7 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       "ext_sim_ivfpq_delta", "ext_sim_lsh_delta", "ext_sim_ivfpq_adaptive",
       "ext_sim_binary", "ext_sim_binary_indexed", "ext_sim_filtered",
       "ext_sim_filtered_ivfpq", "ext_sim_ivfpq_deleted",
-      "ext_sim_filtered_lsh")
+      "ext_sim_filtered_lsh", "ext_sim_retained")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -135,15 +135,28 @@ def block(rnd: int) -> str:
             "cost is O(batch × corpus/2^bits): size the banding for "
             "the TARGET corpus at stream start, and pick the offered "
             "rate from the corpus size the deployment will reach."]
-    if "composed_stages" in art:
-        cs = art["composed_stages"]
-        out += ["",
-            f"Per-stage attribution of the composed admission trigger "
-            f"(`tools.ComposedProbe`: the stream's own per-batch body "
-            f"over {cs['batch_rows']:,}-row batches, {cs['dup_pct']}% "
-            f"planted dups, {cs['bands']}x{cs['bits_per_band']} banding, "
-            f"stage split instrumented — {len(cs['batches'])} batches "
-            f"against a growing corpus):", "",
+    def probe_slope(cs):
+        """ms of admit:corpus-probe per corpus row, least-squares over
+        the probe's batches (the r13 verdict's 0.11 ms/row figure)."""
+        pts = [(b["corpus_rows_after"],
+                b["stages"].get("admit:corpus-probe", 0))
+               for b in cs["batches"]]
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        d = n * sxx - sx * sx
+        return (n * sxy - sx * sy) / d if d else 0.0
+
+    def stage_table(cs, label):
+        rows = ["",
+            f"Per-stage attribution of the composed admission trigger, "
+            f"**{label}** (`tools.ComposedProbe`: the stream's own "
+            f"per-batch body over {cs['batch_rows']:,}-row batches, "
+            f"{cs['dup_pct']}% planted dups, "
+            f"{cs['bands']}x{cs['bits_per_band']} banding, stage split "
+            f"instrumented — {len(cs['batches'])} batches against a "
+            f"growing corpus):", "",
             "| batch | wall s | corpus probe | in-batch pairs | commits "
             "(corpus+bands) | index append | compact | driver/other |",
             "|---|---|---|---|---|---|---|"]
@@ -151,7 +164,7 @@ def block(rnd: int) -> str:
             st = b["stages"]
             def g(*keys):
                 return sum(st.get(k, 0) for k in keys) / 1000.0
-            out.append(
+            rows.append(
                 f"| {b['batch']} ({b['corpus_rows_after']:,} corpus rows "
                 f"after) | {b['wall_ms']/1000:.1f} "
                 f"| {g('admit:corpus-probe'):.1f} s "
@@ -160,6 +173,47 @@ def block(rnd: int) -> str:
                 f"| {g('index:append'):.1f} s "
                 f"| {g('index:compact'):.1f} s "
                 f"| {max(0.0, b['driver_ms']/1000):.1f} s |")
+        rows.append("")
+        rows.append(f"Corpus-probe slope, {label}: "
+                    f"**{probe_slope(cs)*1000:.3f} µs/corpus-row/trigger** "
+                    "(least-squares over the batches above).")
+        return rows
+
+    if "composed_stages" in art:
+        out += stage_table(art["composed_stages"], "path layout")
+    if "composed_stages_path" in art and "composed_stages_bucketed" in art:
+        p, b = art["composed_stages_path"], art["composed_stages_bucketed"]
+        out += stage_table(p, "path `_sbands` layout (the r13 shape)")
+        out += stage_table(b, f"bucketed `_sbands` layout "
+                              f"(stateBuckets={b['state_buckets']}, r14)")
+        sp, sb = probe_slope(p), probe_slope(b)
+        if sb > 0:
+            out += ["",
+                f"A/B verdict: bucketing the stored probe side cuts the "
+                f"corpus-probe slope **{sp/sb:.2f}×** "
+                f"({sp*1000:.3f} → {sb*1000:.3f} µs/corpus-row/trigger) "
+                "on identical batches — the stored side stops exchanging "
+                "per trigger (`BucketedStateSpec` pins the no-Exchange "
+                "plan; the residual slope is the columnar scan of the "
+                "postings, which is embarrassingly parallel on a "
+                "cluster and shuffles nothing)."]
+    if "reband" in art:
+        rb = art["reband"]
+        b0, b1 = rb["banding_before"], rb["banding_after"]
+        out += ["",
+            f"Reband A/B (`tools.RebandProbe`, r13 VERDICT #2): a corpus "
+            f"grown to {rb['corpus_rows']:,} rows under deliberately "
+            f"UNDERSIZED {b0[0]}x{b0[1]} banding takes "
+            f"{rb['trigger_ms_before']/1000:.1f} s per "
+            f"{rb['batch_rows']:,}-row admission trigger; "
+            f"`rebandCorpus(targetN)` rebuilds the band index at "
+            f"annParams-sized {b1[0]}x{b1[1]} banding (bucketed layout) "
+            f"in {rb['reband_ms']/1000:.1f} s, after which the same "
+            f"trigger takes {rb['trigger_ms_after']/1000:.1f} s — "
+            f"**{rb['speedup']:.1f}× slope reset**, matching the "
+            f"candidate model batch×bands×corpus/2^bits. Old-params "
+            "admission now refuses loudly (state-meta gate, "
+            "`BucketedStateSpec`)."]
     out += ["",
         "Caveats the numbers carry: `kline_jdbc`'s ceiling is embedded "
         "Derby's single-writer MERGE (the sandbox stand-in for the "
