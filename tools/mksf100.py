@@ -33,6 +33,12 @@ def load(tag, rnd):
         return json.load(f)["queries"]
 
 
+def load_control(tag, rnd):
+    p = os.path.join(HERE, f"bench_{tag}_r{rnd}.json")
+    with open(p) as f:
+        return json.load(f).get("control")
+
+
 def exp(t_lo, t_hi, sf_lo, sf_hi):
     if t_lo <= 0 or t_hi <= 0:
         return None
@@ -78,6 +84,25 @@ def block(rnd):
         f"{', '.join(flagged) if flagged else 'NONE'}. "
         f"Median e(25→100) = {sorted(es)[len(es)//2]:.2f} over "
         f"{len(es)} shared entries."]
+    # In-artifact box control (r13 VERDICT #3: the sf100 rung shipped
+    # without one). The sentinels run the PRIOR round's commit on this
+    # box adjacent to the rung, so sentinel_now/prior_artifact is pure
+    # box epoch for that entry — any flag whose cross-round ratio sits
+    # inside its sentinel's ratio is epoch, not code.
+    ctrl = load_control("sf100", rnd)
+    if ctrl:
+        rs = sorted(ctrl["sentinels"][k] / ctrl["prior"][k]
+                    for k in ctrl["prior"] if ctrl["prior"][k] > 0)
+        per = ", ".join(
+            f"`{k}` {ctrl['sentinels'][k] / ctrl['prior'][k]:.2f}"
+            for k in sorted(ctrl["prior"]) if ctrl["prior"][k] > 0)
+        out += ["",
+            f"In-artifact box control (attempt-matched, commit "
+            f"`{ctrl['commit']}`): box_ratio_median = "
+            f"**{ctrl['box_ratio_median']}** over {len(rs)} sentinels "
+            f"(spread {rs[0]:.2f}–{rs[-1]:.2f}); per-sentinel "
+            f"now/prior: {per}. Cross-round sf100 comparisons must be "
+            "read through these ratios."]
     return "\n".join(out)
 
 
