@@ -12,8 +12,25 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    // schema memoized per path (r14 optimization): every read.parquet
+    // call re-infers the schema from a parquet footer on the driver —
+    // pure latency repeated a few hundred times across a catalog run.
+    // Fixtures are immutable driver-generated data (the cachedCount
+    // contract below), so the memo can never go stale within a run;
+    // anything mutable must use spark.read.parquet directly.
+    if (!schemaCacheEnabled) return spark.read.parquet(path)
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** A/B kill switch (tools.CacheAbProbe); production default ON. */
+  @volatile private[graft] var schemaCacheEnabled: Boolean = true
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")

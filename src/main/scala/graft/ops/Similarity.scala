@@ -648,9 +648,7 @@ object Similarity {
       : DataFrame = {
     import graft.functions.VectorFunctions.signBands
     requireEpochCoherent(spark, dir, Seq("_meta"))
-    val m = spark.read.parquet(dir + "_meta").head()
-    val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
-      m.getAs[Long]("seed")).grouped(62).toSeq
+    val blocks = readBinaryBlocks(spark, dir)
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     // FILTERED search ([[buildBinaryIndex]]'s `metaCols`): the
     // predicate restricts the corpus BEFORE Hamming candidate
@@ -729,9 +727,7 @@ object Similarity {
         "discovery. Migrate first: rebuild with buildBinaryIndex, or " +
         "run compactBinaryIndex after moving the flat files under a " +
         "seg=base/ directory.")
-    val m = spark.read.parquet(dir + "_meta").head()
-    val blocks = hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
-      m.getAs[Long]("seed")).grouped(62).toSeq
+    val blocks = readBinaryBlocks(spark, dir)
     // an index built with `metaCols` stores metadata beside the
     // codes; appended rows must carry the SAME columns or the mixed
     // file schemas would surface nulls under the filtered probe —
@@ -2099,12 +2095,74 @@ object Similarity {
     * query paths and the frozen-model appends so all of them see the
     * SAME quantizer by construction.
     */
+  /** Session-lifetime cache of persisted-index MODEL state (centroids,
+    * codebooks, binary signing meta), keyed by (model-tree path, model
+    * EPOCH uuid) — r14 optimization (guide §1.2/§5: the probe paths
+    * paid 2–3 collect jobs of immutable model rows per call, and the
+    * adaptive/filtered probes re-read the same centroids 3× per
+    * query; measured 16 jobs per `ivfPqIndexedTopK` at bench scale,
+    * of which the model loads are pure scheduling latency).
+    *
+    * Correctness rests on the existing epoch contract
+    * ([[rewriteInPlace]]): every build/refit stamps a FRESH uuid into
+    * each model tree, compaction carries the old uuid forward only
+    * because the model is byte-identical, and appends never touch the
+    * model trees. So a (path, epoch) pair names immutable bytes and
+    * can never serve stale state. A tree with NO epoch marker (hand-
+    * assembled index) has no safe token and is read uncached, exactly
+    * as before. Same memo class the engine already carries for the
+    * ad-hoc paths ([[ivfIndexCache]] — the trained k-means — and
+    * `Tables.cachedCount`): model/metadata, never query results.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+
+  def clearModelCache(): Unit = modelCache.clear()
+
+  /** A/B kill switch for the model cache (tools.CacheAbProbe measures
+    * the cache's worth with cache-on/cache-off interleaved in one JVM
+    * — the only noise-immune protocol on a drifting box). Production
+    * default is ON. */
+  @volatile private[graft] var modelCacheEnabled: Boolean = true
+
+  private def cachedModel[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
+                                       tree: String)(load: => T): T = {
+    if (!modelCacheEnabled) return load
+    val fs = new org.apache.hadoop.fs.Path(tree)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readEpoch(fs, tree) match {
+      case None => load
+      case Some(epoch) =>
+        // crude bound: rebuild-heavy test suites churn epochs at the
+        // same path; the map must not grow without limit
+        if (modelCache.size > 512) modelCache.clear()
+        modelCache.computeIfAbsent((tree.stripSuffix("/"), epoch),
+          _ => load).asInstanceOf[T]
+    }
+  }
+
+  /** The binary family's signing planes, reconstructed from the
+    * persisted `(nbits, dim, seed)` meta and grouped into 62-bit
+    * words — epoch-cached like the IVF model trees (the planes are a
+    * pure function of the meta row, so caching the grouped blocks
+    * also skips the O(nbits·dim) gaussian regeneration per probe).
+    */
+  private def readBinaryBlocks(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[Array[Array[Double]]] =
+    cachedModel(spark, dir.stripSuffix("/") + "_meta") {
+      val m = spark.read.parquet(dir.stripSuffix("/") + "_meta").head()
+      hyperplanes(m.getAs[Int]("nbits"), m.getAs[Int]("dim"),
+        m.getAs[Long]("seed")).grouped(62).toSeq
+    }
+
   private[graft] def readIndexCentroids(spark: org.apache.spark.sql.SparkSession,
                                         dir: String): Array[Array[Double]] =
-    spark.read.parquet(dir.stripSuffix("/") + "_centroids")
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+    cachedModel(spark, dir.stripSuffix("/") + "_centroids") {
+      spark.read.parquet(dir.stripSuffix("/") + "_centroids")
+        .select(col("cell"), col("centroid")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+    }
 
   /** Read back a persisted index's PQ codebooks (`<dir>_codebooks` —
     * m·ksub tiny rows), failing LOUDLY on a missing or partially
@@ -2113,7 +2171,13 @@ object Similarity {
     * in the ADC scan.
     */
   private[graft] def readIndexCodebooks(spark: org.apache.spark.sql.SparkSession,
-                                        dir: String): graft.functions.Pq.Codebooks = {
+                                        dir: String): graft.functions.Pq.Codebooks =
+    cachedModel(spark, dir.stripSuffix("/") + "_codebooks") {
+      readIndexCodebooksUncached(spark, dir)
+    }
+
+  private def readIndexCodebooksUncached(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String): graft.functions.Pq.Codebooks = {
     val cbPath = dir.stripSuffix("/") + "_codebooks"
     val cbRows = spark.read.parquet(cbPath)
       .select(col("sub"), col("code"), col("vals")).collect()
