@@ -431,14 +431,25 @@ object Similarity {
     * the production shape pays nothing.
     */
   private[graft] def queryChunks(queries: DataFrame, rerank: Int,
-                                 budgetBytes: Long = 256L << 20): Seq[DataFrame] = {
-    val nq = queries.count()
-    val chunks = math.max(1L,
+                                 budgetBytes: Long = 256L << 20): Seq[DataFrame] =
+    chunkFrames(queries, chunkCountFor(queries.count(), rerank, budgetBytes))
+
+  /** Chunk count for `nq` queries under the selection-state budget —
+    * split out of [[queryChunks]] so callers that already paid a pass
+    * over the query side (the IVF-PQ probe's fused stats job) can
+    * reuse its count instead of running a second one. */
+  private[graft] def chunkCountFor(nq: Long, rerank: Int,
+                                   budgetBytes: Long = 256L << 20): Int =
+    math.max(1L,
       (nq * rerank.toLong * 16L + budgetBytes - 1) / budgetBytes).toInt
+
+  /** Deterministic hash partition of the query set into `chunks`
+    * frames; results per query never cross chunks, so the union is
+    * row-identical to the unchunked plan for ANY chunk count ≥ 1. */
+  private[graft] def chunkFrames(queries: DataFrame, chunks: Int): Seq[DataFrame] =
     if (chunks == 1) Seq(queries)
     else (0 until chunks).map(i =>
       queries.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === i))
-  }
 
   private def pqTopKChunk(queries: DataFrame, corpus: DataFrame, k: Int,
                           m: Int, ksub: Int, rerank: Int,
@@ -1725,9 +1736,25 @@ object Similarity {
     // splits into several chunks against the same directory, and the
     // marker check is 3×(exists+read) filesystem round trips
     requireEpochCoherent(spark, dir, Seq("_centroids", "_codebooks"))
-    queryChunks(queries, rerank)
+    val centroids = readIndexCentroids(spark, dir)
+    // ONE stats pass over the query side replaces two driver actions
+    // (r14 optimization): queryChunks' count job and the per-chunk
+    // probed-cells distinct+collect job. nq counts the nonzero-norm
+    // queries — exactly the rows that create rerank selection state,
+    // so the chunk budget is unchanged — and the probed set is the
+    // GLOBAL union over queries: per-chunk scans read the union
+    // instead of the chunk's own (typically identical) set, a
+    // superset that cannot drop candidates; chunk membership itself
+    // is untouched, so the union stays row-identical to the unchunked
+    // plan (the queryChunks contract, spec-asserted).
+    val stats = ivfProbeSide(queries, centroids, nprobe)
+      .agg(countDistinct(col("q_id")).as("nq"),
+        collect_set(col("cell")).as("cells")).head()
+    val nq = stats.getLong(0)
+    val probed = stats.getSeq[Int](1).sorted
+    chunkFrames(queries, chunkCountFor(nq, rerank))
       .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, nprobe, rerank,
-        predicate))
+        predicate, centroids, probed))
       .reduce(_.unionByName(_))
   }
 
@@ -2201,15 +2228,13 @@ object Similarity {
   private def ivfPqIndexedTopKChunk(spark: org.apache.spark.sql.SparkSession,
                                     dir: String, queries: DataFrame, k: Int,
                                     nprobe: Int, rerank: Int,
-                                    predicate: Option[org.apache.spark.sql.Column] =
-                                      None): DataFrame = {
+                                    predicate: Option[org.apache.spark.sql.Column],
+                                    centroids: Array[Array[Double]],
+                                    probed: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import graft.functions.PqAdcExpr
-    val centroids = readIndexCentroids(spark, dir)
     val cbs = readIndexCodebooks(spark, dir)
     val probes = ivfProbeSide(queries, centroids, nprobe)
-    val probed = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
     // FILTERED search (a `metaCols` build): the predicate restricts
     // the stored rows BEFORE ADC candidate selection, in the SAME scan
     // the cell filter prunes — cell is a partition column
@@ -2300,10 +2325,18 @@ object Similarity {
     val centroids = readIndexCentroids(spark, dir)
     val p0 = math.min(math.max(nprobe0, 1), centroids.length)
     val pMax = math.min(math.max(nprobeMax, p0), centroids.length)
-    def pass(qs: DataFrame, np: Int) = queryChunks(qs, rerank)
-      .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, np, rerank,
-        Some(predicate)))
-      .reduce(_.unionByName(_))
+    // same fused stats job as ivfPqIndexedTopK (count + probed cells
+    // in one pass over the query side)
+    def pass(qs: DataFrame, np: Int) = {
+      val stats = ivfProbeSide(qs, centroids, np)
+        .agg(countDistinct(col("q_id")).as("nq"),
+          collect_set(col("cell")).as("cells")).head()
+      val probed = stats.getSeq[Int](1).sorted
+      chunkFrames(qs, chunkCountFor(stats.getLong(0), rerank))
+        .map(qc => ivfPqIndexedTopKChunk(spark, dir, qc, k, np, rerank,
+          Some(predicate), centroids, probed))
+        .reduce(_.unionByName(_))
+    }
     // materialized for the same reason as the adaptive probe: the
     // narrow pass feeds stats, anti-join, and semi-join branches
     val first = pass(queries, p0).localCheckpoint()
